@@ -79,22 +79,26 @@ class GameState:
 
 
 def init_state(max_ply: int) -> GameState:
-    """Fresh startpos state. H = max_ply + 1 history slots."""
+    """Fresh startpos state. H = max_ply + 1 history slots.
+
+    Leaves are NUMPY arrays on purpose: this template is closed over as a
+    constant by jitted step functions, and closure-captured committed
+    device arrays make jax 0.9 lowering pathologically slow (minutes per
+    `where`); numpy constants lower instantly.
+    """
     H = max_ply + 1
-    board = jnp.asarray(T.STARTPOS_BOARD, dtype=jnp.int8)
-    hands = jnp.zeros((2, 7), dtype=jnp.int8)
     h0 = Z.compute_hash(T.STARTPOS_BOARD, np.zeros((2, 7), np.int8), 0)
     return GameState(
-        board=board,
-        hands=hands,
-        stm=jnp.int8(0),
-        ply=jnp.int32(0),
-        hash_=jnp.asarray(h0, dtype=jnp.uint32),
-        hash_hist=jnp.zeros((H, 2), dtype=jnp.uint32),
-        check_hist=jnp.zeros((H,), dtype=bool),
-        in_check=jnp.bool_(False),
-        reason=jnp.int8(TY.NOT_TERMINATED),
-        winner=jnp.int8(TY.WINNER_NONE),
+        board=T.STARTPOS_BOARD.copy(),
+        hands=np.zeros((2, 7), dtype=np.int8),
+        stm=np.int8(0),
+        ply=np.int32(0),
+        hash_=h0,
+        hash_hist=np.zeros((H, 2), dtype=np.uint32),
+        check_hist=np.zeros((H,), dtype=bool),
+        in_check=np.bool_(False),
+        reason=np.int8(TY.NOT_TERMINATED),
+        winner=np.int8(TY.WINNER_NONE),
     )
 
 

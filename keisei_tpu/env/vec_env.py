@@ -1,0 +1,314 @@
+"""Vectorized shogi environment: batched JAX core + host-facing VecEnv shim.
+
+Two API layers:
+
+* ``EnvCore`` — the pure-functional batched environment for the fused
+  training path: ``init()`` and ``step()`` are jittable pytree->pytree
+  functions meant to live inside ``jax.lax.scan`` (rollouts never leave the
+  device). This replaces the reference's PyO3 seam crossed every step
+  (shogi-gym/src/vec_env.rs:651-764).
+
+* ``VecEnv`` — a host shim exposing the reference VecEnv's Python surface
+  (constructor signature, ``reset``/``step`` returning numpy arrays shaped
+  per the StepResult contract (shogi-gym/src/step_result.rs:50-101),
+  episode counters, ``get_sfen``) so the observability/league tier can stay
+  API-compatible.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine import core as C
+from ..engine import tables as T
+from ..engine import types as TY
+from ..engine.sfen import to_sfen
+
+# ---------------------------------------------------------------------------
+# Spatial <-> flat (13,527) action-space conversion tables
+# ---------------------------------------------------------------------------
+
+
+def _build_flat_tables():
+    """Static maps between the 11,259 spatial and 13,527 flat action spaces.
+
+    Flat encoding per the reference DefaultActionMapper
+    (shogi-gym/src/action_mapper.rs:34-64): board = from*160 +
+    dest_offset*2 + promote with dest_offset skipping `from`; drops =
+    12960 + to*7 + piece. Both spaces are perspective-relative, so the
+    mapping is position-independent.
+    """
+    spatial_to_flat = np.full(TY.ACTION_SPACE, TY.FLAT_ACTION_SPACE, dtype=np.int32)
+    flat_to_spatial = np.full(TY.FLAT_ACTION_SPACE, -1, dtype=np.int32)
+
+    def put(spatial, flat):
+        spatial_to_flat[spatial] = flat
+        flat_to_spatial[flat] = spatial
+
+    for sq in range(81):
+        r, c = divmod(sq, 9)
+        for slot in range(139):
+            idx = sq * 139 + slot
+            if slot >= 132:
+                put(idx, 12960 + sq * 7 + (slot - 132))
+                continue
+            if slot >= 128:
+                k = slot - 128
+                lr, promote = k // 2, k % 2
+                tr, tc = r - 2, c + (-1 if lr == 0 else 1)
+                if not (0 <= tr < 9 and 0 <= tc < 9):
+                    continue
+                to = tr * 9 + tc
+            else:
+                promote = 1 if slot >= 64 else 0
+                base = slot - 64 if slot >= 64 else slot
+                d, dist = base // 8, base % 8 + 1
+                dr, dc = T.DIRECTIONS[d]
+                tr, tc = r + dr * dist, c + dc * dist
+                if not (0 <= tr < 9 and 0 <= tc < 9):
+                    continue
+                to = tr * 9 + tc
+            dest_offset = to - 1 if to > sq else to
+            put(idx, sq * 160 + dest_offset * 2 + promote)
+    return spatial_to_flat, flat_to_spatial
+
+
+SPATIAL_TO_FLAT, FLAT_TO_SPATIAL = _build_flat_tables()
+
+
+# ---------------------------------------------------------------------------
+# Batched functional core
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class EnvCore:
+    """Configured, jittable batched environment functions.
+
+    All methods are pure; ``step`` is built once (closing over the constant
+    reset state/outputs) and can be jitted or embedded in scans by callers.
+    """
+
+    num_envs: int
+    max_ply: int = 500
+    num_channels: int = 50  # 46 ("default") or 50 ("katago")
+    action_space: int = TY.ACTION_SPACE
+
+    def __post_init__(self):
+        if self.num_channels not in (46, 50):
+            raise ValueError(f"num_channels must be 46 or 50, got {self.num_channels}")
+
+    def _reset_parts(self):
+        reset_state = C.init_state(self.max_ply)
+        reset_obs, reset_mask, _ = C.initial_outputs(reset_state, self.num_channels)
+        # Closure constants must be numpy (see init_state docstring).
+        return reset_state, np.asarray(reset_obs), np.asarray(reset_mask)
+
+    def init(self):
+        """Fresh batched state + (obs, legal_mask) for all envs."""
+        reset_state, reset_obs, reset_mask = self._reset_parts()
+        batched = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (self.num_envs,) + x.shape), reset_state
+        )
+        obs = jnp.broadcast_to(reset_obs, (self.num_envs,) + reset_obs.shape)
+        mask = jnp.broadcast_to(reset_mask, (self.num_envs,) + reset_mask.shape)
+        return batched, obs, mask
+
+    def step_fn(self):
+        """Returns step(states, actions) -> (states', StepOutput batch)."""
+        reset_state, reset_obs, reset_mask = self._reset_parts()
+        single = partial(
+            C.env_step,
+            reset_state=reset_state,
+            reset_obs=reset_obs,
+            reset_mask=reset_mask,
+            num_channels=self.num_channels,
+        )
+        return jax.vmap(single)
+
+
+# ---------------------------------------------------------------------------
+# Host-facing shim (reference-compatible surface)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class StepMetadata:
+    captured_piece: np.ndarray  # (N,) u8, 255 = no capture
+    termination_reason: np.ndarray  # (N,) u8
+    ply_count: np.ndarray  # (N,) u16
+    material_balance: np.ndarray  # (N,) i32, last-mover perspective
+
+
+@dataclass
+class StepResult:
+    observations: np.ndarray  # (N, C, 9, 9) f32
+    legal_masks: np.ndarray  # (N, A) bool
+    rewards: np.ndarray  # (N,) f32
+    terminated: np.ndarray  # (N,) bool
+    truncated: np.ndarray  # (N,) bool
+    terminal_observations: np.ndarray  # (N, C, 9, 9) f32
+    current_players: np.ndarray  # (N,) u8
+    step_metadata: StepMetadata
+
+
+@dataclass
+class ResetResult:
+    observations: np.ndarray
+    legal_masks: np.ndarray
+
+
+class VecEnv:
+    """Host shim with the reference VecEnv's constructor and step contract.
+
+    Unlike the reference there is no PyO3 boundary: `step` dispatches one
+    jitted XLA program over all N envs and copies results to numpy for the
+    host tier. Training should prefer the fused EnvCore path.
+    """
+
+    def __init__(
+        self,
+        num_envs: int = 512,
+        max_ply: int = 500,
+        observation_mode: str = "default",
+        action_mode: str = "default",
+    ) -> None:
+        if observation_mode not in ("default", "katago"):
+            raise ValueError(f"unknown observation_mode {observation_mode!r}")
+        if action_mode not in ("default", "spatial"):
+            raise ValueError(f"unknown action_mode {action_mode!r}")
+        self.num_envs = num_envs
+        self.max_ply = max_ply
+        self.observation_mode = observation_mode
+        self.action_mode = action_mode
+        self.num_channels = 46 if observation_mode == "default" else 50
+        self.action_space = (
+            TY.ACTION_SPACE if action_mode == "spatial" else TY.FLAT_ACTION_SPACE
+        )
+
+        self._core = EnvCore(num_envs, max_ply, self.num_channels)
+        self._step = jax.jit(self._core.step_fn())
+        self._states, obs0, mask0 = self._core.init()
+        self._obs0, self._mask0 = obs0, mask0
+        self._last_mask = np.asarray(mask0)  # spatial-space mask cache
+
+        # episode counters (reference vec_env.rs:263-266)
+        self.episodes_completed = 0
+        self.episodes_drawn = 0
+        self.episodes_truncated = 0
+        self.total_episode_ply = 0
+
+    # -- helpers ------------------------------------------------------------
+
+    def _mask_out(self, spatial_mask: np.ndarray) -> np.ndarray:
+        if self.action_mode == "spatial":
+            return spatial_mask
+        flat = np.zeros((self.num_envs, TY.FLAT_ACTION_SPACE + 1), dtype=bool)
+        np.put_along_axis(
+            flat, np.broadcast_to(SPATIAL_TO_FLAT, spatial_mask.shape), spatial_mask, axis=1
+        )
+        return flat[:, : TY.FLAT_ACTION_SPACE]
+
+    def _to_spatial_actions(self, actions: np.ndarray) -> np.ndarray:
+        if self.action_mode == "spatial":
+            return actions
+        sp = FLAT_TO_SPATIAL[actions]
+        if np.any(sp < 0):
+            bad = np.nonzero(sp < 0)[0][0]
+            raise ValueError(
+                f"env {bad}: flat action {actions[bad]} has no board geometry"
+            )
+        return sp
+
+    # -- public surface -------------------------------------------------------
+
+    def reset(self) -> ResetResult:
+        self._states, obs0, mask0 = self._core.init()
+        self._last_mask = np.asarray(mask0)
+        return ResetResult(
+            observations=np.asarray(obs0).reshape(self.num_envs, self.num_channels, 9, 9),
+            legal_masks=self._mask_out(self._last_mask),
+        )
+
+    def step(self, actions) -> StepResult:
+        actions = np.asarray(actions, dtype=np.int64)
+        if actions.shape != (self.num_envs,):
+            raise ValueError(
+                f"expected {self.num_envs} actions, got shape {actions.shape}"
+            )
+        if np.any((actions < 0) | (actions >= self.action_space)):
+            bad = np.nonzero((actions < 0) | (actions >= self.action_space))[0][0]
+            raise ValueError(f"env {bad}: action {actions[bad]} out of range")
+        spatial = self._to_spatial_actions(actions)
+        legal = np.take_along_axis(self._last_mask, spatial[:, None], axis=1)[:, 0]
+        if not legal.all():
+            bad = np.nonzero(~legal)[0][0]
+            raise ValueError(
+                f"env {bad}: action {actions[bad]} is illegal in the current position"
+            )
+
+        self._states, out = self._step(self._states, jnp.asarray(spatial, jnp.int32))
+        out = jax.tree.map(np.asarray, out)
+        self._last_mask = out.legal_mask
+
+        done = out.terminated | out.truncated
+        n_done = int(done.sum())
+        if n_done:
+            self.episodes_completed += n_done
+            self.total_episode_ply += int(out.ply_count[done].sum())
+            reasons = out.term_reason[done]
+            rewards = out.reward[done]
+            self.episodes_drawn += int(
+                ((reasons == TY.REPETITION) | ((reasons == TY.IMPASSE) & (rewards == 0))).sum()
+            )
+            self.episodes_truncated += int((reasons == TY.MAX_MOVES).sum())
+
+        N, Cn = self.num_envs, self.num_channels
+        return StepResult(
+            observations=out.obs.reshape(N, Cn, 9, 9),
+            legal_masks=self._mask_out(out.legal_mask),
+            rewards=out.reward,
+            terminated=out.terminated,
+            truncated=out.truncated,
+            terminal_observations=out.terminal_obs.reshape(N, Cn, 9, 9),
+            current_players=out.current_player.astype(np.uint8),
+            step_metadata=StepMetadata(
+                captured_piece=out.captured,
+                termination_reason=out.term_reason,
+                ply_count=out.ply_count.astype(np.uint16),
+                material_balance=out.material,
+            ),
+        )
+
+    # -- stats getters (reference vec_env.rs:786-841) -------------------------
+
+    @property
+    def draw_rate(self) -> float:
+        return self.episodes_drawn / max(self.episodes_completed, 1)
+
+    @property
+    def mean_episode_length(self) -> float:
+        return self.total_episode_ply / max(self.episodes_completed, 1)
+
+    @property
+    def truncation_rate(self) -> float:
+        return self.episodes_truncated / max(self.episodes_completed, 1)
+
+    def reset_stats(self) -> None:
+        self.episodes_completed = 0
+        self.episodes_drawn = 0
+        self.episodes_truncated = 0
+        self.total_episode_ply = 0
+
+    # -- inspection -----------------------------------------------------------
+
+    def get_sfen(self, i: int) -> str:
+        board = np.asarray(self._states.board[i])
+        hands = np.asarray(self._states.hands[i])
+        stm = int(self._states.stm[i])
+        return to_sfen(board, hands, stm)

@@ -184,7 +184,7 @@ class TestObservation:
         assert np.all(obs[43] == 0.0)
 
     def test_white_perspective_flips(self):
-        state = C.init_state(MAX_PLY)
+        state = jax.tree.map(jnp.asarray, C.init_state(MAX_PLY))
         # after one black move, White observes a flipped board
         reset_obs, reset_mask, _ = C.initial_outputs(state, 46)
         a = int(np.nonzero(np.asarray(reset_mask))[0][0])
