@@ -1,0 +1,96 @@
+"""Checkpoint save/load via Orbax (atomic) + JSON metadata sidecar.
+
+Capability parity with the reference's checkpointing (keisei/training/
+checkpoint.py:79-177): atomic writes, model + optimizer + step/epoch +
+architecture tag + RNG state, architecture-mismatch rejection on load,
+`skip_optimizer` for the SL -> RL transition. Orbax provides the
+atomic-rename discipline (the reference hand-rolled .pt.tmp + rename).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .ppo import TrainState
+
+_META_NAME = "keisei_meta.json"
+
+
+class CheckpointError(RuntimeError):
+    pass
+
+
+def save_checkpoint(
+    path: str,
+    state: TrainState,
+    *,
+    epoch: int,
+    architecture: str,
+    rng_key,
+    extra_meta: dict | None = None,
+) -> None:
+    path = os.path.abspath(path)
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "rng_key": jax.random.key_data(rng_key),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, payload, force=True)
+    meta = {
+        "epoch": int(epoch),
+        "architecture": architecture,
+        "format_version": 1,
+        **(extra_meta or {}),
+    }
+    tmp = os.path.join(path, _META_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, _META_NAME))
+
+
+def load_meta(path: str) -> dict:
+    with open(os.path.join(os.path.abspath(path), _META_NAME)) as f:
+        return json.load(f)
+
+
+def load_checkpoint(
+    path: str,
+    template_state: TrainState,
+    *,
+    architecture: str,
+    skip_optimizer: bool = False,
+):
+    """Restore (state, meta, rng_key). `template_state` supplies the pytree
+    structure/shapes (from a freshly initialized model + optimizer)."""
+    path = os.path.abspath(path)
+    meta = load_meta(path)
+    if meta["architecture"] != architecture:
+        raise CheckpointError(
+            f"checkpoint architecture {meta['architecture']!r} does not match "
+            f"configured architecture {architecture!r}"
+        )
+    template = {
+        "params": template_state.params,
+        "batch_stats": template_state.batch_stats,
+        "opt_state": template_state.opt_state,
+        "step": template_state.step,
+        "rng_key": np.zeros((2,), np.uint32),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path, item=template)
+    state = TrainState(
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=template_state.opt_state if skip_optimizer else restored["opt_state"],
+        step=template_state.step if skip_optimizer else restored["step"],
+    )
+    rng_key = jax.random.wrap_key_data(np.asarray(restored["rng_key"], np.uint32))
+    return state, meta, rng_key

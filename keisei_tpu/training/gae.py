@@ -1,0 +1,67 @@
+"""Generalized Advantage Estimation as a jittable backward scan.
+
+Semantics pinned to the reference implementation (keisei/training/
+gae.py:8-218): `terminated` zeroes the bootstrap (truncations bootstrap
+from V(s_next) instead), and `next_value_override` supplies per-cell
+bootstrap replacements — NaN cells fall back to the default values[t+1]
+shift / final next_value. Used for both truncation-with-auto-reset and
+two-player perspective alternation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def compute_gae(
+    rewards: jax.Array,  # (T, N)
+    values: jax.Array,  # (T, N)
+    terminated: jax.Array,  # (T, N) bool or float
+    next_value: jax.Array,  # (N,)
+    gamma: float,
+    lam: float,
+    next_value_override: jax.Array | None = None,  # (T, N), NaN = default
+) -> jax.Array:
+    """(T, N) advantages via a reversed lax.scan. Non-differentiable."""
+    rewards = jax.lax.stop_gradient(rewards.astype(jnp.float32))
+    values = jax.lax.stop_gradient(values.astype(jnp.float32))
+    not_done = 1.0 - terminated.astype(jnp.float32)
+
+    next_vals = jnp.concatenate([values[1:], next_value[None].astype(jnp.float32)], axis=0)
+    if next_value_override is not None:
+        ov = jax.lax.stop_gradient(next_value_override.astype(jnp.float32))
+        next_vals = jnp.where(jnp.isnan(ov), next_vals, ov)
+
+    delta = rewards + gamma * next_vals * not_done - values
+    decay = gamma * lam * not_done
+
+    def scan_fn(carry, x):
+        d, dk = x
+        carry = d + dk * carry
+        return carry, carry
+
+    _, adv = jax.lax.scan(
+        scan_fn, jnp.zeros_like(next_value, dtype=jnp.float32), (delta, decay), reverse=True
+    )
+    return adv
+
+
+def alternating_perspective_overrides(
+    values: jax.Array,  # (T, N)
+    terminated: jax.Array,  # (T, N)
+    existing: jax.Array | None = None,  # (T, N) NaN-sentinel overrides
+) -> jax.Array:
+    """No-league self-play perspective fix (katago_ppo.py:320-360).
+
+    Every shogi ply alternates side, so values[t+1] is in the opponent's
+    frame; for each non-terminal cell without an existing override, set
+    override[t] = -values[t+1]. The final step's bootstrap is handled by
+    the caller via next_value.
+    """
+    T = values.shape[0]
+    ov = jnp.full_like(values, jnp.nan) if existing is None else existing
+    flipped = -values[1:]  # candidate overrides for t in [0, T-1)
+    fill = jnp.isnan(ov[:-1]) & ~terminated[:-1].astype(bool)
+    ov = ov.at[:-1].set(jnp.where(fill, flipped, ov[:-1]))
+    return ov

@@ -1,0 +1,122 @@
+"""Trainer loop integration: config parsing, epochs, checkpoint/resume."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from keisei_tpu.training.config import Config, config_from_dict, load_config
+from keisei_tpu.training.loop import PlateauScheduler, SelfPlayTrainer
+
+TINY_RAW = {
+    "model": {
+        "display_name": "tiny",
+        "architecture": "mlp",
+        "params": {"hidden_sizes": [32]},
+    },
+    "training": {
+        "num_games": 4,
+        "max_ply": 24,
+        "steps_per_epoch": 8,
+        "algorithm": "katago_ppo",
+        "checkpoint_interval": 2,
+        "checkpoint_dir": "UNSET",
+        "use_amp": True,  # torch-only key: accepted + ignored
+    },
+    "run": {"default_epochs": 2},
+}
+TINY_RAW["training"]["algorithm_params"] = {
+    "batch_size": 16,
+    "epochs_per_batch": 1,
+    "compile_mode": "default",  # torch-only key: accepted + ignored
+}
+
+
+class TestConfig:
+    def test_reference_toml_parses(self):
+        cfg = load_config("configs/katago-b40c256.toml")
+        assert cfg.model.architecture == "se_resnet"
+        assert cfg.model.params["num_blocks"] == 40
+        assert cfg.algorithm_params.batch_size == 1024
+        assert cfg.training.effective_steps_per_epoch == 128
+
+    def test_unknown_key_rejected(self):
+        raw = {"training": {"bogus_key": 1}}
+        with pytest.raises(ValueError, match="unknown key 'bogus_key'"):
+            config_from_dict(raw)
+
+    def test_unknown_section_rejected(self):
+        with pytest.raises(ValueError, match="unknown config sections"):
+            config_from_dict({"nonsense": {}})
+
+    def test_torch_keys_ignored(self):
+        cfg = config_from_dict(TINY_RAW)
+        assert cfg.algorithm_params.batch_size == 16
+
+    def test_bad_arch_rejected(self):
+        with pytest.raises(ValueError, match="unknown architecture"):
+            config_from_dict({"model": {"architecture": "alexnet"}})
+
+
+class TestPlateau:
+    def test_reduces_after_patience(self):
+        s = PlateauScheduler(factor=0.5, patience=2, min_lr=1e-6)
+        lr = 1e-3
+        lr = s.step(1.0, lr)  # best
+        assert lr == 1e-3
+        lr = s.step(1.1, lr)
+        lr = s.step(1.2, lr)
+        assert lr == 1e-3
+        lr = s.step(1.3, lr)  # 3rd bad epoch > patience
+        assert lr == pytest.approx(5e-4)
+
+    def test_min_lr_floor(self):
+        s = PlateauScheduler(factor=0.1, patience=0, min_lr=1e-5)
+        lr = 2e-5
+        lr = s.step(1.0, lr)
+        lr = s.step(2.0, lr)
+        assert lr == pytest.approx(1e-5)
+
+
+@pytest.mark.integration
+class TestTrainerEndToEnd:
+    def _config(self, tmp_path) -> Config:
+        raw = dataclasses.replace  # noqa: F841 (readability)
+        import copy
+
+        raw = copy.deepcopy(TINY_RAW)
+        raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+        return config_from_dict(raw)
+
+    def test_two_epochs_and_resume(self, tmp_path):
+        cfg = self._config(tmp_path)
+        sunk = []
+        trainer = SelfPlayTrainer(cfg, metrics_sink=sunk.append)
+        em1 = trainer.run_epoch()
+        em2 = trainer.run_epoch()
+        assert em1.epoch == 1 and em2.epoch == 2
+        assert np.isfinite(em1.policy_loss)
+        assert len(sunk) == 2
+        # checkpoint written at epoch 2 (interval=2)
+        path = trainer.latest_checkpoint()
+        assert path is not None
+
+        params_before = {
+            k: np.asarray(v)
+            for k, v in zip(
+                range(10**6),
+                __import__("jax").tree.leaves(trainer.state.params),
+            )
+        }
+        # fresh trainer resumes from the checkpoint
+        trainer2 = SelfPlayTrainer(cfg, metrics_sink=lambda m: None)
+        assert trainer2.epoch == 2
+        import jax
+
+        for a, b in zip(
+            jax.tree.leaves(trainer.state.params), jax.tree.leaves(trainer2.state.params)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        em3 = trainer2.run_epoch()
+        assert em3.epoch == 3
+        assert params_before is not None
