@@ -89,7 +89,7 @@ class RunConfig:
 class DistributedConfig:
     """Mesh layout for SPMD data parallelism (replaces torchrun/DDP env)."""
 
-    num_devices: int = 0  # 0 -> use all visible devices
+    num_devices: int = 0  # 0 -> single device; -1 -> all visible; N -> N
     data_axis: str = "data"
 
 

@@ -103,9 +103,13 @@ class SelfPlayTrainer:
                 f"{tc.observation_mode!r} (fail-fast, katago_loop.py:575-598)"
             )
 
-        n_dev = config.distributed.num_devices or len(jax.devices())
-        self.mesh = make_mesh(config.distributed.num_devices) if n_dev > 1 else None
-        if tc.num_games % max(n_dev, 1) != 0:
+        # num_devices: 0 = single device (default; never let the visible
+        # device count break a single-host config), -1 = all visible, N = N.
+        n_dev = config.distributed.num_devices
+        if n_dev == -1:
+            n_dev = len(jax.devices())
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if n_dev > 1 and tc.num_games % n_dev != 0:
             raise ValueError(
                 f"num_games {tc.num_games} must divide evenly over {n_dev} devices"
             )
@@ -307,7 +311,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logging.basicConfig(
-        level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+        force=True,  # the TPU platform plugin pre-configures logging at import
     )
     config = load_config(args.config)
     if args.seed is not None:
