@@ -28,6 +28,7 @@ from ..engine import core as C
 from ..engine import tables as T
 from ..engine import types as TY
 from ..engine.sfen import to_sfen
+from .spectator_data import build_spectator_dict, move_usi
 
 # ---------------------------------------------------------------------------
 # Spatial <-> flat (13,527) action-space conversion tables
@@ -203,6 +204,12 @@ class VecEnv:
         self.episodes_truncated = 0
         self.total_episode_ply = 0
 
+        # per-env USI move history for spectator data (the reference records
+        # Hodges via its legal-moves cache, vec_env.rs:696-701; full Hodges
+        # disambiguation lives in SpectatorEnv where N = 1)
+        self._move_history: list[list[str]] = [[] for _ in range(num_envs)]
+        self._last_reason = np.zeros(num_envs, dtype=np.uint8)
+
     # -- helpers ------------------------------------------------------------
 
     def _mask_out(self, spatial_mask: np.ndarray) -> np.ndarray:
@@ -230,6 +237,8 @@ class VecEnv:
     def reset(self) -> ResetResult:
         self._states, obs0, mask0 = self._core.init()
         self._last_mask = np.asarray(mask0)
+        self._move_history = [[] for _ in range(self.num_envs)]
+        self._last_reason = np.zeros(self.num_envs, dtype=np.uint8)
         return ResetResult(
             observations=np.asarray(obs0).reshape(self.num_envs, self.num_channels, 9, 9),
             legal_masks=self._mask_out(self._last_mask),
@@ -252,11 +261,17 @@ class VecEnv:
                 f"env {bad}: action {actions[bad]} is illegal in the current position"
             )
 
+        pre_stm = np.asarray(self._states.stm)
         self._states, out = self._step(self._states, jnp.asarray(spatial, jnp.int32))
         out = jax.tree.map(np.asarray, out)
         self._last_mask = out.legal_mask
+        self._last_reason = out.term_reason
 
         done = out.terminated | out.truncated
+        for i in range(self.num_envs):
+            self._move_history[i].append(move_usi(int(spatial[i]), int(pre_stm[i])))
+            if done[i]:
+                self._move_history[i] = []
         n_done = int(done.sum())
         if n_done:
             self.episodes_completed += n_done
@@ -312,3 +327,21 @@ class VecEnv:
         hands = np.asarray(self._states.hands[i])
         stm = int(self._states.stm[i])
         return to_sfen(board, hands, stm)
+
+    def get_spectator_data(self) -> list[dict]:
+        """Reference-format spectator dicts for every env
+        (vec_env.rs:846-882 / spectator_data.rs:190-233). States are
+        post-auto-reset, so `is_over` reflects the fresh game (False)."""
+        boards = np.asarray(self._states.board)
+        hands = np.asarray(self._states.hands)
+        stms = np.asarray(self._states.stm)
+        plys = np.asarray(self._states.ply)
+        checks = np.asarray(self._states.in_check)
+        return [
+            build_spectator_dict(
+                boards[i], hands[i], int(stms[i]), int(plys[i]),
+                reason=TY.NOT_TERMINATED, winner=-1, in_check=bool(checks[i]),
+                move_history=self._move_history[i],
+            )
+            for i in range(self.num_envs)
+        ]

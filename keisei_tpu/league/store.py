@@ -1,0 +1,501 @@
+"""OpponentStore: SQLite-backed pool of frozen model snapshots.
+
+The league's source of truth (reference: keisei/training/opponent_store.py).
+Each entry is a row in `league_entries` plus a per-entry directory under
+`league_dir/<id>/` holding the model variables (Orbax) and, for Dynamic
+entries, a persisted optimizer state so online training continues across
+process restarts (opponent_store.py:1206-1301).
+
+Deltas from the reference: weights are JAX pytrees (params + batch_stats)
+saved via Orbax instead of torch state dicts; the nested-transaction
+machinery collapses — every mutation here is one SQLite transaction with
+the filesystem write done FIRST, so a crash leaves at worst an orphan
+directory, never a DB row without weights (the reference needed an FS-op
+rollback registry, opponent_store.py:436-509).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import os
+import shutil
+import threading
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+from .. import db
+from ..db import core as dbcore
+from ..db.league_tables import bump_head_to_head
+
+logger = logging.getLogger(__name__)
+
+
+class Role:
+    """Entry roles (reference opponent_store.py:27-31)."""
+
+    FRONTIER_STATIC = "frontier_static"
+    RECENT_FIXED = "recent_fixed"
+    DYNAMIC = "dynamic"
+    UNASSIGNED = "unassigned"
+
+    ALL = (FRONTIER_STATIC, RECENT_FIXED, DYNAMIC, UNASSIGNED)
+    ELO_COLUMN = {
+        FRONTIER_STATIC: "elo_frontier",
+        RECENT_FIXED: "elo_recent",
+        DYNAMIC: "elo_dynamic",
+    }
+
+
+class EntryStatus:
+    ACTIVE = "active"
+    RETIRED = "retired"
+
+
+# Themed display names: deterministic per entry id (the reference draws from
+# a 500-name pool with flavour facts, opponent_store.py:58-236; the exact
+# names are cosmetic, the determinism is the behavior that matters).
+_NAME_STEMS = (
+    "Musashi", "Kotetsu", "Habu", "Tsume", "Anaguma", "Yagura", "Mino",
+    "Kakugawari", "Ibisha", "Furibisha", "Tesuji", "Sabaki", "Atsumi",
+    "Karui", "Osho", "Ryuo", "Kisei", "Meijin", "Oi", "Kio", "Tenryu",
+    "Ginga", "Raiden", "Fujin", "Suisei", "Kagero", "Shiden", "Akatsuki",
+    "Hayabusa", "Tsubame", "Arashi", "Kaminari", "Tsunami", "Sakura",
+    "Momiji", "Fubuki", "Tsukikage", "Hoshizora", "Yamabiko", "Umineko",
+)
+_NAME_TITLES = (
+    "the Patient", "the Sharp", "of the North", "the Wall", "Stormcaller",
+    "the Quiet", "Edgewalker", "the Relentless", "of Nine Files",
+    "the Unmoved", "Dragonside", "the Swift", "Ironhand", "Longsight",
+)
+
+
+def display_name_for(entry_id: int) -> str:
+    stem = _NAME_STEMS[entry_id % len(_NAME_STEMS)]
+    title = _NAME_TITLES[(entry_id // len(_NAME_STEMS)) % len(_NAME_TITLES)]
+    return f"{stem} {title}"
+
+
+def flavour_facts_for(entry_id: int, created_epoch: int) -> list[list[str]]:
+    styles = ("aggressive openings", "patient endgames", "drop-heavy play",
+              "castle-first strategy", "edge-pawn storms", "central control")
+    return [
+        ["Signature", styles[entry_id % len(styles)]],
+        ["Hatched", f"epoch {created_epoch}"],
+    ]
+
+
+def compute_elo_update(
+    rating_a: float, rating_b: float, result: float, k: float = 32.0
+) -> tuple[float, float]:
+    """Standard Elo; result is A's score in [0, 1]
+    (opponent_store.py:308-331)."""
+    expected_a = 1.0 / (1.0 + 10.0 ** ((rating_b - rating_a) / 400.0))
+    new_a = rating_a + k * (result - expected_a)
+    new_b = rating_b + k * ((1.0 - result) - (1.0 - expected_a))
+    return new_a, new_b
+
+
+def _now() -> str:
+    return datetime.datetime.now(datetime.UTC).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+@dataclass
+class OpponentEntry:
+    """Frozen snapshot metadata (reference opponent_store.py:240-305)."""
+
+    id: int
+    display_name: str
+    architecture: str
+    model_params: dict[str, Any]
+    checkpoint_path: str
+    elo_rating: float
+    created_epoch: int
+    games_played: int
+    created_at: str
+    flavour_facts: list = field(default_factory=list)
+    role: str = Role.UNASSIGNED
+    status: str = EntryStatus.ACTIVE
+    parent_entry_id: int | None = None
+    lineage_group: str | None = None
+    protection_remaining: int = 0
+    last_match_at: str | None = None
+    elo_frontier: float = 1000.0
+    elo_dynamic: float = 1000.0
+    elo_recent: float = 1000.0
+    elo_historical: float = 1000.0
+    optimizer_path: str | None = None
+    update_count: int = 0
+    last_train_at: str | None = None
+    retired_at: str | None = None
+    training_enabled: bool = True
+    games_vs_frontier: int = 0
+    games_vs_dynamic: int = 0
+    games_vs_recent: int = 0
+
+    @classmethod
+    def from_row(cls, row: dict[str, Any]) -> OpponentEntry:
+        return cls(
+            id=row["id"],
+            display_name=row["display_name"],
+            architecture=row["architecture"],
+            model_params=json.loads(row["model_params"])
+            if isinstance(row["model_params"], str) else row["model_params"],
+            checkpoint_path=row["checkpoint_path"],
+            elo_rating=row["elo_rating"],
+            created_epoch=row["created_epoch"],
+            games_played=row["games_played"],
+            created_at=row["created_at"],
+            flavour_facts=json.loads(row["flavour_facts"])
+            if isinstance(row.get("flavour_facts"), str) else row.get("flavour_facts", []),
+            role=row["role"],
+            status=row["status"],
+            parent_entry_id=row["parent_entry_id"],
+            lineage_group=row["lineage_group"],
+            protection_remaining=row["protection_remaining"],
+            last_match_at=row["last_match_at"],
+            elo_frontier=row["elo_frontier"],
+            elo_dynamic=row["elo_dynamic"],
+            elo_recent=row["elo_recent"],
+            elo_historical=row["elo_historical"],
+            optimizer_path=row["optimizer_path"],
+            update_count=row["update_count"],
+            last_train_at=row["last_train_at"],
+            retired_at=row["retired_at"],
+            training_enabled=bool(row["training_enabled"]),
+            games_vs_frontier=row["games_vs_frontier"],
+            games_vs_dynamic=row["games_vs_dynamic"],
+            games_vs_recent=row["games_vs_recent"],
+        )
+
+    def role_elo(self, role: str) -> float:
+        return {
+            Role.FRONTIER_STATIC: self.elo_frontier,
+            Role.RECENT_FIXED: self.elo_recent,
+            Role.DYNAMIC: self.elo_dynamic,
+        }.get(role, self.elo_rating)
+
+
+class OpponentStore:
+    """Thread-safe snapshot pool over the shared observability DB."""
+
+    def __init__(self, db_path: str, league_dir: str, cache_size: int = 4):
+        self.db_path = db_path
+        self.league_dir = os.path.abspath(league_dir)
+        os.makedirs(self.league_dir, exist_ok=True)
+        db.init_db(db_path)
+        self._lock = threading.RLock()
+        self._cache: OrderedDict[tuple[int, int], Any] = OrderedDict()
+        self._cache_size = cache_size
+
+    # -- weights io ------------------------------------------------------------
+
+    def _entry_dir(self, entry_id: int) -> str:
+        return os.path.join(self.league_dir, str(entry_id))
+
+    def _save_variables(self, path: str, variables: dict) -> None:
+        ocp.PyTreeCheckpointer().save(path, variables, force=True)
+
+    def load_variables(self, entry: OpponentEntry, template: dict | None = None):
+        """Model variables ({params, batch_stats}) for an entry."""
+        ckptr = ocp.PyTreeCheckpointer()
+        return ckptr.restore(entry.checkpoint_path, item=template)
+
+    def load_variables_cached(self, entry: OpponentEntry, template: dict | None = None):
+        """LRU-cached variables keyed by (id, update_count) so retrained
+        Dynamic entries are re-read (opponent_store.py:909-930)."""
+        key = (entry.id, entry.update_count)
+        with self._lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
+        variables = self.load_variables(entry, template)
+        with self._lock:
+            self._cache[key] = variables
+            while len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+        return variables
+
+    def save_optimizer(self, entry_id: int, opt_state) -> str:
+        path = os.path.join(self._entry_dir(entry_id), "optimizer")
+        ocp.PyTreeCheckpointer().save(path, opt_state, force=True)
+        dbcore.execute(
+            self.db_path,
+            "UPDATE league_entries SET optimizer_path = ? WHERE id = ?",
+            (path, entry_id),
+        )
+        return path
+
+    def load_optimizer(self, entry: OpponentEntry, template=None):
+        if not entry.optimizer_path or not os.path.isdir(entry.optimizer_path):
+            return None
+        return ocp.PyTreeCheckpointer().restore(entry.optimizer_path, item=template)
+
+    # -- entry lifecycle ---------------------------------------------------------
+
+    def add_entry(
+        self,
+        variables: dict,
+        *,
+        architecture: str,
+        model_params: dict,
+        created_epoch: int,
+        role: str = Role.UNASSIGNED,
+        parent_entry_id: int | None = None,
+        lineage_group: str | None = None,
+        protection_remaining: int = 0,
+        elo_rating: float = 1000.0,
+    ) -> OpponentEntry:
+        """Snapshot `variables` into the pool. Weights land on disk before
+        the row commits."""
+        with self._lock:
+            conn = db.connect(self.db_path)
+            try:
+                conn.execute("BEGIN IMMEDIATE")
+                cur = conn.execute(
+                    "INSERT INTO league_entries (display_name, architecture, "
+                    "model_params, checkpoint_path, elo_rating, created_epoch, "
+                    "role, status, parent_entry_id, lineage_group, "
+                    "protection_remaining, flavour_facts) "
+                    "VALUES ('', ?, ?, '', ?, ?, ?, 'active', ?, ?, ?, '[]')",
+                    (architecture, json.dumps(model_params), elo_rating,
+                     created_epoch, role, parent_entry_id, lineage_group,
+                     protection_remaining),
+                )
+                entry_id = int(cur.lastrowid)
+                weights_path = os.path.join(self._entry_dir(entry_id), "weights")
+                self._save_variables(weights_path, variables)
+                name = display_name_for(entry_id)
+                facts = flavour_facts_for(entry_id, created_epoch)
+                lineage = lineage_group or f"L{entry_id}"
+                conn.execute(
+                    "UPDATE league_entries SET checkpoint_path = ?, "
+                    "display_name = ?, flavour_facts = ?, lineage_group = ? "
+                    "WHERE id = ?",
+                    (weights_path, name, json.dumps(facts), lineage, entry_id),
+                )
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                shutil.rmtree(self._entry_dir(entry_id), ignore_errors=True)
+                raise
+            finally:
+                conn.close()
+        logger.info("league: added entry %d (%s) role=%s", entry_id, name, role)
+        return self.get_entry(entry_id)
+
+    def clone_entry(self, source_id: int, *, role: str, created_epoch: int,
+                    protection_remaining: int = 0) -> OpponentEntry:
+        """Copy weights into a fresh entry (Dynamic promotion path,
+        tier_managers.py DynamicManager.admit)."""
+        src = self.get_entry(source_id)
+        variables = self.load_variables(src)
+        return self.add_entry(
+            variables,
+            architecture=src.architecture,
+            model_params=src.model_params,
+            created_epoch=created_epoch,
+            role=role,
+            parent_entry_id=source_id,
+            lineage_group=src.lineage_group,
+            protection_remaining=protection_remaining,
+            elo_rating=src.elo_rating,
+        )
+
+    def get_entry(self, entry_id: int) -> OpponentEntry:
+        row = dbcore.fetch_one(
+            self.db_path, "SELECT * FROM league_entries WHERE id = ?", (entry_id,)
+        )
+        if row is None:
+            raise KeyError(f"no league entry with id {entry_id}")
+        return OpponentEntry.from_row(row)
+
+    def list_entries(
+        self, role: str | None = None, status: str = EntryStatus.ACTIVE
+    ) -> list[OpponentEntry]:
+        sql = "SELECT * FROM league_entries WHERE status = ?"
+        params: list[Any] = [status]
+        if role is not None:
+            sql += " AND role = ?"
+            params.append(role)
+        sql += " ORDER BY elo_rating DESC"
+        return [OpponentEntry.from_row(r)
+                for r in dbcore.fetch_all(self.db_path, sql, tuple(params))]
+
+    def update_role(self, entry_id: int, role: str, reason: str = "") -> None:
+        with self._lock:
+            old = self.get_entry(entry_id)
+            dbcore.execute(
+                self.db_path, "UPDATE league_entries SET role = ? WHERE id = ?",
+                (role, entry_id),
+            )
+            db.write_transition(
+                self.db_path, entry_id, from_role=old.role, to_role=role,
+                reason=reason,
+            )
+
+    def retire_entry(self, entry_id: int, reason: str = "") -> None:
+        with self._lock:
+            old = self.get_entry(entry_id)
+            dbcore.execute(
+                self.db_path,
+                "UPDATE league_entries SET status = 'retired', retired_at = ? "
+                "WHERE id = ?",
+                (_now(), entry_id),
+            )
+            db.write_transition(
+                self.db_path, entry_id, from_status=old.status,
+                to_status=EntryStatus.RETIRED, reason=reason,
+            )
+
+    def set_protection(self, entry_id: int, remaining: int) -> None:
+        dbcore.execute(
+            self.db_path,
+            "UPDATE league_entries SET protection_remaining = ? WHERE id = ?",
+            (remaining, entry_id),
+        )
+
+    def set_training_enabled(self, entry_id: int, enabled: bool) -> None:
+        dbcore.execute(
+            self.db_path,
+            "UPDATE league_entries SET training_enabled = ? WHERE id = ?",
+            (int(enabled), entry_id),
+        )
+
+    def bump_update_count(self, entry_id: int) -> None:
+        dbcore.execute(
+            self.db_path,
+            "UPDATE league_entries SET update_count = update_count + 1, "
+            "last_train_at = ? WHERE id = ?",
+            (_now(), entry_id),
+        )
+
+    def update_weights(self, entry_id: int, variables: dict) -> None:
+        """Overwrite a Dynamic entry's weights after online training."""
+        entry = self.get_entry(entry_id)
+        self._save_variables(entry.checkpoint_path, variables)
+        self.bump_update_count(entry_id)
+
+    # -- results + Elo -----------------------------------------------------------
+
+    def record_result(
+        self,
+        entry_a_id: int,
+        entry_b_id: int,
+        *,
+        epoch: int,
+        wins_a: int,
+        wins_b: int,
+        draws: int,
+        match_type: str = "tournament",
+        k: float = 32.0,
+        role_elo_k: dict[str, float] | None = None,
+    ) -> tuple[float, float]:
+        """One transaction: league_results row + composite Elo (majority
+        score) + per-role Elo + game counters + head_to_head
+        (reference tournament.py:352-467 'majority-wins Elo').
+
+        Returns the new composite ratings (a, b).
+        """
+        games = wins_a + wins_b + draws
+        if games == 0:
+            raise ValueError("record_result with zero games")
+        majority = 1.0 if wins_a > wins_b else (0.0 if wins_b > wins_a else 0.5)
+        with self._lock:
+            conn = db.connect(self.db_path)
+            try:
+                conn.execute("BEGIN IMMEDIATE")
+                row_a = conn.execute(
+                    "SELECT * FROM league_entries WHERE id = ?", (entry_a_id,)
+                ).fetchone()
+                row_b = conn.execute(
+                    "SELECT * FROM league_entries WHERE id = ?", (entry_b_id,)
+                ).fetchone()
+                a, b = OpponentEntry.from_row(dict(row_a)), OpponentEntry.from_row(dict(row_b))
+                new_a, new_b = compute_elo_update(a.elo_rating, b.elo_rating, majority, k)
+                conn.execute(
+                    "INSERT INTO league_results (epoch, entry_a_id, entry_b_id, "
+                    "match_type, role_a, role_b, num_games, wins_a, wins_b, draws, "
+                    "elo_before_a, elo_after_a, elo_before_b, elo_after_b) "
+                    "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?, ?)",
+                    (epoch, entry_a_id, entry_b_id, match_type, a.role, b.role,
+                     games, wins_a, wins_b, draws,
+                     a.elo_rating, new_a, b.elo_rating, new_b),
+                )
+                now = _now()
+                for eid, new_elo, opp_role, n_games in (
+                    (entry_a_id, new_a, b.role, games),
+                    (entry_b_id, new_b, a.role, games),
+                ):
+                    counter = {
+                        Role.FRONTIER_STATIC: "games_vs_frontier",
+                        Role.DYNAMIC: "games_vs_dynamic",
+                        Role.RECENT_FIXED: "games_vs_recent",
+                    }.get(opp_role)
+                    extra = f", {counter} = {counter} + {n_games}" if counter else ""
+                    conn.execute(
+                        f"UPDATE league_entries SET elo_rating = ?, "
+                        f"games_played = games_played + ?, last_match_at = ?, "
+                        f"protection_remaining = MAX(protection_remaining - 1, 0)"
+                        f"{extra} WHERE id = ?",
+                        (new_elo, n_games, now, eid),
+                    )
+                # per-role Elo columns with per-context K factors
+                # (role_elo.py:31-146; frontier 16 / dynamic 24 / recent 32)
+                rk = role_elo_k or {Role.FRONTIER_STATIC: 16.0,
+                                    Role.DYNAMIC: 24.0, Role.RECENT_FIXED: 32.0}
+                for ent, opp, score in ((a, b, majority), (b, a, 1.0 - majority)):
+                    col = Role.ELO_COLUMN.get(opp.role)
+                    if col is None:
+                        continue
+                    cur_elo = getattr(ent, col)
+                    opp_elo = opp.role_elo(ent.role)
+                    upd, _ = compute_elo_update(
+                        cur_elo, opp_elo, score, rk.get(opp.role, k)
+                    )
+                    conn.execute(
+                        f"UPDATE league_entries SET {col} = ? WHERE id = ?",
+                        (upd, ent.id),
+                    )
+                bump_head_to_head(
+                    conn, entry_a_id, entry_b_id, wins_a, wins_b, draws, epoch
+                )
+                for eid, elo in ((entry_a_id, new_a), (entry_b_id, new_b)):
+                    conn.execute(
+                        "INSERT INTO elo_history (entry_id, epoch, elo_rating) "
+                        "VALUES (?, ?, ?)", (eid, epoch, elo),
+                    )
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
+            finally:
+                conn.close()
+        return new_a, new_b
+
+    def carry_forward_elo(self, epoch: int) -> None:
+        """Re-stamp every active entry's current Elo at this epoch so the
+        dashboard chart has no gaps (opponent_store.py:1006+)."""
+        conn = db.connect(self.db_path)
+        try:
+            conn.execute("BEGIN")
+            conn.execute(
+                "INSERT INTO elo_history (entry_id, epoch, elo_rating) "
+                "SELECT id, ?, elo_rating FROM league_entries "
+                "WHERE status = 'active'",
+                (epoch,),
+            )
+            conn.commit()
+        finally:
+            conn.close()
+
+    def pool_size(self) -> int:
+        row = dbcore.fetch_one(
+            self.db_path,
+            "SELECT COUNT(*) AS n FROM league_entries WHERE status = 'active'",
+        )
+        return row["n"] if row else 0

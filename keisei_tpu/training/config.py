@@ -77,7 +77,7 @@ class TrainingConfig:
 @dataclass(frozen=True)
 class DisplayConfig:
     moves_per_minute: int = 30
-    db_path: str = "data/keisei.db"
+    db_path: str = ""  # empty = observability DB disabled
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,53 @@ def compute_gae(
     return adv
 
 
+def compute_gae_masked(
+    rewards: jax.Array,  # (T, N)
+    values: jax.Array,  # (T, N)
+    dones: jax.Array,  # (T, N) bool — episode boundaries cut the chain
+    valid: jax.Array,  # (T, N) bool — False slots are skipped entirely
+    next_value: jax.Array,  # (N,)
+    gamma: float,
+    lam: float,
+    next_value_override: jax.Array | None = None,  # (T, N), NaN = default
+) -> jax.Array:
+    """GAE over a sparsely-valid (T, N) grid.
+
+    The TPU-native replacement for the reference's per-env padded GAE
+    (keisei/training/gae.py:76-148, katago_ppo.py:698-763): league-mode
+    learner transitions occupy only the slots where a learner move was
+    finalized; invalid slots pass the (advantage, next_value) carries
+    through unchanged, so each env's valid slots chain together exactly
+    like a compacted variable-length sequence. Chain and bootstrap cut at
+    `dones` (the reference's padded path uses done as the boundary).
+    """
+    rewards = jax.lax.stop_gradient(rewards.astype(jnp.float32))
+    values = jax.lax.stop_gradient(values.astype(jnp.float32))
+    not_done = 1.0 - dones.astype(jnp.float32)
+    valid = valid.astype(bool)
+    if next_value_override is None:
+        ov = jnp.full_like(rewards, jnp.nan)
+    else:
+        ov = jax.lax.stop_gradient(next_value_override.astype(jnp.float32))
+
+    def scan_fn(carry, x):
+        gae_c, nv_c = carry
+        r, v, nd, vld, o = x
+        nv = jnp.where(jnp.isnan(o), nv_c, o)
+        delta = r + gamma * nv * nd - v
+        gae = delta + gamma * lam * nd * gae_c
+        adv = jnp.where(vld, gae, 0.0)
+        gae_c = jnp.where(vld, gae, gae_c)
+        nv_c = jnp.where(vld, v, nv_c)
+        return (gae_c, nv_c), adv
+
+    init = (jnp.zeros_like(next_value, jnp.float32), next_value.astype(jnp.float32))
+    _, adv = jax.lax.scan(
+        scan_fn, init, (rewards, values, not_done, valid, ov), reverse=True
+    )
+    return adv
+
+
 def alternating_perspective_overrides(
     values: jax.Array,  # (T, N)
     terminated: jax.Array,  # (T, N)

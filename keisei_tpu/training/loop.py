@@ -36,6 +36,7 @@ from .ppo import (
     make_ppo_update,
     set_learning_rate,
 )
+from .observability import TrainingObserver
 from .rollout import make_selfplay_rollout
 from .value_adapter import get_value_adapter
 
@@ -90,9 +91,10 @@ class EpochMetrics:
 class SelfPlayTrainer:
     """No-league self-play trainer (league multiplexing lands separately)."""
 
-    def __init__(self, config: Config, metrics_sink=None):
+    def __init__(self, config: Config, metrics_sink=None, observer=None):
         self.config = config
         self.metrics_sink = metrics_sink or (lambda m: None)
+        self.observer = observer or TrainingObserver(config.display.db_path)
         tc = config.training
 
         self.num_channels = 46 if tc.observation_mode == "default" else 50
@@ -218,7 +220,10 @@ class SelfPlayTrainer:
             epoch=self.epoch,
             architecture=self.config.model.architecture,
             rng_key=self.rng,
-            extra_meta={"learning_rate": get_learning_rate(self.state.opt_state)},
+            extra_meta={
+                "learning_rate": get_learning_rate(self.state.opt_state),
+                "model_params": dict(self.config.model.params),
+            },
         )
         return path
 
@@ -229,6 +234,7 @@ class SelfPlayTrainer:
         self.rng, k_roll, k_upd = jax.random.split(self.rng, 3)
 
         t0 = time.monotonic()
+        self.observer.heartbeat(self.epoch, self.epoch * self.T, "rollout")
         carry, traj, next_value, stats = self._rollout(
             self._variables(), *self.env_carry, k_roll
         )
@@ -237,6 +243,7 @@ class SelfPlayTrainer:
         stats = jax.tree.map(int, jax.device_get(stats))
         t1 = time.monotonic()
 
+        self.observer.heartbeat(self.epoch, self.epoch * self.T, "update")
         entropy_coeff = entropy_coeff_schedule(
             self.config.algorithm_params, self.epoch,
             tc.entropy_warmup_epochs, tc.entropy_warmup_coeff,
@@ -278,13 +285,17 @@ class SelfPlayTrainer:
             update_time=t2 - t1,
         )
         self.metrics_sink(em.as_dict())
+        ckpt = None
         if self.epoch % tc.checkpoint_interval == 0:
-            self.save()
+            ckpt = self.save()
+        self.observer.on_epoch(em.as_dict(), self.epoch * self.T, ckpt)
+        self.observer.snapshot_envs(env_states)
         return em
 
     def run(self, num_epochs: int | None = None):
         n = num_epochs or self.config.run.default_epochs
         target = self.epoch + n
+        self.observer.on_start(self.config, total_epochs=target)
         while self.epoch < target:
             em = self.run_epoch()
             steps = self.T * self.config.training.num_games
@@ -297,6 +308,7 @@ class SelfPlayTrainer:
                 em.rollout_time, sps, em.update_time,
             )
         self.save()
+        self.observer.on_stop("stopped")
 
 
 def main(argv=None):

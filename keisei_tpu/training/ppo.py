@@ -88,6 +88,9 @@ class Trajectory:
     value_cats: jax.Array  # (T, N) i32: -1 ignore / 0 W / 1 D / 2 L
     score_targets: jax.Array  # (T, N) f32 (normalized)
     next_value_override: jax.Array  # (T, N) f32, NaN = default bootstrap
+    # League mode only: False slots hold no learner transition (split-merge
+    # finalization is sparse in time). None = every slot valid (self-play).
+    valid: jax.Array | None = None
 
 
 def make_optimizer(cfg: KataGoPPOParams):
@@ -138,21 +141,29 @@ def make_ppo_update(model, adapter, cfg: KataGoPPOParams, optimizer):
         logp_all = masked_log_softmax(flat, mb["legal_masks"])
         new_logp = jnp.take_along_axis(logp_all, mb["actions"][:, None], axis=1)[:, 0]
 
+        # sample weights: 1 everywhere in self-play; 0 for the empty
+        # split-merge slots in league mode
+        w = mb.get("weights")
+        if w is None:
+            w = jnp.ones((B,), jnp.float32)
+        w_sum = jnp.maximum(w.sum(), 1.0)
+
         ratio = jnp.exp(new_logp - mb["old_log_probs"])
         adv = mb["advantages"]
         surr1 = ratio * adv
         surr2 = jnp.clip(ratio, 1 - cfg.clip_epsilon, 1 + cfg.clip_epsilon) * adv
-        policy_loss = -jnp.minimum(surr1, surr2).mean()
+        policy_loss = -(jnp.minimum(surr1, surr2) * w).sum() / w_sum
 
         probs = jnp.exp(logp_all)
         safe_logp = jnp.where(mb["legal_masks"], logp_all, 0.0)
-        entropy = -(probs * safe_logp).sum(axis=-1).mean()
+        entropy = ((-(probs * safe_logp).sum(axis=-1)) * w).sum() / w_sum
 
         value_score_loss, score_loss = adapter.value_loss(
             out,
             returns=mb["returns"],
             value_cats=mb["value_cats"],
             score_targets=mb["score_targets"],
+            sample_weight=w,
         )
 
         loss = cfg.lambda_policy * policy_loss + value_score_loss - entropy_coeff * entropy
@@ -186,14 +197,32 @@ def make_ppo_update(model, adapter, cfg: KataGoPPOParams, optimizer):
         T, N = traj.rewards.shape
         S = T * N
 
-        terminated = traj.terminated if cfg.use_terminated_for_gae else traj.dones
-        advantages = compute_gae(
-            traj.rewards, traj.values, terminated, next_value,
-            cfg.gamma, cfg.gae_lambda, traj.next_value_override,
-        )
+        if traj.valid is not None:
+            # league split-merge: sparse learner slots, done-bounded chains
+            from .gae import compute_gae_masked
+
+            advantages = compute_gae_masked(
+                traj.rewards, traj.values, traj.dones, traj.valid, next_value,
+                cfg.gamma, cfg.gae_lambda, traj.next_value_override,
+            )
+            weights = traj.valid.reshape(S).astype(jnp.float32)
+        else:
+            terminated = traj.terminated if cfg.use_terminated_for_gae else traj.dones
+            advantages = compute_gae(
+                traj.rewards, traj.values, terminated, next_value,
+                cfg.gamma, cfg.gae_lambda, traj.next_value_override,
+            )
+            weights = None
         returns = advantages + traj.values
         adv_flat = advantages.reshape(S)
-        adv_flat = (adv_flat - adv_flat.mean()) / (adv_flat.std() + 1e-8)
+        if weights is None:
+            adv_flat = (adv_flat - adv_flat.mean()) / (adv_flat.std() + 1e-8)
+        else:
+            n_v = jnp.maximum(weights.sum(), 1.0)
+            mean = (adv_flat * weights).sum() / n_v
+            var = (((adv_flat - mean) ** 2) * weights).sum() / n_v
+            adv_flat = (adv_flat - mean) / (jnp.sqrt(var) + 1e-8)
+            adv_flat = adv_flat * weights  # invalid slots contribute nothing
 
         data = {
             "obs": traj.obs.reshape(S, *traj.obs.shape[2:]),
@@ -205,6 +234,8 @@ def make_ppo_update(model, adapter, cfg: KataGoPPOParams, optimizer):
             "value_cats": traj.value_cats.reshape(S),
             "score_targets": traj.score_targets.reshape(S),
         }
+        if weights is not None:
+            data["weights"] = weights
 
         n_mb = S // cfg.batch_size
         carry = (state.params, state.batch_stats, state.opt_state)

@@ -29,9 +29,14 @@ class ScalarValueAdapter:
     def scalar_value_blended(self, out: ScalarOutput) -> jax.Array:
         return self.scalar_value(out)
 
-    def value_loss(self, out: ScalarOutput, *, returns, value_cats, score_targets):
+    def value_loss(self, out: ScalarOutput, *, returns, value_cats, score_targets,
+                   sample_weight=None):
         del value_cats, score_targets
-        return jnp.mean((out.value[:, 0] - returns) ** 2), jnp.float32(0.0)
+        sq = (out.value[:, 0] - returns) ** 2
+        if sample_weight is None:
+            return jnp.mean(sq), jnp.float32(0.0)
+        w_sum = jnp.maximum(sample_weight.sum(), 1.0)
+        return (sq * sample_weight).sum() / w_sum, jnp.float32(0.0)
 
 
 @dataclass(frozen=True)
@@ -59,19 +64,26 @@ class MultiHeadValueAdapter:
             v = (1.0 - self.score_blend_alpha) * v + self.score_blend_alpha * s
         return v
 
-    def value_loss(self, out: KataGoOutput, *, returns, value_cats, score_targets):
+    def value_loss(self, out: KataGoOutput, *, returns, value_cats, score_targets,
+                   sample_weight=None):
         """(weighted value+score loss, raw score loss) for metrics."""
         del returns
         logits = out.value_logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         valid = value_cats >= 0
+        if sample_weight is not None:
+            valid = valid & (sample_weight > 0)
         cats = jnp.maximum(value_cats, 0)
         ce = -jnp.take_along_axis(logp, cats[:, None], axis=1)[:, 0]
         n_valid = valid.sum()
         wdl = jnp.where(valid, ce, 0.0).sum() / jnp.maximum(n_valid, 1)
         # graph-connected zero when no labels (katago_ppo.py:46-57)
         wdl = jnp.where(n_valid > 0, wdl, logits.sum() * 0.0)
-        score = jnp.mean((out.score_lead[:, 0].astype(jnp.float32) - score_targets) ** 2)
+        sq = (out.score_lead[:, 0].astype(jnp.float32) - score_targets) ** 2
+        if sample_weight is None:
+            score = jnp.mean(sq)
+        else:
+            score = (sq * sample_weight).sum() / jnp.maximum(sample_weight.sum(), 1.0)
         return self.lambda_value * wdl + self.lambda_score * score, score
 
 

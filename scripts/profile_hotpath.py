@@ -69,18 +69,21 @@ def section_model(batches, repeats, results):
         def make_program(T, N=N):
             @jax.jit
             def run(variables, obs, masks, rng):
+                # obs must be carried and loop-DEPENDENT, else XLA hoists the
+                # forward out of the scan and the measurement is meaningless.
                 def body(carry, _):
-                    rng, acc = carry
+                    obs, rng, acc = carry
                     rng, k = jax.random.split(rng)
                     out = model.apply(variables, obs, train=False)
                     flat = out.policy_logits.reshape(N, -1).astype(jnp.float32)
                     masked = jnp.where(masks, flat, -1e9)
                     actions = jax.random.categorical(k, masked, axis=-1)
                     v = adapter.scalar_value_blended(out)
-                    return (rng, acc + actions.sum() + v.sum().astype(jnp.int64)), None
+                    obs = obs + (v.mean() * 1e-6)
+                    return (obs, rng, acc + actions.sum() + v.sum().astype(jnp.int64)), None
 
-                (rng, acc), _ = jax.lax.scan(
-                    body, (rng, jnp.int64(0)), None, length=T
+                (obs, rng, acc), _ = jax.lax.scan(
+                    body, (obs, rng, jnp.int64(0)), None, length=T
                 )
                 return acc
 

@@ -1,0 +1,168 @@
+"""Split-merge league rollout: masked GAE, pending-transition protocol.
+
+Acceptance fixtures modeled on the reference's split-merge/reward
+attribution regression tests (tests/test_split_merge*.py,
+test_reward_attribution.py): perspective sign conventions, finalize
+timing, and sparse-slot GAE equivalence to a compacted dense sequence.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keisei_tpu.env.vec_env import EnvCore
+from keisei_tpu.models.registry import build_model
+from keisei_tpu.training.gae import compute_gae, compute_gae_masked
+from keisei_tpu.training.league_rollout import (
+    make_league_rollout,
+    stack_opponent_variables,
+)
+from keisei_tpu.training.ppo import KataGoPPOParams, TrainState, make_optimizer, make_ppo_update
+from keisei_tpu.training.value_adapter import get_value_adapter
+
+
+class TestMaskedGAE:
+    def test_dense_valid_equals_compute_gae(self):
+        rng = np.random.default_rng(0)
+        T, N = 12, 3
+        rewards = rng.normal(size=(T, N)).astype(np.float32)
+        values = rng.normal(size=(T, N)).astype(np.float32)
+        dones = rng.random((T, N)) < 0.15
+        nv = rng.normal(size=N).astype(np.float32)
+        a1 = compute_gae_masked(
+            jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+            jnp.ones((T, N), bool), jnp.asarray(nv), 0.99, 0.95,
+        )
+        a2 = compute_gae(
+            jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+            jnp.asarray(nv), 0.99, 0.95,
+        )
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-5)
+
+    def test_sparse_equals_compacted_dense(self):
+        """Sparse (T, 1) grid == dense GAE on the compacted sequence."""
+        rng = np.random.default_rng(1)
+        T = 20
+        valid = rng.random(T) < 0.5
+        valid[0] = valid[-1] = True
+        rewards = np.where(valid, rng.normal(size=T), 0.0).astype(np.float32)
+        values = np.where(valid, rng.normal(size=T), 0.0).astype(np.float32)
+        dones = np.zeros(T, bool)
+        dones[np.flatnonzero(valid)[2]] = True  # one episode boundary
+        nv = np.float32(0.7)
+
+        sparse = compute_gae_masked(
+            jnp.asarray(rewards[:, None]), jnp.asarray(values[:, None]),
+            jnp.asarray(dones[:, None]), jnp.asarray(valid[:, None]),
+            jnp.asarray([nv]), 0.99, 0.95,
+        )
+        idx = np.flatnonzero(valid)
+        dense = compute_gae(
+            jnp.asarray(rewards[idx][:, None]), jnp.asarray(values[idx][:, None]),
+            jnp.asarray(dones[idx][:, None]), jnp.asarray([nv]), 0.99, 0.95,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sparse[:, 0])[idx], np.asarray(dense[:, 0]), rtol=1e-5
+        )
+        # invalid slots produce exactly zero advantage
+        assert (np.asarray(sparse[:, 0])[~valid] == 0).all()
+
+    def test_override_used_for_delta(self):
+        adv = compute_gae_masked(
+            jnp.asarray([[1.0]]), jnp.asarray([[0.5]]), jnp.asarray([[False]]),
+            jnp.asarray([[True]]), jnp.asarray([9.9]), 0.5, 1.0,
+            next_value_override=jnp.asarray([[2.0]]),
+        )
+        # delta = 1 + 0.5*2.0 - 0.5 = 1.5 (bootstrap 9.9 replaced by 2.0)
+        assert float(adv[0, 0]) == pytest.approx(1.5)
+
+
+def build_league(n=4, k=2, t=24, max_ply=48):
+    env_core = EnvCore(num_envs=n, max_ply=max_ply, num_channels=50)
+    model, _ = build_model("mlp", {"hidden_sizes": [16]})
+    adapter = get_value_adapter("scalar")
+    learner = model.init(
+        jax.random.key(0), jnp.zeros((1, 50, 9, 9), jnp.float32), train=False
+    )
+    opps = [
+        model.init(jax.random.key(i + 1), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                   train=False)
+        for i in range(k)
+    ]
+    rollout = jax.jit(make_league_rollout(env_core, model, adapter, t, k))
+    return env_core, model, adapter, learner, stack_opponent_variables(opps), rollout
+
+
+@pytest.mark.integration
+class TestLeagueRolloutProtocol:
+    def test_structure_and_signs(self):
+        n, k, t = 4, 2, 24
+        env_core, model, adapter, learner, opps, rollout = build_league(n, k, t)
+        env_states, obs, mask = env_core.init()
+        color = jnp.asarray([0, 1, 0, 1], jnp.int32)
+        carry, traj, next_value, stats = rollout(
+            learner, opps, env_states, obs, mask, color, jax.random.key(7)
+        )
+        valid = np.asarray(traj.valid)
+        assert valid.shape == (t + 1, n)
+        assert valid.any(), "no learner transitions finalized in 24 plies"
+
+        rewards = np.asarray(traj.rewards)
+        dones = np.asarray(traj.dones)
+        terminated = np.asarray(traj.terminated)
+        cats = np.asarray(traj.value_cats)
+
+        # invariants pinned by the reference protocol
+        assert (rewards[~valid] == 0).all()
+        assert not dones[~valid].any() and not terminated[~valid].any()
+        assert (cats[~valid] == -1).all()
+        # terminal learner transitions carry +-1/0; cats match reward signs
+        term_valid = terminated & valid
+        if term_valid.any():
+            r = rewards[term_valid]
+            assert set(np.unique(r)) <= {-1.0, 0.0, 1.0}
+            c = cats[term_valid]
+            assert ((r > 0) == (c == 0)).all() and ((r < 0) == (c == 2)).all()
+        # non-terminal finalized slots have untouched-by-terminal rewards 0
+        # (no shaping rewards exist in shogi) and cat ignore-index
+        nonterm_valid = valid & ~terminated & ~dones
+        assert (cats[nonterm_valid] == -1).all()
+
+        # roughly half the plies are learner moves; each gets finalized once
+        n_moves = valid.sum()
+        assert n_moves >= t * n * 0.25
+
+        assert np.isfinite(np.asarray(next_value)).all()
+        st = jax.tree.map(np.asarray, stats)
+        assert int(st.opp_wins.sum() + st.opp_losses.sum() + st.opp_draws.sum()) == int(
+            st.base.terminated
+        )
+
+    def test_update_trains_on_league_traj(self):
+        n, k, t = 4, 2, 16
+        env_core, model, adapter, learner, opps, rollout = build_league(n, k, t)
+        env_states, obs, mask = env_core.init()
+        color = jnp.zeros(n, jnp.int32)
+        carry, traj, next_value, stats = rollout(
+            learner, opps, env_states, obs, mask, color, jax.random.key(3)
+        )
+        cfg = KataGoPPOParams(batch_size=(t + 1) * n // 2, epochs_per_batch=1)
+        opt = make_optimizer(cfg)
+        state = TrainState(
+            params=learner["params"], batch_stats=learner.get("batch_stats", {}),
+            opt_state=opt.init(learner["params"]), step=jnp.int32(0),
+        )
+        update = jax.jit(make_ppo_update(model, adapter, cfg, opt))
+        new_state, metrics = update(state, traj, next_value, jax.random.key(4), 0.01)
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+        # params actually moved
+        moved = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree.leaves(state.params), jax.tree.leaves(new_state.params)
+            )
+        )
+        assert moved

@@ -123,6 +123,40 @@ class TestTrainerEndToEnd:
 
 
 @pytest.mark.integration
+class TestTrainerObservability:
+    def test_epoch_writes_db(self, tmp_path):
+        import copy
+
+        from keisei_tpu import db as kdb
+
+        raw = copy.deepcopy(TINY_RAW)
+        raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+        raw["display"] = {"db_path": str(tmp_path / "obs.db"), "moves_per_minute": 30}
+        cfg = config_from_dict(raw)
+        trainer = SelfPlayTrainer(cfg)
+        trainer.run(num_epochs=2)
+
+        db_path = cfg.display.db_path
+        st = kdb.read_training_state(db_path)
+        assert st is not None
+        assert st["model_arch"] == "mlp"
+        assert st["current_epoch"] == 2
+        assert st["status"] == "stopped"
+        assert st["total_epochs"] == 2
+
+        rows = kdb.read_metrics_since(db_path, 0)
+        assert len(rows) == 2
+        assert rows[0]["epoch"] == 1 and rows[1]["epoch"] == 2
+        assert rows[0]["policy_loss"] is not None
+        assert rows[0]["episodes_completed"] >= 0
+
+        snaps = kdb.read_game_snapshots(db_path)
+        assert len(snaps) == 4  # min(max_snapshot_games, num_games)
+        assert snaps[0]["sfen"]  # valid board state
+        assert snaps[0]["current_player"] in ("black", "white")
+
+
+@pytest.mark.integration
 class TestTrainerMesh:
     """SPMD data-parallel path over the 8 virtual CPU devices.
 
