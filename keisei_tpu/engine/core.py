@@ -55,6 +55,46 @@ SLIDE_OK0 = T.SLIDE_OK[:, 0, :]
 SLIDE_OK1 = T.SLIDE_OK[:, 1, :]
 OPP_DIR = np.array([(d + 4) % 8 for d in range(8)] + [8], dtype=np.int32)  # [-1] -> 8 guard
 
+# ---------------------------------------------------------------------------
+# Destination one-hot + per-destination constant masks.
+#
+# TPU XLA lowers gathers whose output is (N, 81, 8, 8) to effectively scalar
+# loops (~14 ms/step at N=256, the entire env budget). Every per-destination
+# lookup is therefore reformulated as ONE one-hot matmul against DEST_OH_T
+# (MXU work) plus constant (81, 8, 8) masks precomputed here.
+# Columns: 81*64 slide destinations then 81*2 knight destinations.
+# ---------------------------------------------------------------------------
+_N_SLIDE_COLS = 81 * 64
+_N_KNIGHT_COLS = 81 * 2
+N_DEST_COLS = _N_SLIDE_COLS + _N_KNIGHT_COLS
+
+
+def _build_dest_onehot() -> np.ndarray:
+    oh = np.zeros((81, N_DEST_COLS), dtype=np.float32)
+    dests = FROM_RAY.reshape(81 * 64)  # (s*64 + d*8 + k)
+    cols = np.arange(81 * 64)
+    ok = dests >= 0
+    oh[dests[ok], cols[ok]] = 1.0
+    kdests = T.KNIGHT_TO[0].reshape(81 * 2)
+    kcols = _N_SLIDE_COLS + np.arange(81 * 2)
+    kok = kdests >= 0
+    oh[kdests[kok], kcols[kok]] = 1.0
+    return oh
+
+
+DEST_OH_T = _build_dest_onehot()  # (81, 5346) f32
+
+# Constant per-destination masks (False at invalid destinations).
+_DEST_C = np.maximum(FROM_RAY, 0)
+ROW0_AT_DEST = (T.ROW_OF[_DEST_C] == 0) & FROM_RAY_VALID  # (81, 8, 8)
+ROW01_AT_DEST = (T.ROW_OF[_DEST_C] <= 1) & FROM_RAY_VALID
+ZONE_AT_DEST = T.IN_PROMO_ZONE[_DEST_C] & FROM_RAY_VALID
+_KDEST_C = np.maximum(T.KNIGHT_TO[0], 0)
+K_VALID = T.KNIGHT_TO[0] >= 0  # (81, 2)
+K_ROW01 = (T.ROW_OF[_KDEST_C] <= 1) & K_VALID
+K_ZONE = T.IN_PROMO_ZONE[_KDEST_C] & K_VALID
+MOVE_OK_FLAT = T.MOVE_OK.reshape(16, 64).astype(np.float32)  # (16, 64)
+
 # SLIDE_OK with a guard row for direction index 8 (= "unaligned").
 SLIDE_OK1_G = np.concatenate([SLIDE_OK1, np.zeros((16, 1), dtype=bool)], axis=1)
 SLIDE_OK0_G = np.concatenate([SLIDE_OK0, np.zeros((16, 1), dtype=bool)], axis=1)
@@ -220,35 +260,61 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     pinner_match = slide_t[:, pin_dir_s].T  # (81s, 81t)
     pin_t = same_dir & opp[None, :] & pinner_match & ~btw_occ
     pinned = own & (kind != TY.KING) & (d_ks >= 0) & king_to_s_clear & pin_t.any(axis=1)
-    # Pin line: between(king, t) plus t itself.
-    line_t = btw_from_king | jnp.eye(81, dtype=bool)  # (81t, 81) line cells for pinner t
-    pin_line = (pin_t.astype(jnp.float32) @ line_t.astype(jnp.float32)) > 0.5  # (81s, 81)
-    dest_pin_ok = jnp.where(pinned[:, None], pin_line, ones81[None, :])  # (81s, 81)
+    # A pinned piece's reachable destinations are legal iff they stay on the
+    # king ray through the piece: dir(ksq->t) == dir(ksq->s). (Equivalent to
+    # the reference's explicit between(king,pinner)+pinner line for every
+    # reachable t: squares beyond the pinner or behind the king are blocked
+    # by path_clear anyway, and a knight jump can never remain on the ray.)
+
+    # --- per-destination lookups as ONE one-hot matmul (MXU, no gathers) ---
+    # rows: empty / own / opp_att_x / nonking_allowed / (d_ks values + 1)
+    vecs = jnp.stack([
+        empty.astype(jnp.float32),
+        own.astype(jnp.float32),
+        opp_att_x.astype(jnp.float32),
+        nonking_allowed.astype(jnp.float32),
+        (d_ks + 1).astype(jnp.float32),  # 0 = unaligned; exact in f32
+    ])  # (5, 81)
+    at_dest = vecs @ jnp.asarray(DEST_OH_T)  # (5, 5346); invalid columns -> 0
+    slide_at = at_dest[:, :_N_SLIDE_COLS].reshape(5, 81, 8, 8)
+    knight_at = at_dest[:, _N_SLIDE_COLS:].reshape(5, 81, 2)
+    empty_at = slide_at[0] > 0.5
+    own_at = slide_at[1] > 0.5
+    att_at = slide_at[2] > 0.5
+    allow_at = slide_at[3] > 0.5
+    dks_at = slide_at[4]
 
     # --- slot 0-127: slide/step moves ---
-    dest = jnp.asarray(FROM_RAY_C)  # (81, 8, 8)
     valid = jnp.asarray(FROM_RAY_VALID)
-    empty_at = jnp.where(valid, empty[dest], False)
     blocked_before = jnp.cumsum(~empty_at, axis=-1)  # (81, 8, 8)
     path_clear = jnp.concatenate(
         [jnp.ones((81, 8, 1), bool), blocked_before[..., :-1] == 0], axis=-1
     )
-    move_cap = jnp.asarray(T.MOVE_OK)[kind]  # (81, 8, 8)
-    not_own_dest = jnp.where(valid, ~own[dest], False)
-    base = own[:, None, None] & move_cap & valid & path_clear & not_own_dest
+    # MOVE_OK[kind] without a gather: kind one-hot einsum (tiny matmul)
+    kind_oh_own = (kind_eq & own[None, :]).astype(jnp.float32)  # (16, 81)
+    move_cap = (
+        jnp.einsum("ks,km->sm", kind_oh_own, jnp.asarray(MOVE_OK_FLAT)) > 0.5
+    ).reshape(81, 8, 8)
+    base = move_cap & valid & path_clear & ~own_at  # own[s] folded into move_cap
 
     is_king_from = own & (kind == TY.KING)
-    king_dest_ok = ~opp_att_x[dest]
-    nk_dest_ok = nonking_allowed[dest] & jnp.take_along_axis(
-        dest_pin_ok, dest.reshape(81, 64), axis=1
-    ).reshape(81, 8, 8)
+    king_dest_ok = ~att_at
+    pin_ok_at = ~pinned[:, None, None] | (dks_at == (d_ks[:, None, None] + 1))
+    nk_dest_ok = allow_at & pin_ok_at
     legal_bd = base & jnp.where(is_king_from[:, None, None], king_dest_ok, nk_dest_ok)
 
-    must = jnp.asarray(T.MUST_PROMOTE_AT)[kind[:, None, None], dest]  # (81,8,8)
-    canp = jnp.asarray(T.CAN_PROMOTE_KIND)[kind]  # (81,)
+    # forced/optional promotion from constant per-destination masks
+    is_pl = own & ((kind == TY.PAWN) | (kind == TY.LANCE))
+    is_kn = own & (kind == TY.KNIGHT)
+    must = (
+        (is_pl[:, None, None] & jnp.asarray(ROW0_AT_DEST))
+        | (is_kn[:, None, None] & jnp.asarray(ROW01_AT_DEST))
+    )
+    canp = (kind_eq & jnp.asarray(T.CAN_PROMOTE_KIND)[:, None]).any(axis=0) & own
     zone_from = jnp.asarray(T.IN_PROMO_ZONE)  # (81,)
-    zone_to = jnp.asarray(T.IN_PROMO_ZONE)[dest]
-    promo_opt = canp[:, None, None] & (zone_from[:, None, None] | zone_to)
+    promo_opt = canp[:, None, None] & (
+        zone_from[:, None, None] | jnp.asarray(ZONE_AT_DEST)
+    )
 
     slots_nopromo = legal_bd & ~must  # (81, 8, 8) -> slots 0-63
     slots_promo = legal_bd & (must | promo_opt)  # slots 64-127
@@ -256,20 +322,15 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     # optional promotion emits both. slots_promo must also require canp.
     slots_promo = slots_promo & canp[:, None, None]
 
-    # --- knight slots 128-131 ---
-    kdest = jnp.asarray(T.KNIGHT_TO[0])  # (81, 2)
-    kvalid = kdest >= 0
-    kdest_c = jnp.maximum(kdest, 0)
-    kbase = (
-        own[:, None]
-        & (kind[:, None] == TY.KNIGHT)
-        & kvalid
-        & ~own[kdest_c]
-        & nonking_allowed[kdest_c]
-        & jnp.take_along_axis(dest_pin_ok, kdest_c, axis=1)
-    )
-    kmust = jnp.asarray(T.MUST_PROMOTE_AT)[TY.KNIGHT][kdest_c]  # (81, 2)
-    kzone = zone_from[:, None] | jnp.asarray(T.IN_PROMO_ZONE)[kdest_c]
+    # --- knight slots 128-131 (same matmul, knight columns) ---
+    kvalid = jnp.asarray(K_VALID)  # (81, 2)
+    k_own_at = knight_at[1] > 0.5
+    k_allow_at = knight_at[3] > 0.5
+    k_dks_at = knight_at[4]
+    k_pin_ok = ~pinned[:, None] | (k_dks_at == (d_ks[:, None] + 1))
+    kbase = is_kn[:, None] & kvalid & ~k_own_at & k_allow_at & k_pin_ok
+    kmust = jnp.asarray(K_ROW01)
+    kzone = zone_from[:, None] | jnp.asarray(K_ZONE)
     knight_nopromo = kbase & ~kmust  # (81, 2)
     knight_promo = kbase & (kmust | kzone)
 

@@ -1,0 +1,294 @@
+"""Online PPO for Dynamic league entries from tournament rollouts.
+
+Capability parity with the reference DynamicTrainer
+(keisei/training/dynamic_trainer.py:41-418): per-entry rollout buffers,
+perspective-filtered batches, eval-mode old_log_probs, reward-signed
+terminal-only advantages, PPO clip + WDL cross-entropy (no entropy bonus,
+no score head — Dynamic entries are short-lived opponents, not the primary
+agent), scaled learning rate, persisted per-entry optimizers, and circuit
+breakers (per-entry consecutive-error disable, global error-rate window,
+update rate limit).
+
+TPU deltas: the update is one jitted program over a FIXED-size transition
+window (the most recent `batch_cap` transitions, zero-weight padded) so
+varying match lengths never retrace; perspective filtering is a sample
+weight, not a dynamic boolean gather.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .config import DynamicConfig
+from .match import MatchRollout
+from .store import OpponentEntry, OpponentStore
+
+logger = logging.getLogger(__name__)
+
+
+def _make_update_fn(model, cfg: DynamicConfig, optimizer, clip_epsilon: float = 0.2,
+                    contract: str = "katago"):
+    """Jitted: (variables, opt_state, batch, rng) -> (params', opt', metrics)."""
+
+    def old_logp(variables, obs, masks, actions):
+        out = model.apply(variables, obs, train=False)
+        flat = out.policy_logits.reshape(obs.shape[0], -1).astype(jnp.float32)
+        logp = jax.nn.log_softmax(jnp.where(masks, flat, -1e9), axis=-1)
+        return jnp.take_along_axis(logp, actions[:, None], axis=1)[:, 0]
+
+    def loss_fn(params, batch_stats, batch, old_lp):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, updates = model.apply(
+            variables, batch["obs"], train=True, mutable=["batch_stats"]
+        )
+        B = batch["obs"].shape[0]
+        flat = out.policy_logits.reshape(B, -1).astype(jnp.float32)
+        logp = jax.nn.log_softmax(jnp.where(batch["masks"], flat, -1e9), axis=-1)
+        new_lp = jnp.take_along_axis(logp, batch["actions"][:, None], axis=1)[:, 0]
+        w = batch["weights"]
+        w_sum = jnp.maximum(w.sum(), 1.0)
+
+        # reward-signed terminal-only advantage (dynamic_trainer.py:352-356)
+        adv = batch["rewards"] * batch["dones"].astype(jnp.float32)
+        ratio = jnp.exp(new_lp - old_lp)
+        surr = jnp.minimum(
+            ratio * adv, jnp.clip(ratio, 1 - clip_epsilon, 1 + clip_epsilon) * adv
+        )
+        policy_loss = -(surr * w).sum() / w_sum
+
+        if contract == "katago":
+            vlogits = out.value_logits.astype(jnp.float32)
+            vlogp = jax.nn.log_softmax(vlogits, axis=-1)
+            cats = batch["value_cats"]
+            cat_valid = (cats >= 0) & (w > 0)
+            ce = -jnp.take_along_axis(
+                vlogp, jnp.maximum(cats, 0)[:, None], axis=1
+            )[:, 0]
+            n_cat = jnp.maximum(cat_valid.sum(), 1)
+            value_loss = jnp.where(cat_valid, ce, 0.0).sum() / n_cat
+            value_loss = jnp.where(cat_valid.any(), value_loss, vlogits.sum() * 0.0)
+        else:
+            # scalar contract: MSE vs terminal reward on terminal rows
+            v = out.value[:, 0].astype(jnp.float32)
+            wv = w * batch["dones"].astype(jnp.float32)
+            value_loss = (((v - batch["rewards"]) ** 2) * wv).sum() / jnp.maximum(
+                wv.sum(), 1.0
+            )
+
+        loss = policy_loss + value_loss
+        return loss, {"policy_loss": policy_loss, "value_loss": value_loss,
+                      "batch_stats": updates["batch_stats"]}
+
+    def update(variables, opt_state, batch, rng):
+        old_lp = old_logp(variables, batch["obs"], batch["masks"], batch["actions"])
+        params, batch_stats = variables["params"], variables.get("batch_stats", {})
+
+        def one_epoch(carry, key):
+            params, batch_stats, opt_state = carry
+            perm = jax.random.permutation(key, batch["obs"].shape[0])
+            mb = {k: v[perm] for k, v in batch.items()}
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, mb, old_lp[perm]
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, aux["batch_stats"], opt_state), {
+                "policy_loss": aux["policy_loss"], "value_loss": aux["value_loss"],
+            }
+
+        keys = jax.random.split(rng, cfg.update_epochs_per_batch)
+        (params, batch_stats, opt_state), metrics = jax.lax.scan(
+            one_epoch, (params, batch_stats, opt_state), keys
+        )
+        metrics = jax.tree.map(lambda x: x.mean(), metrics)
+        return {"params": params, "batch_stats": batch_stats}, opt_state, metrics
+
+    return jax.jit(update)
+
+
+class DynamicTrainer:
+    """Rate-limited, fault-isolated online trainer for Dynamic entries."""
+
+    def __init__(
+        self,
+        store: OpponentStore,
+        model,
+        config: DynamicConfig,
+        learner_lr: float = 2e-4,
+        batch_cap: int = 4096,
+        contract: str = "katago",
+    ):
+        self.store = store
+        self.model = model
+        self.contract = contract
+        self.config = config
+        self.learner_lr = learner_lr
+        self.batch_cap = batch_cap
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.grad_clip),
+            optax.adam(learner_lr * config.lr_scale),
+        )
+        self._update_fn = None  # built lazily (needs model)
+        self._buffers: dict[int, deque] = {}
+        self._match_counts: dict[int, int] = {}
+        self._error_counts: dict[int, int] = {}
+        self._disabled: set[int] = set()
+        self._updates_since_flush: dict[int, int] = {}
+        self._recent_update_times: deque[float] = deque(maxlen=64)
+        self._recent_errors: deque[float] = deque(maxlen=64)
+        self._globally_disabled_until = 0.0
+
+    # -- data intake -------------------------------------------------------
+
+    def record_rollout(self, entry_id: int, rollout: MatchRollout, side: str) -> None:
+        """Buffer a match rollout; side is 'a' or 'b' (seat in the match)."""
+        buf = self._buffers.setdefault(
+            entry_id, deque(maxlen=self.config.max_buffer_depth)
+        )
+        buf.append((rollout, side))
+        self._match_counts[entry_id] = self._match_counts.get(entry_id, 0) + 1
+
+    def disabled_entries(self) -> set[int]:
+        return set(self._disabled)
+
+    # -- gating --------------------------------------------------------------
+
+    def _rate_limited(self) -> bool:
+        now = time.monotonic()
+        recent = [t for t in self._recent_update_times if now - t < 60.0]
+        return len(recent) >= self.config.max_updates_per_minute
+
+    def _globally_disabled(self) -> bool:
+        now = time.monotonic()
+        if now < self._globally_disabled_until:
+            return True
+        window = self.config.global_error_window_seconds
+        errors = [t for t in self._recent_errors if now - t < window]
+        if len(errors) >= self.config.global_error_threshold:
+            self._globally_disabled_until = now + window
+            logger.error(
+                "dynamic training globally disabled for %.0fs (%d errors)",
+                window, len(errors),
+            )
+            return True
+        return False
+
+    def should_update(self, entry_id: int) -> bool:
+        if not self.config.training_enabled:
+            return False
+        if entry_id in self._disabled or self._globally_disabled():
+            return False
+        if self._rate_limited():
+            return False
+        count = self._match_counts.get(entry_id, 0)
+        return count > 0 and count % self.config.update_every_matches == 0
+
+    # -- update -----------------------------------------------------------------
+
+    def _build_batch(self, entry_id: int) -> dict | None:
+        """Flatten buffered rollouts into one fixed-size weighted batch.
+
+        A transition belongs to the entry when its mover seat matches the
+        entry's color in that match; rewards flip to the entry's perspective
+        implicitly (mover == entry, so last-mover rewards ARE entry-persp).
+        """
+        buf = self._buffers.get(entry_id)
+        if not buf:
+            return None
+        obs, actions, masks, rewards, dones, weights = [], [], [], [], [], []
+        for rollout, side in buf:
+            T, N = rollout.actions.shape
+            color = rollout.a_color if side == "a" else 1 - rollout.a_color
+            mine = rollout.mover_color == color[None, :]  # (T, N)
+            obs.append(rollout.obs.reshape(T * N, *rollout.obs.shape[2:]))
+            actions.append(rollout.actions.reshape(T * N))
+            masks.append(rollout.legal_masks.reshape(T * N, -1))
+            rewards.append(rollout.rewards.reshape(T * N))
+            dones.append(rollout.dones.reshape(T * N))
+            weights.append(mine.reshape(T * N))
+        batch = {
+            "obs": jnp.concatenate(obs),
+            "actions": jnp.concatenate(actions),
+            "masks": jnp.concatenate(masks),
+            "rewards": jnp.concatenate(rewards),
+            "dones": jnp.concatenate(dones),
+            "weights": jnp.concatenate(weights).astype(jnp.float32),
+        }
+        S = batch["obs"].shape[0]
+        cap = self.batch_cap
+        if S > cap:  # most recent transitions win
+            batch = {k: v[-cap:] for k, v in batch.items()}
+        elif S < cap:
+            pad = cap - S
+            batch = {
+                k: jnp.concatenate([v, jnp.zeros((pad, *v.shape[1:]), v.dtype)])
+                for k, v in batch.items()
+            }
+        # WDL cats from terminal rewards (truncation -> draw, by design)
+        term = batch["dones"]
+        r = batch["rewards"]
+        cats = jnp.where(r > 0, 0, jnp.where(r < 0, 2, 1))
+        batch["value_cats"] = jnp.where(term, cats, -1).astype(jnp.int32)
+        # obs to model layout
+        batch["obs"] = batch["obs"].reshape(cap, -1, 9, 9)
+        return batch
+
+    def maybe_update(self, entry: OpponentEntry, seed: int = 0) -> bool:
+        """Run one training update if gates allow. Returns True on success."""
+        if not self.should_update(entry.id):
+            return False
+        try:
+            return self._update_inner(entry, seed)
+        except Exception:
+            logger.exception("dynamic update failed for entry %d", entry.id)
+            self._recent_errors.append(time.monotonic())
+            n = self._error_counts.get(entry.id, 0) + 1
+            self._error_counts[entry.id] = n
+            if self.config.disable_on_error and n >= self.config.max_consecutive_errors:
+                self._disabled.add(entry.id)
+                self.store.set_training_enabled(entry.id, False)
+                logger.error("dynamic entry %d disabled after %d errors", entry.id, n)
+            return False
+
+    def _update_inner(self, entry: OpponentEntry, seed: int) -> bool:
+        batch = self._build_batch(entry.id)
+        if batch is None or float(batch["weights"].sum()) == 0.0:
+            return False
+        variables = self.store.load_variables_cached(entry)
+        if "batch_stats" not in variables:
+            variables = {**variables, "batch_stats": {}}
+        opt_state = self.store.load_optimizer(
+            entry, template=self.optimizer.init(variables["params"])
+        ) or self.optimizer.init(variables["params"])
+
+        if self._update_fn is None:
+            self._update_fn = _make_update_fn(
+                self.model, self.config, self.optimizer, contract=self.contract
+            )
+        new_vars, opt_state, metrics = self._update_fn(
+            variables, opt_state, batch, jax.random.key(seed)
+        )
+        pl = float(metrics["policy_loss"])
+        if not np.isfinite(pl):
+            raise RuntimeError(f"non-finite dynamic policy loss: {pl}")
+
+        self.store.update_weights(entry.id, jax.device_get(new_vars))
+        self._updates_since_flush[entry.id] = (
+            self._updates_since_flush.get(entry.id, 0) + 1
+        )
+        if self._updates_since_flush[entry.id] % self.config.checkpoint_flush_every == 0:
+            self.store.save_optimizer(entry.id, jax.device_get(opt_state))
+        self._recent_update_times.append(time.monotonic())
+        self._error_counts[entry.id] = 0
+        logger.info(
+            "dynamic update: entry %d policy_loss=%.4f value_loss=%.4f",
+            entry.id, pl, float(metrics["value_loss"]),
+        )
+        return True

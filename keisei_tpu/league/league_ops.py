@@ -1,0 +1,71 @@
+"""Glue between the trainer loop and the league: cohort loading, results.
+
+Kept separate from the jit-facing rollout code (training/league_rollout.py)
+so the host-side store/DB machinery never leaks into traced functions.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+
+from ..training.league_rollout import stack_opponent_variables
+from .store import OpponentEntry, OpponentStore, Role
+
+logger = logging.getLogger(__name__)
+
+
+def stack_cohort_variables(
+    store: OpponentStore, cohort: list[OpponentEntry], template: dict
+):
+    """Load each cohort entry's variables (LRU-cached) and stack along K."""
+    loaded = [store.load_variables_cached(e, template=template) for e in cohort]
+    # normalize batch_stats presence across entries
+    def norm(v):
+        if "batch_stats" in template and "batch_stats" not in v:
+            return {**v, "batch_stats": template["batch_stats"]}
+        return v
+
+    return stack_opponent_variables([norm(v) for v in loaded])
+
+
+def record_epoch_results(
+    store: OpponentStore,
+    scheduler,
+    learner_entry_id: int,
+    cohort: list[OpponentEntry],
+    league_stats,
+    epoch: int,
+    k_factor: float,
+    role_elo_k: dict[str, float],
+) -> None:
+    """Record learner-vs-cohort outcomes from one rollout epoch: Elo +
+    league_results + head-to-head per distinct opponent, and the rolling
+    tier win rates for challenge-threshold sampling
+    (katago_loop.py:1676-1698 semantics)."""
+    # cohort may contain repeats (cycled to fill K blocks) — aggregate
+    agg: dict[int, list[int]] = {}
+    for k, entry in enumerate(cohort):
+        w = int(league_stats.opp_wins[k])
+        l_ = int(league_stats.opp_losses[k])
+        d = int(league_stats.opp_draws[k])
+        if w + l_ + d == 0:
+            continue
+        bucket = agg.setdefault(entry.id, [0, 0, 0])
+        bucket[0] += w
+        bucket[1] += l_
+        bucket[2] += d
+    for opp_id, (w, l_, d) in agg.items():
+        if opp_id == learner_entry_id:
+            continue  # self-pairing (bootstrap cohort) carries no Elo info
+        try:
+            store.record_result(
+                learner_entry_id, opp_id, epoch=epoch,
+                wins_a=w, wins_b=l_, draws=d,
+                match_type="training", k=k_factor, role_elo_k=role_elo_k,
+            )
+            opp = store.get_entry(opp_id)
+            scheduler.record_learner_result(opp.role, won=w > l_)
+        except Exception:
+            logger.exception("epoch result recording failed for opponent %d", opp_id)

@@ -37,6 +37,22 @@ class MatchResult:
         return (self.wins_a + 0.5 * self.draws) / max(self.games, 1)
 
 
+@dataclass
+class MatchRollout:
+    """Device-resident transitions collected during a match, for Dynamic-entry
+    online training (reference match_utils.py rollout collection). All arrays
+    are (T, N, ...); `mover_color` is the seat that chose each action and
+    `rewards` are last-mover perspective."""
+
+    obs: jax.Array  # (T, N, C, 81) f32
+    actions: jax.Array  # (T, N) i32
+    legal_masks: jax.Array  # (T, N, A) bool
+    rewards: jax.Array  # (T, N) f32
+    dones: jax.Array  # (T, N) bool
+    mover_color: jax.Array  # (T, N) i32
+    a_color: jax.Array  # (N,) i32 — seat assignment for side attribution
+
+
 def _make_chunk(env_core: EnvCore, model_a, model_b, chunk_steps: int, temperature: float):
     env_step = env_core.step_fn()
     N = env_core.num_envs
@@ -68,11 +84,12 @@ def _make_chunk(env_core: EnvCore, model_a, model_b, chunk_steps: int, temperatu
             result = jnp.where(fresh, r, result)
             plies = jnp.where(fresh, out.ply_count, plies)
             done_seen = done_seen | done
-            return (env_states, out.obs, out.legal_mask, done_seen, result, plies, rng), None
+            ys = (obs, actions, masks, out.reward, done, stm)
+            return (env_states, out.obs, out.legal_mask, done_seen, result, plies, rng), ys
 
         carry = (env_states, obs, masks, done_seen, result, plies, rng)
-        carry, _ = jax.lax.scan(body, carry, None, length=chunk_steps)
-        return carry
+        carry, ys = jax.lax.scan(body, carry, None, length=chunk_steps)
+        return carry, ys
 
     return jax.jit(chunk)
 
@@ -91,11 +108,13 @@ def play_match(
     seed: int = 0,
     env_core: EnvCore | None = None,
     chunk_fn=None,
-) -> MatchResult:
+    collect: bool = False,
+) -> MatchResult | tuple[MatchResult, MatchRollout]:
     """Play `num_games` A-vs-B games; A holds Black in even-indexed envs.
 
     Pass a prebuilt (env_core, chunk_fn) pair to reuse compilations across
-    matches (the tournament loop does this).
+    matches (the tournament loop does this). With collect=True, also return
+    the full (T, N) transition record for Dynamic-entry training.
     """
     core = env_core or EnvCore(num_games, max_ply, num_channels)
     N = core.num_envs
@@ -108,24 +127,35 @@ def play_match(
     plies = jnp.zeros(N, jnp.int32)
     rng = jax.random.key(seed)
 
+    collected = []
     max_chunks = -(-max_ply // chunk_steps) + 1
     for _ in range(max_chunks):
-        env_states, obs, masks, done_seen, result, plies, rng = chunk(
+        (env_states, obs, masks, done_seen, result, plies, rng), ys = chunk(
             vars_a, vars_b, env_states, obs, masks, a_color, done_seen,
             result, plies, rng,
         )
+        if collect:
+            collected.append(ys)
         if bool(done_seen.all()):
             break
 
     done_np = np.asarray(done_seen)
     res_np = np.asarray(result)[done_np]
-    return MatchResult(
+    match_result = MatchResult(
         wins_a=int((res_np == 1).sum()),
         wins_b=int((res_np == -1).sum()),
         draws=int((res_np == 0).sum()),
         games=int(done_np.sum()),
         total_plies=int(np.asarray(plies)[done_np].sum()),
     )
+    if not collect:
+        return match_result
+    cat = [jnp.concatenate(parts, axis=0) for parts in zip(*collected)]
+    rollout = MatchRollout(
+        obs=cat[0], actions=cat[1], legal_masks=cat[2], rewards=cat[3],
+        dones=cat[4], mover_color=cat[5], a_color=a_color,
+    )
+    return match_result, rollout
 
 
 def make_match_runner(
@@ -138,12 +168,12 @@ def make_match_runner(
     core = EnvCore(num_games, max_ply, num_channels)
     chunk = _make_chunk(core, model_a, model_b, chunk_steps, temperature)
 
-    def run(vars_a, vars_b, seed: int = 0) -> MatchResult:
+    def run(vars_a, vars_b, seed: int = 0, collect: bool = False):
         return play_match(
             model_a, vars_a, model_b, vars_b,
             num_games=num_games, max_ply=max_ply, num_channels=num_channels,
             chunk_steps=chunk_steps, temperature=temperature, seed=seed,
-            env_core=core, chunk_fn=chunk,
+            env_core=core, chunk_fn=chunk, collect=collect,
         )
 
     return run

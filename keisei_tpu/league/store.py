@@ -326,6 +326,47 @@ class OpponentStore:
         return [OpponentEntry.from_row(r)
                 for r in dbcore.fetch_all(self.db_path, sql, tuple(params))]
 
+    def list_by_role(self, role: str) -> list[OpponentEntry]:
+        """Active entries of a role, oldest first (tier reviews rely on
+        created_epoch ASC ordering)."""
+        return [OpponentEntry.from_row(r) for r in dbcore.fetch_all(
+            self.db_path,
+            "SELECT * FROM league_entries WHERE status = 'active' AND role = ? "
+            "ORDER BY created_epoch ASC, id ASC",
+            (role,),
+        )]
+
+    def count_unique_opponents(self, entry_id: int) -> int:
+        """Distinct opponents this entry has faced in either seat."""
+        row = dbcore.fetch_one(
+            self.db_path,
+            "SELECT COUNT(DISTINCT opp) AS n FROM ("
+            "  SELECT entry_b_id AS opp FROM league_results WHERE entry_a_id = ?"
+            "  UNION ALL"
+            "  SELECT entry_a_id AS opp FROM league_results WHERE entry_b_id = ?)",
+            (entry_id, entry_id),
+        )
+        return row["n"] if row else 0
+
+    def elo_spread(self, entry_id: int, window: int = 0) -> float:
+        """Max - min Elo over the entry's last `window` history points
+        (0 = lifetime); 0.0 with fewer than 2 points."""
+        if window > 0:
+            sql = ("SELECT elo_rating FROM ("
+                   "SELECT elo_rating, id FROM elo_history WHERE entry_id = ? "
+                   "ORDER BY id DESC LIMIT ?)")
+            rows = dbcore.fetch_all(self.db_path, sql, (entry_id, window))
+        else:
+            rows = dbcore.fetch_all(
+                self.db_path,
+                "SELECT elo_rating FROM elo_history WHERE entry_id = ?",
+                (entry_id,),
+            )
+        if len(rows) < 2:
+            return 0.0
+        vals = [r["elo_rating"] for r in rows]
+        return max(vals) - min(vals)
+
     def update_role(self, entry_id: int, role: str, reason: str = "") -> None:
         with self._lock:
             old = self.get_entry(entry_id)

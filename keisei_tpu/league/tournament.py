@@ -1,0 +1,209 @@
+"""League tournament: rounds of pool-vs-pool matches with Elo recording.
+
+Capability parity with the reference's in-process tournament
+(keisei/training/tournament.py:53-467) redesigned for a single-controller
+TPU runtime: instead of a daemon thread contending with the learner for
+the device, rounds run synchronously at epoch boundaries when due (the
+reference's thread exists to exploit a second GPU; on TPU the analogous
+scale-out is the sidecar worker process over the DB queue, worker.py).
+
+Per round: generate prioritized pairings, play each as one batched match
+on the fused env, record majority-wins Elo + per-role Elo + head-to-head
+in one transaction, feed training-match rollouts to the DynamicTrainer,
+track behavioral features, and refresh tournament stats for the dashboard.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+from .. import db
+from ..models.registry import build_model
+from .config import LeagueConfig
+from .dynamic_trainer import DynamicTrainer
+from .match import make_match_runner
+from .scheduler import MatchScheduler, PriorityScorer, is_training_match
+from .store import OpponentEntry, OpponentStore, Role
+
+logger = logging.getLogger(__name__)
+
+
+class LeagueTournament:
+    def __init__(
+        self,
+        store: OpponentStore,
+        config: LeagueConfig,
+        scheduler: MatchScheduler | None = None,
+        scorer: PriorityScorer | None = None,
+        dynamic_trainer: DynamicTrainer | None = None,
+        max_pairings_per_round: int = 8,
+        min_pool: int = 3,
+        min_epoch: int = 5,
+    ):
+        self.store = store
+        self.config = config
+        self.scorer = scorer or PriorityScorer(config.priority)
+        self.scheduler = scheduler or MatchScheduler(config.scheduler, self.scorer)
+        self.dynamic_trainer = dynamic_trainer
+        self.max_pairings_per_round = max_pairings_per_round
+        self.min_pool = min_pool
+        self.min_epoch = min_epoch
+        self.rounds_played = 0
+        self._runners: dict[tuple, object] = {}
+        self._models: dict[str, object] = {}
+
+    # -- plumbing -----------------------------------------------------------
+
+    def _model_for(self, entry: OpponentEntry):
+        key = f"{entry.architecture}:{sorted(entry.model_params.items())}"
+        if key not in self._models:
+            self._models[key] = build_model(entry.architecture, entry.model_params)[0]
+        return self._models[key], key
+
+    def _runner_for(self, a: OpponentEntry, b: OpponentEntry):
+        model_a, ka = self._model_for(a)
+        model_b, kb = self._model_for(b)
+        key = (ka, kb)
+        if key not in self._runners:
+            self._runners[key] = make_match_runner(
+                model_a, model_b,
+                num_games=self.config.tournament_num_envs,
+                max_ply=512,
+            )
+        return self._runners[key]
+
+    def is_due(self, epoch: int) -> bool:
+        if not self.config.tournament_enabled:
+            return False
+        if epoch < self.min_epoch:
+            return False
+        return self.store.pool_size() >= self.min_pool
+
+    # -- the round ---------------------------------------------------------------
+
+    def run_round(self, epoch: int) -> dict:
+        """Play one tournament round synchronously. Returns round stats."""
+        t0 = time.monotonic()
+        entries = [
+            e for e in self.store.list_entries()
+            if e.role in (Role.DYNAMIC, Role.RECENT_FIXED, Role.FRONTIER_STATIC)
+        ]
+        if len(entries) < 2:
+            return {"pairings": 0}
+        pairings = self.scheduler.generate_round(entries)[: self.max_pairings_per_round]
+
+        total_games = total_plies = completed = 0
+        for a, b in pairings:
+            try:
+                stats = self._play_pairing(a, b, epoch)
+            except Exception:
+                logger.exception("tournament pairing %d-vs-%d failed", a.id, b.id)
+                continue
+            completed += 1
+            total_games += stats["games"]
+            total_plies += stats["plies"]
+        self.scorer.advance_round()
+        self.rounds_played += 1
+
+        duration = time.monotonic() - t0
+        round_stats = {
+            "round_duration_s": duration,
+            "pairings_requested": len(pairings),
+            "pairings_completed": completed,
+            "total_games": total_games,
+            "total_plies": total_plies,
+            "active_slots": len(entries),
+            "games_per_min": total_games / max(duration / 60.0, 1e-9),
+        }
+        try:
+            db.write_tournament_stats(self.store.db_path, round_stats)
+        except Exception:
+            logger.exception("tournament stats write failed — continuing")
+        return round_stats
+
+    def _play_pairing(self, a: OpponentEntry, b: OpponentEntry, epoch: int) -> dict:
+        runner = self._runner_for(a, b)
+        vars_a = self.store.load_variables_cached(a)
+        vars_b = self.store.load_variables_cached(b)
+        training = is_training_match(a, b) and self.dynamic_trainer is not None
+
+        if training:
+            result, rollout = runner(vars_a, vars_b, seed=epoch * 1000 + a.id,
+                                     collect=True)
+        else:
+            result = runner(vars_a, vars_b, seed=epoch * 1000 + a.id)
+            rollout = None
+
+        self.store.record_result(
+            a.id, b.id, epoch=epoch,
+            wins_a=result.wins_a, wins_b=result.wins_b, draws=result.draws,
+            match_type="tournament", k=self.config.tournament_k_factor,
+            role_elo_k={
+                Role.FRONTIER_STATIC: self.config.elo.frontier_k,
+                Role.DYNAMIC: self.config.elo.dynamic_k,
+                Role.RECENT_FIXED: self.config.elo.recent_k,
+            },
+        )
+        self.scorer.record_result(a.id, b.id)
+        self.scorer.record_round_result(a.id, b.id)
+
+        if training and rollout is not None:
+            for entry, side in ((a, "a"), (b, "b")):
+                if entry.role == Role.DYNAMIC and entry.training_enabled:
+                    self.dynamic_trainer.record_rollout(entry.id, rollout, side)
+                    self.dynamic_trainer.maybe_update(
+                        self.store.get_entry(entry.id), seed=epoch,
+                    )
+        return {"games": result.games, "plies": result.total_plies}
+
+
+class TournamentDispatcher:
+    """Training-side half of the sidecar mode: generate + enqueue pairings
+    into the DB queue for out-of-process workers
+    (keisei/training/tournament_dispatcher.py:27-142)."""
+
+    def __init__(
+        self,
+        store: OpponentStore,
+        config: LeagueConfig,
+        scheduler: MatchScheduler | None = None,
+        scorer: PriorityScorer | None = None,
+    ):
+        self.store = store
+        self.config = config
+        self.scorer = scorer or PriorityScorer(config.priority)
+        self.scheduler = scheduler or MatchScheduler(config.scheduler, self.scorer)
+        self._round_id = 0
+
+    def enqueue_round(self, epoch: int) -> int:
+        """Generate a prioritized round and enqueue it; returns pairings
+        queued (0 when the queue is saturated or no healthy worker exists —
+        the caller logs, training never blocks; katago_loop.py:1758-1797)."""
+        from ..db import queue as dbq
+
+        depth = dbq.get_active_queue_depth(self.store.db_path)
+        if depth >= self.config.dispatcher_max_queue_depth:
+            logger.warning("tournament queue saturated (%d) — skipping enqueue", depth)
+            return 0
+        workers = [w for w in dbq.get_worker_health(self.store.db_path)
+                   if w["is_healthy"]]
+        if not workers:
+            logger.warning("no healthy tournament worker — enqueueing anyway")
+
+        entries = [
+            e for e in self.store.list_entries()
+            if e.role in (Role.DYNAMIC, Role.RECENT_FIXED, Role.FRONTIER_STATIC)
+        ]
+        if len(entries) < 2:
+            return 0
+        pairings = self.scheduler.generate_round(entries)
+        self._round_id += 1
+        rows = [
+            (a.id, b.id, self.config.tournament_games_per_match,
+             self.scorer.score(a, b))
+            for a, b in pairings
+        ]
+        n = dbq.enqueue_pairings(self.store.db_path, self._round_id, rows, epoch)
+        self.scorer.advance_round()
+        return n

@@ -1,0 +1,138 @@
+"""Out-of-process tournament worker: claims pairings from the DB queue.
+
+Sidecar process (reference: keisei/training/tournament_runner.py:61-421):
+sweeps its own stale claims at startup, heartbeats into
+tournament_worker_heartbeat, claims batches atomically (2x overclaim),
+plays each pairing on its own device context, records results + Elo, and
+marks pairings done. SIGTERM finishes the current pairing then exits.
+
+Entry point: `keisei-tpu-tournament-worker --db <path> --league-dir <dir>`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import signal
+import time
+import uuid
+
+import jax
+
+from ..db import queue as dbq
+from .config import LeagueConfig
+from .dynamic_trainer import DynamicTrainer
+from .scheduler import is_training_match
+from .store import OpponentStore, Role
+from .tournament import LeagueTournament
+
+logger = logging.getLogger(__name__)
+
+
+class TournamentWorker:
+    def __init__(
+        self,
+        db_path: str,
+        league_dir: str,
+        config: LeagueConfig | None = None,
+        worker_id: str | None = None,
+        parallel_matches: int = 2,
+        poll_interval_s: float = 2.0,
+        store: OpponentStore | None = None,
+    ):
+        self.config = config or LeagueConfig(tournament_enabled=True)
+        self.store = store or OpponentStore(db_path, league_dir)
+        self.worker_id = worker_id or f"worker-{uuid.uuid4().hex[:8]}"
+        self.parallel_matches = parallel_matches
+        self.poll_interval_s = poll_interval_s
+        self.pairings_done = 0
+        self._stop = False
+        # reuse the tournament's pairing machinery (runner cache, Elo txn)
+        self._tourney = LeagueTournament(self.store, self.config)
+        self._tourney.dynamic_trainer = DynamicTrainer(
+            self.store, None, self.config.dynamic
+        )
+
+    def request_stop(self, *_args) -> None:
+        logger.info("worker %s: stop requested", self.worker_id)
+        self._stop = True
+
+    def _heartbeat(self) -> None:
+        try:
+            device = str(jax.devices()[0])
+        except Exception:
+            device = "unknown"
+        dbq.write_worker_heartbeat(
+            self.store.db_path, self.worker_id, os.getpid(), device,
+            self.pairings_done,
+        )
+
+    def run_once(self, stale_before_epoch: int | None = None) -> int:
+        """Claim and play one batch; returns pairings completed."""
+        batch = dbq.claim_next_pairings_batch(
+            self.store.db_path, self.worker_id,
+            2 * self.parallel_matches, stale_before_epoch,
+        )
+        done = 0
+        for pairing in batch:
+            if self._stop:
+                # return unplayed claims so another worker picks them up
+                dbq.reset_stale_playing(self.store.db_path, self.worker_id)
+                break
+            try:
+                a = self.store.get_entry(pairing["entry_a_id"])
+                b = self.store.get_entry(pairing["entry_b_id"])
+                if is_training_match(a, b):
+                    # the worker's dynamic trainer needs a model; built per
+                    # architecture inside _play_pairing's runner cache — give
+                    # it the pairing's model lazily
+                    model, _ = self._tourney._model_for(a)
+                    self._tourney.dynamic_trainer.model = model
+                self._tourney._play_pairing(a, b, pairing["enqueued_epoch"])
+                dbq.mark_pairing_done(self.store.db_path, pairing["id"])
+                done += 1
+                self.pairings_done += 1
+            except Exception:
+                logger.exception("pairing %s failed — marking done to avoid "
+                                 "poison-claim loops", pairing["id"])
+                dbq.mark_pairing_done(self.store.db_path, pairing["id"])
+            self._heartbeat()
+        return done
+
+    def run(self) -> None:
+        logger.info("worker %s starting (pid %d)", self.worker_id, os.getpid())
+        # startup sweep: our previous incarnation may have died mid-claim
+        swept = dbq.reset_stale_playing(self.store.db_path, self.worker_id)
+        if swept:
+            logger.info("worker %s: reset %d stale claims", self.worker_id, swept)
+        self._heartbeat()
+        while not self._stop:
+            n = self.run_once()
+            if n == 0 and not self._stop:
+                time.sleep(self.poll_interval_s)
+                self._heartbeat()
+        logger.info("worker %s exiting (%d pairings)", self.worker_id,
+                    self.pairings_done)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="keisei-tpu tournament worker")
+    p.add_argument("--db", required=True)
+    p.add_argument("--league-dir", required=True)
+    p.add_argument("--parallel-matches", type=int, default=2)
+    p.add_argument("--worker-id", default=None)
+    args = p.parse_args(argv)
+    logging.basicConfig(level=logging.INFO, force=True)
+
+    worker = TournamentWorker(
+        args.db, args.league_dir, worker_id=args.worker_id,
+        parallel_matches=args.parallel_matches,
+    )
+    signal.signal(signal.SIGTERM, worker.request_stop)
+    signal.signal(signal.SIGINT, worker.request_stop)
+    worker.run()
+
+
+if __name__ == "__main__":
+    main()

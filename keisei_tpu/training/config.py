@@ -101,6 +101,7 @@ class Config:
     display: DisplayConfig = field(default_factory=DisplayConfig)
     run: RunConfig = field(default_factory=RunConfig)
     distributed: DistributedConfig = field(default_factory=DistributedConfig)
+    league: "object | None" = None  # LeagueConfig when [league] present
 
 
 def _build(cls, section: dict, name: str, ignored: set[str] = frozenset()):
@@ -145,11 +146,17 @@ def config_from_dict(raw: dict, source: str = "<dict>") -> Config:
     run = _build(RunConfig, raw.get("run", {}), "run")
     dist = _build(DistributedConfig, raw.get("distributed", {}), "distributed")
 
+    league = None
     if "league" in raw:
-        logger.warning(
-            "config: [league] present but the league subsystem is not wired "
-            "into this build yet; section parsed and ignored"
-        )
+        from ..league.config import league_config_from_dict
+
+        league = league_config_from_dict(raw["league"])
+        if league.enabled and not league.color_randomization:
+            logger.warning(
+                "config: league.color_randomization=false biases learner "
+                "color exposure; the split-merge rollout re-rolls colors "
+                "per episode when enabled"
+            )
 
     # cross-checks (reference katago_loop.py:484-489 arch/algo compatibility)
     from ..models.registry import get_model_contract
@@ -164,5 +171,5 @@ def config_from_dict(raw: dict, source: str = "<dict>") -> Config:
 
     return Config(
         model=model, training=training, algorithm_params=algo,
-        display=display, run=run, distributed=dist,
+        display=display, run=run, distributed=dist, league=league,
     )

@@ -134,9 +134,27 @@ class SelfPlayTrainer:
 
         self.optimizer = make_optimizer(ap)
         self.T = tc.effective_steps_per_epoch
-        self._rollout = jax.jit(
-            make_selfplay_rollout(self.env_core, self.model, self.adapter, self.T)
+        self.league_enabled = bool(
+            config.league is not None and config.league.enabled
         )
+        if self.league_enabled:
+            from .league_rollout import make_league_rollout
+
+            self.K = config.league.opponents_per_epoch
+            if tc.num_games % self.K != 0:
+                raise ValueError(
+                    f"num_games {tc.num_games} must divide by "
+                    f"opponents_per_epoch {self.K}"
+                )
+            self._rollout = jax.jit(
+                make_league_rollout(
+                    self.env_core, self.model, self.adapter, self.T, self.K
+                )
+            )
+        else:
+            self._rollout = jax.jit(
+                make_selfplay_rollout(self.env_core, self.model, self.adapter, self.T)
+            )
         self._update = jax.jit(
             make_ppo_update(self.model, self.adapter, ap, self.optimizer)
         )
@@ -154,6 +172,104 @@ class SelfPlayTrainer:
         # episode aggregates
         self.total_episodes = 0
         self.total_ply = 0
+
+        if self.league_enabled:
+            self._init_league()
+
+    # -- league wiring -----------------------------------------------------------
+
+    def _init_league(self):
+        """Opponent pool + scheduler + tournament + historical machinery
+        (the reference wires these in katago_loop.py:641-714)."""
+        import numpy as np
+
+        from ..league.dynamic_trainer import DynamicTrainer
+        from ..league.historical import HistoricalGauntlet, HistoricalLibrary
+        from ..league.scheduler import MatchScheduler, PriorityScorer
+        from ..league.store import OpponentStore
+        from ..league.tiers import TieredPool
+        from ..league.tournament import LeagueTournament, TournamentDispatcher
+
+        lc = self.config.league
+        db_path = self.config.display.db_path or os.path.join(
+            lc.storage.league_dir, "league.db"
+        )
+        self.store = OpponentStore(db_path, lc.storage.league_dir)
+        self.pool = TieredPool(self.store, lc)
+        self.scorer = PriorityScorer(lc.priority)
+        self.scheduler = MatchScheduler(lc.scheduler, self.scorer)
+        contract = get_model_contract(self.config.model.architecture)
+        self.dyn_trainer = DynamicTrainer(
+            self.store, self.model, lc.dynamic,
+            learner_lr=self.config.algorithm_params.learning_rate,
+            contract=contract,
+        )
+        self.historical = HistoricalLibrary(self.store, lc.history)
+        self.gauntlet = HistoricalGauntlet(
+            self.store, lc.gauntlet, historical_k=lc.elo.historical_k,
+        )
+        self.tournament = None
+        self.dispatcher = None
+        if lc.tournament_enabled:
+            if lc.tournament_mode == "in_process":
+                self.tournament = LeagueTournament(
+                    self.store, lc, self.scheduler, self.scorer, self.dyn_trainer
+                )
+            else:
+                self.dispatcher = TournamentDispatcher(
+                    self.store, lc, self.scheduler, self.scorer
+                )
+
+        # per-env learner colors, randomized (katago_loop.py:1129-1145)
+        self.rng, k = jax.random.split(self.rng)
+        n = self.config.training.num_games
+        if lc.color_randomization:
+            self.learner_color = jax.random.bernoulli(k, 0.5, (n,)).astype(jnp.int32)
+        else:
+            self.learner_color = jnp.zeros(n, jnp.int32)
+
+        # bootstrap: the pool must never be empty (katago_loop.py:657)
+        self.pool.bootstrap_from_flat_pool(self.epoch)
+        if self.store.pool_size() == 0:
+            entry = self.pool.snapshot_learner(
+                self._variables_host(), self.config.model.architecture,
+                dict(self.config.model.params), self.epoch,
+            )
+            self.learner_entry_id = entry.id
+        else:
+            st = None
+            if self.config.display.db_path:
+                from .. import db as kdb
+
+                st = kdb.read_training_state(db_path)
+            self.learner_entry_id = (
+                st.get("learner_entry_id") if st and st.get("learner_entry_id")
+                else self.store.list_entries()[0].id
+            )
+        self._cohort = []
+
+    def _variables_host(self):
+        return jax.tree.map(lambda x: jax.device_get(x), self._variables())
+
+    def _sample_cohort(self):
+        """K distinct opponents for this epoch, cycled to fill K env blocks
+        (katago_loop.py:917-1084; static equal blocks replace per-env ids)."""
+        from ..league.store import Role
+
+        by_role = {
+            r: [e for e in self.store.list_by_role(r)
+                if e.architecture == self.config.model.architecture]
+            for r in (Role.DYNAMIC, Role.FRONTIER_STATIC, Role.RECENT_FIXED)
+        }
+        if not any(by_role.values()):
+            # no opponents yet: play the learner's own snapshot
+            entry = self.store.get_entry(self.learner_entry_id)
+            cohort = [entry]
+        else:
+            cohort = self.scheduler.sample_k_for_learner(by_role, self.K)
+        while len(cohort) < self.K:
+            cohort.append(cohort[len(cohort) % max(len(cohort), 1)])
+        return cohort[: self.K]
 
     # -- state management ------------------------------------------------------
 
@@ -235,12 +351,28 @@ class SelfPlayTrainer:
 
         t0 = time.monotonic()
         self.observer.heartbeat(self.epoch, self.epoch * self.T, "rollout")
-        carry, traj, next_value, stats = self._rollout(
-            self._variables(), *self.env_carry, k_roll
-        )
-        env_states, obs, mask, _ = carry
+        if self.league_enabled:
+            from ..league.league_ops import stack_cohort_variables
+
+            self._cohort = self._sample_cohort()
+            opp_vars = stack_cohort_variables(
+                self.store, self._cohort, self._variables()
+            )
+            carry, traj, next_value, stats = self._rollout(
+                self._variables(), opp_vars, *self.env_carry,
+                self.learner_color, k_roll,
+            )
+            env_states, obs, mask, self.learner_color, _ = carry
+            league_stats = jax.device_get(stats)
+            stats = jax.tree.map(int, league_stats.base)
+        else:
+            carry, traj, next_value, stats = self._rollout(
+                self._variables(), *self.env_carry, k_roll
+            )
+            env_states, obs, mask, _ = carry
+            stats = jax.tree.map(int, jax.device_get(stats))
+            league_stats = None
         self.env_carry = (env_states, obs, mask)
-        stats = jax.tree.map(int, jax.device_get(stats))
         t1 = time.monotonic()
 
         self.observer.heartbeat(self.epoch, self.epoch * self.T, "update")
@@ -265,6 +397,8 @@ class SelfPlayTrainer:
         self.epoch += 1
         self.total_episodes += stats.episodes
         self.total_ply += stats.total_ply
+        if self.league_enabled:
+            self._league_epoch_end(league_stats)
         em = EpochMetrics(
             epoch=self.epoch,
             policy_loss=metrics["policy_loss"],
@@ -291,6 +425,61 @@ class SelfPlayTrainer:
         self.observer.on_epoch(em.as_dict(), self.epoch * self.T, ckpt)
         self.observer.snapshot_envs(env_states)
         return em
+
+    def _league_epoch_end(self, league_stats) -> None:
+        """Post-epoch league bookkeeping: Elo, snapshots/rotation, reviews,
+        historical refresh, gauntlet, tournament (katago_loop.py:1629-1827)."""
+        from ..league.league_ops import record_epoch_results
+        from ..league.store import Role
+
+        lc = self.config.league
+        role_k = {
+            Role.FRONTIER_STATIC: lc.elo.frontier_k,
+            Role.DYNAMIC: lc.elo.dynamic_k,
+            Role.RECENT_FIXED: lc.elo.recent_k,
+        }
+        try:
+            record_epoch_results(
+                self.store, self.scheduler, self.learner_entry_id,
+                self._cohort, league_stats, self.epoch,
+                lc.elo_k_factor, role_k,
+            )
+        except Exception:
+            logger.exception("league result recording failed — continuing")
+
+        try:
+            # seat rotation takes priority over the periodic snapshot
+            # (katago_loop.py:1676-1698)
+            rotate = self.epoch % lc.epochs_per_seat == 0
+            snapshot = self.epoch % lc.snapshot_interval == 0
+            if rotate or snapshot:
+                entry = self.pool.snapshot_learner(
+                    self._variables_host(), self.config.model.architecture,
+                    dict(self.config.model.params), self.epoch,
+                )
+                self.learner_entry_id = entry.id
+                if self.config.display.db_path:
+                    from .. import db as kdb
+
+                    kdb.update_training_progress(
+                        self.config.display.db_path, self.epoch,
+                        self.epoch * self.T, learner_entry_id=entry.id,
+                    )
+            self.store.carry_forward_elo(self.epoch)
+            self.pool.maybe_review_frontier(self.epoch)
+            if self.historical.is_due_for_refresh(self.epoch):
+                self.historical.refresh(self.epoch)
+            if self.gauntlet.is_due(self.epoch):
+                self.gauntlet.run_gauntlet(
+                    self.epoch, self.store.get_entry(self.learner_entry_id)
+                )
+            if self.tournament is not None and self.tournament.is_due(self.epoch):
+                self.observer.heartbeat(self.epoch, self.epoch * self.T, "tournament")
+                self.tournament.run_round(self.epoch)
+            if self.dispatcher is not None:
+                self.dispatcher.enqueue_round(self.epoch)
+        except Exception:
+            logger.exception("league epoch maintenance failed — continuing")
 
     def run(self, num_epochs: int | None = None):
         n = num_epochs or self.config.run.default_epochs

@@ -1,0 +1,96 @@
+"""Dynamic-entry online training: batch building, gates, weight updates."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keisei_tpu.league.config import DynamicConfig
+from keisei_tpu.league.dynamic_trainer import DynamicTrainer
+from keisei_tpu.league.match import play_match
+from keisei_tpu.league.store import OpponentStore, Role
+from keisei_tpu.models.registry import build_model
+
+
+@pytest.fixture
+def setup(tmp_path):
+    store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "league"))
+    model, _ = build_model("mlp", {"hidden_sizes": [16]})
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((1, 50, 9, 9), jnp.float32), train=False
+    )
+    entry = store.add_entry(variables, architecture="mlp", model_params={},
+                            created_epoch=0, role=Role.DYNAMIC)
+    return store, model, variables, entry
+
+
+def collect_rollout(model, variables, n=4, max_ply=32):
+    res, rollout = play_match(
+        model, variables, model, variables,
+        num_games=n, max_ply=max_ply, chunk_steps=16, seed=2, collect=True,
+    )
+    return res, rollout
+
+
+@pytest.mark.integration
+class TestDynamicTrainer:
+    def test_update_changes_weights(self, setup):
+        store, model, variables, entry = setup
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1,
+                            min_games_before_eviction=0)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=256, contract="scalar")
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        assert trainer.should_update(entry.id)
+        before = jax.tree.leaves(store.load_variables(entry))[0]
+        ok = trainer.maybe_update(entry, seed=1)
+        assert ok
+        e2 = store.get_entry(entry.id)
+        assert e2.update_count == 1
+        after = jax.tree.leaves(store.load_variables(e2))[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+    def test_update_every_matches_gate(self, setup):
+        store, model, variables, entry = setup
+        cfg = DynamicConfig(update_every_matches=2)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=128)
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        assert not trainer.should_update(entry.id)  # 1 % 2 != 0
+        trainer.record_rollout(entry.id, rollout, side="b")
+        assert trainer.should_update(entry.id)
+
+    def test_error_circuit_breaker(self, setup):
+        store, model, variables, entry = setup
+        cfg = DynamicConfig(update_every_matches=1, max_consecutive_errors=2)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=128)
+        _, rollout = collect_rollout(model, variables)
+
+        def boom(*a, **k):
+            raise RuntimeError("injected")
+
+        trainer._update_inner = boom
+        for _ in range(2):
+            trainer.record_rollout(entry.id, rollout, side="a")
+            trainer.maybe_update(entry)
+        assert entry.id in trainer.disabled_entries()
+        assert not store.get_entry(entry.id).training_enabled
+        assert not trainer.should_update(entry.id)
+
+    def test_batch_perspective_weights(self, setup):
+        store, model, variables, entry = setup
+        trainer = DynamicTrainer(store, model, DynamicConfig(), batch_cap=512)
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        batch = trainer._build_batch(entry.id)
+        w = np.asarray(batch["weights"])
+        T, N = rollout.actions.shape
+        total = T * N
+        # side-a transitions are those where the mover seat == a_color:
+        # roughly half of all real steps, never more than the unpadded count
+        assert 0 < w.sum() <= total
+        # value cats only on terminal rows
+        cats = np.asarray(batch["value_cats"])
+        dones = np.asarray(batch["dones"])
+        assert (cats[~dones] == -1).all()

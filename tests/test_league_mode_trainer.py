@@ -1,0 +1,92 @@
+"""End-to-end league-mode training: cohort rollouts, Elo, snapshots."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from keisei_tpu import db
+from keisei_tpu.training.config import config_from_dict
+from keisei_tpu.training.loop import SelfPlayTrainer
+
+RAW = {
+    "model": {
+        "display_name": "tiny-league",
+        "architecture": "mlp",
+        "params": {"hidden_sizes": [16]},
+    },
+    "training": {
+        "num_games": 4,
+        "max_ply": 24,
+        "steps_per_epoch": 12,
+        "checkpoint_interval": 100,
+        "checkpoint_dir": "UNSET",
+        "algorithm_params": {"batch_size": 13, "epochs_per_batch": 1},
+    },
+    "run": {"default_epochs": 3},
+    "league": {
+        "enabled": True,
+        "opponents_per_epoch": 2,
+        "snapshot_interval": 2,
+        "epochs_per_seat": 100,
+        "tournament_enabled": False,
+        "storage": {"league_dir": "UNSET"},
+        "recent": {"slots": 3, "min_games_for_review": 0,
+                   "min_unique_opponents": 0},
+        "dynamic": {"slots": 3, "min_games_before_eviction": 0},
+        "history": {"refresh_interval_epochs": 2, "min_epoch_for_selection": 1},
+        "gauntlet": {"interval_epochs": 2, "games_per_matchup": 2},
+    },
+}
+
+
+@pytest.mark.integration
+class TestLeagueModeTrainer:
+    def test_three_epochs_league(self, tmp_path):
+        raw = copy.deepcopy(RAW)
+        raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+        raw["league"]["storage"]["league_dir"] = str(tmp_path / "league")
+        raw["display"] = {"db_path": str(tmp_path / "obs.db")}
+        cfg = config_from_dict(raw)
+        trainer = SelfPlayTrainer(cfg)
+        assert trainer.league_enabled
+        # bootstrap snapshot created an entry
+        assert trainer.store.pool_size() >= 1
+
+        trainer.observer.on_start(cfg, total_epochs=3)
+        for _ in range(3):
+            em = trainer.run_epoch()
+            assert np.isfinite(em.policy_loss)
+
+        # snapshots at epoch 2 (interval=2) grew the pool
+        assert trainer.store.pool_size() >= 2
+        entries = trainer.store.list_entries()
+        assert all(e.architecture == "mlp" for e in entries)
+
+        # elo history carried forward every epoch
+        hist = db.read_elo_history(trainer.store.db_path)
+        assert len(hist) >= trainer.store.pool_size()
+
+        # learner entry id tracked in training_state
+        st = db.read_training_state(str(tmp_path / "obs.db"))
+        assert st["learner_entry_id"] == trainer.learner_entry_id
+
+        # league results recorded once real opponents existed
+        data = db.read_league_data(trainer.store.db_path)
+        assert isinstance(data["results"], list)
+
+    def test_gauntlet_and_history_fire(self, tmp_path):
+        raw = copy.deepcopy(RAW)
+        raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+        raw["league"]["storage"]["league_dir"] = str(tmp_path / "league")
+        raw["display"] = {"db_path": str(tmp_path / "obs.db")}
+        cfg = config_from_dict(raw)
+        trainer = SelfPlayTrainer(cfg)
+        trainer.run_epoch()
+        trainer.run_epoch()  # epoch 2: history refresh + gauntlet due
+        slots = db.read_historical_slots(trainer.store.db_path)
+        assert slots, "historical library never refreshed"
+        rows = db.connect(trainer.store.db_path).execute(
+            "SELECT COUNT(*) FROM gauntlet_results"
+        ).fetchone()[0]
+        assert rows >= 1

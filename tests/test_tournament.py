@@ -1,0 +1,132 @@
+"""In-process tournament rounds, historical library, gauntlet."""
+
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keisei_tpu import db
+from keisei_tpu.league.config import (
+    DynamicConfig,
+    GauntletConfig,
+    HistoricalLibraryConfig,
+    LeagueConfig,
+)
+from keisei_tpu.league.dynamic_trainer import DynamicTrainer
+from keisei_tpu.league.historical import HistoricalGauntlet, HistoricalLibrary
+from keisei_tpu.league.store import OpponentStore, Role
+from keisei_tpu.league.tournament import LeagueTournament, TournamentDispatcher
+from keisei_tpu.models.registry import build_model
+
+
+@pytest.fixture
+def store(tmp_path):
+    return OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "league"))
+
+
+def make_model():
+    model, _ = build_model("mlp", {"hidden_sizes": [16]})
+    return model
+
+
+def add_entry(store, role, seed=0, epoch=0):
+    model = make_model()
+    variables = model.init(
+        jax.random.key(seed), jnp.zeros((1, 50, 9, 9), jnp.float32), train=False
+    )
+    return store.add_entry(
+        variables, architecture="mlp", model_params={"hidden_sizes": [16]},
+        created_epoch=epoch, role=role,
+    )
+
+
+@pytest.mark.integration
+class TestTournamentRound:
+    def test_round_records_results_and_stats(self, store):
+        for i, role in enumerate([Role.DYNAMIC, Role.DYNAMIC, Role.RECENT_FIXED]):
+            add_entry(store, role, seed=i)
+        cfg = LeagueConfig(
+            tournament_enabled=True, tournament_num_envs=4,
+            dynamic=DynamicConfig(update_every_matches=99),
+        )
+        t = LeagueTournament(store, cfg, max_pairings_per_round=2, min_pool=3,
+                             min_epoch=0)
+        t.dynamic_trainer = DynamicTrainer(
+            store, make_model(), cfg.dynamic, contract="scalar"
+        )
+        assert t.is_due(epoch=5)
+        stats = t.run_round(epoch=5)
+        assert stats["pairings_completed"] == 2
+        assert stats["total_games"] == 8  # 2 pairings x 4 envs
+
+        data = db.read_league_data(store.db_path)
+        assert len(data["results"]) == 2
+        r = data["results"][0]
+        assert r["num_games"] == 4
+        assert r["elo_after_a"] is not None
+        ts = db.read_tournament_stats(store.db_path)
+        assert ts["pairings_completed"] == 2
+        # training match (D-vs-D) fed the dynamic trainer buffer
+        assert any(t.dynamic_trainer._buffers.values())
+
+    def test_dispatcher_enqueues(self, store):
+        for i in range(3):
+            add_entry(store, Role.DYNAMIC, seed=i)
+        cfg = LeagueConfig(tournament_enabled=True)
+        d = TournamentDispatcher(store, cfg)
+        n = d.enqueue_round(epoch=7)
+        assert n == 3  # all pairs of 3 entries
+        from keisei_tpu.db import queue as dbq
+
+        assert dbq.get_active_queue_depth(store.db_path) == 3
+
+
+class TestHistoricalLibrary:
+    def test_log_spaced_targets(self):
+        t = HistoricalLibrary.compute_targets(1000, 5)
+        assert t[0] == 1 and t[-1] == 1000
+        assert t == sorted(t)
+        # roughly geometric
+        assert t[2] == pytest.approx(32, rel=0.2)
+
+    def test_refresh_fills_slots(self, store):
+        for epoch in (1, 10, 100, 400, 800):
+            add_entry(store, Role.UNASSIGNED, seed=epoch, epoch=epoch)
+        lib = HistoricalLibrary(store, HistoricalLibraryConfig(slots=3))
+        lib.refresh(current_epoch=800)
+        slots = lib.get_slots()
+        assert len(slots) == 3
+        assert all(s["entry_id"] is not None for s in slots)
+        # slot 0 targets epoch 1 -> nearest is the epoch-1 entry
+        assert slots[0]["actual_epoch"] == 1
+        assert slots[-1]["actual_epoch"] == 800
+
+    def test_repoint_logged(self, store):
+        e1 = add_entry(store, Role.UNASSIGNED, seed=1, epoch=1)
+        lib = HistoricalLibrary(store, HistoricalLibraryConfig(slots=1))
+        lib.refresh(current_epoch=20)
+        add_entry(store, Role.UNASSIGNED, seed=2, epoch=50)
+        lib.refresh(current_epoch=50)
+        data = db.read_league_data(store.db_path)
+        assert any("historical_slot_repointed" in (t["reason"] or "")
+                   for t in data["transitions"])
+
+
+@pytest.mark.integration
+class TestGauntlet:
+    def test_gauntlet_one_sided_elo(self, store):
+        learner = add_entry(store, Role.RECENT_FIXED, seed=0, epoch=100)
+        hist = add_entry(store, Role.UNASSIGNED, seed=1, epoch=1)
+        lib = HistoricalLibrary(store, HistoricalLibraryConfig(slots=1))
+        lib.refresh(current_epoch=100)
+        g = HistoricalGauntlet(store, GauntletConfig(games_per_matchup=4),
+                               num_envs=4, max_ply=48)
+        assert g.is_due(100)
+        played = g.run_gauntlet(100, learner)
+        assert played >= 1
+        rows = db.connect(store.db_path).execute(
+            "SELECT * FROM gauntlet_results"
+        ).fetchall()
+        assert len(rows) == played
+        # anchor's historical elo untouched
+        assert store.get_entry(hist.id).elo_historical == 1000.0
