@@ -658,6 +658,39 @@ class StepOutput:
     material: jax.Array  # () int32 — from last-mover perspective
 
 
+def position_status(s1: GameState, mask1_flat: jax.Array, max_ply: int):
+    """(reason, winner, rep_count) for a just-reached position.
+
+    Termination order matches game.rs:460-499: max-ply -> sennichite/
+    perpetual -> impasse -> checkmate/stalemate. `winner` is a color or -1;
+    perpetual check awards the VICTIM (current side to move).
+    """
+    last_mover = (1 - s1.stm).astype(jnp.int8)
+    rep_count, perpetual = repetition_info(s1)
+    imp_active, imp_winner = impasse_check(s1.board, s1.hands)
+    no_moves = ~mask1_flat.any()
+
+    reason = jnp.int8(TY.NOT_TERMINATED)
+    winner = jnp.int8(TY.WINNER_NONE)
+    reason = jnp.where(no_moves, jnp.int8(TY.CHECKMATE), reason)
+    winner = jnp.where(no_moves, last_mover, winner)
+    reason = jnp.where(imp_active, jnp.int8(TY.IMPASSE), reason)
+    winner = jnp.where(imp_active, imp_winner, winner)
+    rep_hit = rep_count >= 4
+    reason = jnp.where(
+        rep_hit,
+        jnp.where(perpetual, jnp.int8(TY.PERPETUAL_CHECK), jnp.int8(TY.REPETITION)),
+        reason,
+    )
+    winner = jnp.where(
+        rep_hit, jnp.where(perpetual, s1.stm, jnp.int8(TY.WINNER_NONE)), winner
+    )
+    hit_max = s1.ply >= max_ply
+    reason = jnp.where(hit_max, jnp.int8(TY.MAX_MOVES), reason)
+    winner = jnp.where(hit_max, jnp.int8(TY.WINNER_NONE), winner)
+    return reason, winner, rep_count
+
+
 def env_step(
     state: GameState,
     action: jax.Array,
@@ -689,29 +722,7 @@ def env_step(
     mask1, in_check1, _ = legal_mask_pspace(pboard1, own_hand1)
     mask1_flat = mask1.reshape(-1)
 
-    rep_count, perpetual = repetition_info(s1)
-    imp_active, imp_winner = impasse_check(s1.board, s1.hands)
-    no_moves = ~mask1_flat.any()
-
-    # Termination order (game.rs:460-499): max-ply -> sennichite -> impasse
-    # -> checkmate/stalemate.
-    reason = jnp.int8(TY.NOT_TERMINATED)
-    winner = jnp.int8(TY.WINNER_NONE)
-    reason = jnp.where(no_moves, jnp.int8(TY.CHECKMATE), reason)
-    winner = jnp.where(no_moves, last_mover, winner)
-    reason = jnp.where(imp_active, jnp.int8(TY.IMPASSE), reason)
-    winner = jnp.where(imp_active, imp_winner, winner)
-    rep_hit = rep_count >= 4
-    reason = jnp.where(
-        rep_hit, jnp.where(perpetual, jnp.int8(TY.PERPETUAL_CHECK), jnp.int8(TY.REPETITION)), reason
-    )
-    # Perpetual check: the victim (current side to move) wins.
-    winner = jnp.where(
-        rep_hit, jnp.where(perpetual, s1.stm, jnp.int8(TY.WINNER_NONE)), winner
-    )
-    hit_max = s1.ply >= max_ply
-    reason = jnp.where(hit_max, jnp.int8(TY.MAX_MOVES), reason)
-    winner = jnp.where(hit_max, jnp.int8(TY.WINNER_NONE), winner)
+    reason, winner, rep_count = position_status(s1, mask1_flat, max_ply)
 
     truncated = reason == TY.MAX_MOVES
     terminated = (reason != TY.NOT_TERMINATED) & ~truncated

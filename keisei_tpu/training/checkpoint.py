@@ -25,6 +25,16 @@ class CheckpointError(RuntimeError):
     pass
 
 
+def jnp_like(template, value):
+    """Cast a raw-restored array to the template leaf's dtype/shape."""
+    arr = np.asarray(value)
+    if arr.shape != np.shape(template):
+        raise CheckpointError(
+            f"checkpoint leaf shape {arr.shape} != expected {np.shape(template)}"
+        )
+    return jax.numpy.asarray(arr, dtype=template.dtype)
+
+
 def save_checkpoint(
     path: str,
     state: TrainState,
@@ -77,6 +87,24 @@ def load_checkpoint(
             f"checkpoint architecture {meta['architecture']!r} does not match "
             f"configured architecture {architecture!r}"
         )
+    ckptr = ocp.PyTreeCheckpointer()
+    if skip_optimizer:
+        # the saved optimizer may have a different structure entirely (e.g.
+        # the SL trainer's cosine-schedule Adam) — restore without a template
+        # and keep only the weights
+        restored = ckptr.restore(path)
+        state = TrainState(
+            params=jax.tree.map(jnp_like, template_state.params, restored["params"]),
+            batch_stats=jax.tree.map(
+                jnp_like, template_state.batch_stats, restored["batch_stats"]
+            ),
+            opt_state=template_state.opt_state,
+            step=template_state.step,
+        )
+        rng_key = jax.random.wrap_key_data(
+            np.asarray(restored["rng_key"], np.uint32)
+        )
+        return state, meta, rng_key
     template = {
         "params": template_state.params,
         "batch_stats": template_state.batch_stats,
@@ -84,13 +112,12 @@ def load_checkpoint(
         "step": template_state.step,
         "rng_key": np.zeros((2,), np.uint32),
     }
-    ckptr = ocp.PyTreeCheckpointer()
     restored = ckptr.restore(path, item=template)
     state = TrainState(
         params=restored["params"],
         batch_stats=restored["batch_stats"],
-        opt_state=template_state.opt_state if skip_optimizer else restored["opt_state"],
-        step=template_state.step if skip_optimizer else restored["step"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
     )
     rng_key = jax.random.wrap_key_data(np.asarray(restored["rng_key"], np.uint32))
     return state, meta, rng_key

@@ -315,9 +315,19 @@ class SelfPlayTrainer:
         path = self.latest_checkpoint()
         if path is None:
             return
-        self.state, meta, self.rng = load_checkpoint(
-            path, self.state, architecture=self.config.model.architecture
+        meta = load_meta(path)
+        from_sl = meta.get("phase") == "sl"
+        # SL warm start: load weights only, discard the SL optimizer, start
+        # at epoch 0 (reference katago_loop.py:777-785)
+        self.state, meta, rng = load_checkpoint(
+            path, self.state, architecture=self.config.model.architecture,
+            skip_optimizer=from_sl,
         )
+        if from_sl:
+            self.epoch = 0
+            logger.info("warm-started from SL checkpoint %s (optimizer reset)", path)
+            return
+        self.rng = rng
         self.epoch = meta["epoch"]
         lr = meta.get("learning_rate")
         if lr:

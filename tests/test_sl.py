@@ -1,0 +1,197 @@
+"""SL pipeline: parsers, USI->action geometry, real encoder, shards,
+trainer, and the SL -> RL transition."""
+
+import copy
+
+import numpy as np
+import pytest
+
+from keisei_tpu.sl.dataset import RECORD_SIZE, SLDataset, write_meta, write_shard
+from keisei_tpu.sl.encode import GameEncoder, usi_to_action
+from keisei_tpu.sl.parsers import (
+    CSAParser,
+    GameFilter,
+    GameOutcome,
+    SFENParser,
+)
+from keisei_tpu.sl.prepare import prepare_sl_data
+
+SFEN_GAME = """\
+result:win_black
+black_rating:2000
+startpos
+7g7f
+3c3d
+8h2b+
+3a2b
+B*4e
+
+result:draw
+startpos
+2g2f
+8c8d
+"""
+
+CSA_GAME = """\
+V2.2
+N+PlayerBlack
+N-PlayerWhite
+PI
++
++7776FU
+-3334FU
++8822UM
+-3122GI
++0045KA
+%TORYO
+"""
+
+
+class TestParsers:
+    def test_sfen_blocks(self, tmp_path):
+        f = tmp_path / "games.sfen"
+        f.write_text(SFEN_GAME)
+        records = list(SFENParser().parse(f))
+        assert len(records) == 2
+        assert records[0].outcome == GameOutcome.WIN_BLACK
+        assert records[0].metadata["black_rating"] == "2000"
+        assert [m.move_usi for m in records[0].moves] == [
+            "7g7f", "3c3d", "8h2b+", "3a2b", "B*4e",
+        ]
+        assert records[1].outcome == GameOutcome.DRAW
+
+    def test_csa_to_usi(self, tmp_path):
+        f = tmp_path / "game.csa"
+        f.write_text(CSA_GAME)
+        records = list(CSAParser().parse(f))
+        assert len(records) == 1
+        rec = records[0]
+        assert [m.move_usi for m in rec.moves] == [
+            "7g7f", "3c3d", "8h2b+", "3a2b", "B*4e",
+        ]
+        # %TORYO after 5 moves: white (to move) resigns... mover count odd ->
+        # black just moved -> side to move is white -> white resigns
+        assert rec.outcome == GameOutcome.WIN_BLACK
+
+    def test_game_filter(self, tmp_path):
+        f = tmp_path / "games.sfen"
+        f.write_text(SFEN_GAME)
+        records = list(SFENParser().parse(f))
+        assert GameFilter(min_ply=3).accepts(records[0])
+        assert not GameFilter(min_ply=10).accepts(records[0])
+        assert not GameFilter(min_ply=1, min_rating=2500).accepts(records[0])
+
+
+class TestUSIGeometry:
+    def test_roundtrip_against_spectator_decode(self):
+        from keisei_tpu.env.spectator_data import decode_action_np, move_usi
+
+        rng = np.random.default_rng(3)
+        for _ in range(300):
+            action = int(rng.integers(0, 11259))
+            stm = int(rng.integers(0, 2))
+            is_drop, frm, to, promote, piece = decode_action_np(action, stm)
+            if not is_drop and (to < 0 or to > 80 or frm == to):
+                continue  # off-board geometry
+            usi = move_usi(action, stm)
+            assert usi_to_action(usi, stm) == action, (usi, stm)
+
+
+@pytest.mark.integration
+class TestEncoder:
+    def test_real_encoding_of_known_game(self, tmp_path):
+        f = tmp_path / "games.sfen"
+        f.write_text(SFEN_GAME)
+        records = list(SFENParser().parse(f))
+        enc = GameEncoder(batch_games=4)
+        obs, pol, val, score, stats = enc.encode_games(records)
+        assert stats["positions"] == 7  # 5 + 2 plies, all legal
+        assert stats["dropped_moves"] == 0
+        # observations are REAL (startpos has 40 piece planes set)
+        assert obs[0].sum() > 30
+        # value cats alternate with mover for win_black
+        assert val[0] == 0 and val[1] == 2 and val[2] == 0
+        assert val[5] == 1 and val[6] == 1  # draw game
+        # policy targets are the played actions
+        assert pol[0] == usi_to_action("7g7f", 0)
+        assert pol[1] == usi_to_action("3c3d", 1)
+        # score target: startpos material balance is 0
+        assert score[0] == 0.0
+        # after black captures the bishop (8h2b+), black is up material
+        assert score[3] < 0 or score[2] != 0  # white to move sees deficit
+
+    def test_illegal_tail_dropped(self, tmp_path):
+        bad = "result:win_black\nstartpos\n7g7f\n7g7f\n"  # second move illegal
+        f = tmp_path / "bad.sfen"
+        f.write_text(bad)
+        records = list(SFENParser().parse(f))
+        obs, pol, val, score, stats = GameEncoder(batch_games=2).encode_games(records)
+        assert stats["positions"] == 1
+        assert stats["dropped_moves"] == 1
+
+
+@pytest.mark.integration
+class TestShardsAndTraining:
+    def _prepare(self, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        (src / "games.sfen").write_text(SFEN_GAME)
+        out = tmp_path / "shards"
+        summary = prepare_sl_data(
+            [str(src)], str(out), min_ply=2, shard_size=5, batch_games=4,
+        )
+        return out, summary
+
+    def test_prepare_writes_real_shards(self, tmp_path):
+        out, summary = self._prepare(tmp_path)
+        assert summary["positions"] == 7
+        shards = sorted(out.glob("shard_*.bin"))
+        assert len(shards) == 2  # 5 + 2 with shard_size=5
+        assert shards[0].stat().st_size == 5 * RECORD_SIZE
+        ds = SLDataset(str(out))
+        assert len(ds) == 7
+        rec = ds[0]
+        assert rec["observation"].sum() > 30  # real, not placeholder
+        assert rec["value_target"] in (0, 1, 2)
+        assert not ds.meta["placeholder"]
+
+    def test_placeholder_guard(self, tmp_path):
+        out = tmp_path / "ph"
+        out.mkdir()
+        write_shard(out / "shard_00000.bin",
+                    np.zeros((2, 4050), np.float32),
+                    np.zeros(2, np.int64), np.zeros(2, np.int64),
+                    np.zeros(2, np.float32))
+        write_meta(out, [2], placeholder=True)
+        with pytest.raises(ValueError, match="placeholder"):
+            SLDataset(str(out))
+
+    def test_sl_to_rl_transition(self, tmp_path):
+        out, _ = self._prepare(tmp_path)
+        from keisei_tpu.training.config import config_from_dict
+        from keisei_tpu.training.transition import sl_to_rl
+
+        raw = {
+            "model": {"architecture": "mlp", "params": {"hidden_sizes": [16]}},
+            "training": {
+                "num_games": 2, "max_ply": 16, "steps_per_epoch": 4,
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "algorithm_params": {"batch_size": 8, "epochs_per_batch": 1},
+            },
+        }
+        cfg = config_from_dict(raw)
+        rl = sl_to_rl(sl_data_dir=str(out), sl_epochs=2, rl_config=cfg,
+                      sl_batch_size=4)
+        # warm start: epoch 0, weights loaded from sl_final
+        assert rl.epoch == 0
+        import jax
+        import orbax.checkpoint as ocp
+
+        sl_params = ocp.PyTreeCheckpointer().restore(
+            str(tmp_path / "ckpt" / "sl_final")
+        )["params"]
+        for a, b in zip(jax.tree.leaves(sl_params), jax.tree.leaves(rl.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and it trains
+        em = rl.run_epoch()
+        assert np.isfinite(em.policy_loss)
