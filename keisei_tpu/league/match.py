@@ -49,6 +49,8 @@ class MatchRollout:
     legal_masks: jax.Array  # (T, N, A) bool
     rewards: jax.Array  # (T, N) f32
     dones: jax.Array  # (T, N) bool
+    captured: jax.Array  # (T, N) u8 — hand-piece index or 255
+    term_reason: jax.Array  # (T, N) u8
     mover_color: jax.Array  # (T, N) i32
     a_color: jax.Array  # (N,) i32 — seat assignment for side attribution
 
@@ -84,7 +86,8 @@ def _make_chunk(env_core: EnvCore, model_a, model_b, chunk_steps: int, temperatu
             result = jnp.where(fresh, r, result)
             plies = jnp.where(fresh, out.ply_count, plies)
             done_seen = done_seen | done
-            ys = (obs, actions, masks, out.reward, done, stm)
+            ys = (obs, actions, masks, out.reward, done, stm,
+                  out.captured, out.term_reason)
             return (env_states, out.obs, out.legal_mask, done_seen, result, plies, rng), ys
 
         carry = (env_states, obs, masks, done_seen, result, plies, rng)
@@ -153,7 +156,8 @@ def play_match(
     cat = [jnp.concatenate(parts, axis=0) for parts in zip(*collected)]
     rollout = MatchRollout(
         obs=cat[0], actions=cat[1], legal_masks=cat[2], rewards=cat[3],
-        dones=cat[4], mover_color=cat[5], a_color=a_color,
+        dones=cat[4], mover_color=cat[5], captured=cat[6],
+        term_reason=cat[7], a_color=a_color,
     )
     return match_result, rollout
 

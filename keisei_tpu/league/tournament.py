@@ -106,6 +106,15 @@ class LeagueTournament:
         self.scorer.advance_round()
         self.rounds_played += 1
 
+        # style profiles every 5 rounds (reference tournament.py:291-315)
+        if self.rounds_played % 5 == 0:
+            try:
+                from .style import StyleProfiler
+
+                StyleProfiler(self.store.db_path).recompute_all()
+            except Exception:
+                logger.exception("style profiling failed — continuing")
+
         duration = time.monotonic() - t0
         round_stats = {
             "round_duration_s": duration,
@@ -128,12 +137,10 @@ class LeagueTournament:
         vars_b = self.store.load_variables_cached(b)
         training = is_training_match(a, b) and self.dynamic_trainer is not None
 
-        if training:
-            result, rollout = runner(vars_a, vars_b, seed=epoch * 1000 + a.id,
-                                     collect=True)
-        else:
-            result = runner(vars_a, vars_b, seed=epoch * 1000 + a.id)
-            rollout = None
+        # always collect: feature extraction reads only the small (T, N)
+        # arrays (actions/dones/captured), never pulls observations to host
+        result, rollout = runner(vars_a, vars_b, seed=epoch * 1000 + a.id,
+                                 collect=True)
 
         self.store.record_result(
             a.id, b.id, epoch=epoch,
@@ -147,6 +154,15 @@ class LeagueTournament:
         )
         self.scorer.record_result(a.id, b.id)
         self.scorer.record_round_result(a.id, b.id)
+
+        try:
+            from .features import extract_game_features
+
+            rows = extract_game_features(rollout, a.id, b.id, epoch)
+            if rows:
+                db.write_game_features(self.store.db_path, rows)
+        except Exception:
+            logger.exception("game feature extraction failed — continuing")
 
         if training and rollout is not None:
             for entry, side in ((a, "a"), (b, "b")):

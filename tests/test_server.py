@@ -1,0 +1,143 @@
+"""Dashboard server: WS protocol, init payload, incremental push, commands."""
+
+import asyncio
+import json
+
+import pytest
+
+from keisei_tpu import db
+from keisei_tpu.server.app import DashboardServer
+from keisei_tpu.server.ws_protocol import (
+    WebSocketClosed,
+    accept_key,
+    client_connect,
+    encode_frame,
+)
+
+
+@pytest.fixture
+def db_path(tmp_path):
+    p = str(tmp_path / "obs.db")
+    db.init_db(p)
+    db.write_training_state(p, {
+        "config_json": "{}", "display_name": "t", "model_arch": "mlp",
+        "algorithm_name": "katago_ppo", "started_at": "x",
+    })
+    db.write_metrics(p, {"epoch": 1, "step": 10, "policy_loss": 0.5,
+                         "episodes_completed": 3})
+    return p
+
+
+def run(coro):
+    return asyncio.run(asyncio.wait_for(coro, 30))
+
+
+class TestProtocol:
+    def test_accept_key_rfc_example(self):
+        # RFC 6455 section 1.3 worked example
+        assert accept_key("dGhlIHNhbXBsZSBub25jZQ==") == "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="
+
+    def test_frame_lengths(self):
+        assert encode_frame(0x1, b"x" * 10)[1] == 10
+        f = encode_frame(0x1, b"x" * 500)
+        assert f[1] == 126
+        f = encode_frame(0x1, b"x" * 70000)
+        assert f[1] == 127
+
+
+@pytest.mark.integration
+class TestDashboard:
+    def test_healthz_and_host_allowlist(self, db_path):
+        async def scenario():
+            server = DashboardServer(db_path)
+            srv = await server.start("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+
+            async def http_get(path, host="127.0.0.1"):
+                r, w = await asyncio.open_connection("127.0.0.1", port)
+                w.write(f"GET {path} HTTP/1.1\r\nHost: {host}\r\n\r\n".encode())
+                await w.drain()
+                data = await r.read()
+                w.close()
+                return data
+
+            ok = await http_get("/healthz")
+            assert b"200" in ok.split(b"\r\n")[0]
+            body = json.loads(ok.split(b"\r\n\r\n", 1)[1])
+            assert body["status"] == "ok"
+            assert body["training_alive"] in (True, False)
+
+            bad = await http_get("/healthz", host="evil.example.com")
+            assert b"403" in bad.split(b"\r\n")[0]
+            srv.close()
+            await srv.wait_closed()
+
+        run(scenario())
+
+    def test_ws_init_and_updates(self, db_path):
+        async def scenario():
+            server = DashboardServer(db_path)
+            srv = await server.start("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            ws = await client_connect("127.0.0.1", port)
+
+            init = json.loads(await ws.recv_text())
+            assert init["type"] == "init"
+            assert init["metrics"][0]["policy_loss"] == 0.5
+            assert init["training_state"]["model_arch"] == "mlp"
+            assert "league_entries" in init and "showcase" in init
+
+            # new metrics row -> metrics_update push within the poll interval
+            await asyncio.to_thread(db.write_metrics, db_path, {
+                "epoch": 2, "step": 20, "policy_loss": 0.4,
+            })
+            msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            while msg["type"] not in ("metrics_update",):
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            assert msg["rows"][0]["epoch"] == 2
+
+            # showcase command round-trip
+            await ws.send_json({"type": "request_showcase_match",
+                                "entry_id_1": "1", "entry_id_2": "2",
+                                "speed": "fast"})
+            msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            while msg["type"] not in ("showcase_match_queued", "showcase_error"):
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            assert msg["type"] == "showcase_match_queued"
+
+            # invalid speed -> error
+            await ws.send_json({"type": "request_showcase_match",
+                                "entry_id_1": "1", "entry_id_2": "2",
+                                "speed": "warp"})
+            msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            while msg["type"] != "showcase_error":
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            assert "Invalid speed" in msg["error"]
+
+            await ws.close()
+            srv.close()
+            await srv.wait_closed()
+
+        run(scenario())
+
+    def test_showcase_status_push(self, db_path):
+        from keisei_tpu.db import showcase as sc
+
+        async def scenario():
+            server = DashboardServer(db_path)
+            srv = await server.start("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            ws = await client_connect("127.0.0.1", port)
+            json.loads(await ws.recv_text())  # init
+
+            await asyncio.to_thread(sc.queue_match, db_path, "1", "2", "normal")
+            msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            while msg["type"] != "showcase_status":
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            assert len(msg["queue"]) == 1
+            assert msg["sidecar_alive"] is False
+            await ws.close()
+            srv.close()
+            await srv.wait_closed()
+
+        run(scenario())
