@@ -276,12 +276,15 @@ class VecEnv:
         if n_done:
             self.episodes_completed += n_done
             self.total_episode_ply += int(out.ply_count[done].sum())
-            reasons = out.term_reason[done]
-            rewards = out.reward[done]
+            # ONE draw definition everywhere: terminated with no winner
+            # (covers repetition and double-24 impasse; perpetual check has
+            # a winner) — matches the fused path (rollout.py stats).
             self.episodes_drawn += int(
-                ((reasons == TY.REPETITION) | ((reasons == TY.IMPASSE) & (rewards == 0))).sum()
+                (out.terminated[done] & (out.reward[done] == 0)).sum()
             )
-            self.episodes_truncated += int((reasons == TY.MAX_MOVES).sum())
+            self.episodes_truncated += int(
+                (out.term_reason[done] == TY.MAX_MOVES).sum()
+            )
 
         N, Cn = self.num_envs, self.num_channels
         return StepResult(

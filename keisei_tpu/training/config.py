@@ -49,6 +49,7 @@ class TrainingConfig:
     algorithm: str = "katago_ppo"
     checkpoint_interval: int = 50
     checkpoint_dir: str = "checkpoints/"
+    checkpoint_keep: int = 5  # newest N retained (0 = unlimited)
     observation_mode: str = "katago"  # "default" (46ch) | "katago" (50ch)
     seed: int = 42
     entropy_warmup_epochs: int = 0

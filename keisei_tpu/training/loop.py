@@ -334,6 +334,9 @@ class SelfPlayTrainer:
             self.state = self.state.replace(
                 opt_state=set_learning_rate(self.state.opt_state, lr)
             )
+        if "lr_plateau_best" in meta:
+            self.lr_sched.best = meta["lr_plateau_best"]
+            self.lr_sched.bad_epochs = meta.get("lr_plateau_bad_epochs", 0)
         logger.info("resumed from %s at epoch %d", path, self.epoch)
 
     def save(self, path: str | None = None) -> str:
@@ -349,9 +352,35 @@ class SelfPlayTrainer:
             extra_meta={
                 "learning_rate": get_learning_rate(self.state.opt_state),
                 "model_params": dict(self.config.model.params),
+                # plateau scheduler state so resume doesn't silently reset
+                # its patience counter (VERDICT r1 weak #6)
+                "lr_plateau_best": self.lr_sched.best,
+                "lr_plateau_bad_epochs": self.lr_sched.bad_epochs,
             },
         )
+        self._prune_checkpoints(keep=self.config.training.checkpoint_keep)
         return path
+
+    def _prune_checkpoints(self, keep: int) -> None:
+        """Retain only the newest `keep` epoch checkpoints (0 = keep all).
+        SL warm-start checkpoints (phase=sl) are never pruned."""
+        if keep <= 0:
+            return
+        d = self.config.training.checkpoint_dir
+        entries = []
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            if not os.path.isfile(os.path.join(p, "keisei_meta.json")):
+                continue
+            meta = load_meta(p)
+            if meta.get("phase") == "sl":
+                continue
+            entries.append((meta.get("epoch", -1), p))
+        entries.sort(reverse=True)
+        import shutil
+
+        for _, p in entries[keep:]:
+            shutil.rmtree(p, ignore_errors=True)
 
     # -- training ---------------------------------------------------------------
 
@@ -526,7 +555,20 @@ def main(argv=None):
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
         force=True,  # the TPU platform plugin pre-configures logging at import
     )
+    # multi-host: join the slice before any jax usage; non-main processes
+    # run the same SPMD program but skip DB/checkpoint writes
+    from ..parallel.distributed import get_distributed_context, setup_distributed
+
+    ctx = get_distributed_context()
+    setup_distributed(ctx)
+
     config = load_config(args.config)
+    if not ctx.is_main:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config, display=dataclasses.replace(config.display, db_path="")
+        )
     if args.seed is not None:
         import dataclasses
 

@@ -194,3 +194,34 @@ class TestEndToEnd:
             )
         )
         assert bs_changed
+
+
+class TestDistributedContext:
+    def test_single_process_default(self):
+        from keisei_tpu.parallel.distributed import get_distributed_context
+
+        ctx = get_distributed_context(env={})
+        assert not ctx.is_distributed and ctx.is_main
+
+    def test_env_var_parsing(self):
+        from keisei_tpu.parallel.distributed import get_distributed_context
+
+        ctx = get_distributed_context(env={
+            "KEISEI_COORDINATOR": "10.0.0.1:1234",
+            "KEISEI_NUM_PROCESSES": "4",
+            "KEISEI_PROCESS_ID": "2",
+        })
+        assert ctx.is_distributed and not ctx.is_main
+        assert ctx.num_processes == 4 and ctx.coordinator == "10.0.0.1:1234"
+
+    def test_auto_mode_and_validation(self):
+        import pytest as _pytest
+
+        from keisei_tpu.parallel.distributed import get_distributed_context
+
+        assert get_distributed_context(env={"KEISEI_DISTRIBUTED": "auto"}).is_distributed
+        with _pytest.raises(ValueError, match="out of range"):
+            get_distributed_context(env={
+                "KEISEI_COORDINATOR": "x:1", "KEISEI_NUM_PROCESSES": "2",
+                "KEISEI_PROCESS_ID": "5",
+            })
