@@ -106,17 +106,23 @@ def make_league_rollout(env_core: EnvCore, model, adapter, num_steps: int, k_opp
         return actions, log_probs, values
 
     def opp_forward(opp_vars, obs_flat, masks, rng):
-        """K block forwards via vmap over the stacked opponent params."""
+        """K block forwards, unrolled over the stacked opponent params.
+
+        NOT a vmap: vmapping conv kernels lowers to grouped convolutions
+        and fails whenever K does not divide the channel counts (the
+        11,259-way policy head has 139 output channels). K static forwards
+        of a full (N/K) batch each cost the same FLOPs and keep the MXU
+        shapes identical to the learner's.
+        """
         obs_k = obs_flat.reshape(k_opp, B, -1)
         masks_k = masks.reshape(k_opp, B, A)
         keys = jax.random.split(rng, k_opp)
-
-        def one(variables, o, m, key):
-            a, _, _ = forward(variables, o, m, key)
-            return a
-
-        actions_k = jax.vmap(one)(opp_vars, obs_k, masks_k, keys)
-        return actions_k.reshape(N)
+        actions = []
+        for i in range(k_opp):
+            v_i = jax.tree.map(lambda x: x[i], opp_vars)
+            a, _, _ = forward(v_i, obs_k[i], masks_k[i], keys[i])
+            actions.append(a)
+        return jnp.concatenate(actions)
 
     def rollout(learner_vars: Any, opp_vars: Any, env_states, obs, legal_masks,
                 learner_color, rng):

@@ -140,6 +140,41 @@ class TestLeagueRolloutProtocol:
             st.base.terminated
         )
 
+    def test_conv_model_opponents(self):
+        """Stacked-opponent dispatch must work for CONV models: vmapping
+        conv kernels lowers to grouped convs and fails when K doesn't
+        divide the channel counts (139-ch policy head, K=2)."""
+        from keisei_tpu.training.league_rollout import (
+            make_league_rollout,
+            stack_opponent_variables,
+        )
+        from keisei_tpu.training.value_adapter import get_value_adapter
+
+        n, k, t = 4, 2, 4
+        env_core = EnvCore(num_envs=n, max_ply=16, num_channels=50)
+        model, _ = build_model(
+            "se_resnet",
+            {"num_blocks": 1, "channels": 16, "se_reduction": 4,
+             "global_pool_channels": 8, "policy_channels": 4,
+             "value_fc_size": 16, "score_fc_size": 8},
+        )
+        adapter = get_value_adapter("katago")
+        learner = model.init(jax.random.key(0),
+                             jnp.zeros((2, 50, 9, 9), jnp.float32), train=False)
+        opps = stack_opponent_variables([
+            model.init(jax.random.key(i + 1),
+                       jnp.zeros((2, 50, 9, 9), jnp.float32), train=False)
+            for i in range(k)
+        ])
+        rollout = jax.jit(make_league_rollout(env_core, model, adapter, t, k))
+        env_states, obs, mask = env_core.init()
+        carry, traj, nv, stats = rollout(
+            learner, opps, env_states, obs, mask,
+            jnp.zeros(n, jnp.int32), jax.random.key(5),
+        )
+        assert np.isfinite(np.asarray(nv)).all()
+        assert np.asarray(traj.valid).shape == (t + 1, n)
+
     def test_update_trains_on_league_traj(self):
         n, k, t = 4, 2, 16
         env_core, model, adapter, learner, opps, rollout = build_league(n, k, t)
