@@ -172,6 +172,12 @@ def _flood(sliders: jax.Array, empty: jax.Array) -> jax.Array:
 
     Each direction is an unrolled 8-step shift-propagate on the (9, 9)
     plane; `sliders` is (8, 81) — per-direction slider presence.
+
+    Measured note (docs/profiling-round2.md): a PREFIX/DEST one-hot-matmul
+    reformulation of this flood was tried and is ~25% SLOWER at N=256
+    (1.32 vs 1.04 ms for the whole mask) — the bool shift chain fuses into
+    a handful of VPU ops and was never the bottleneck; the pathological
+    gathers lived in the board-slot block, which IS matmulified.
     """
     e2 = empty.reshape(9, 9)
     att = jnp.zeros((9, 9), dtype=bool)

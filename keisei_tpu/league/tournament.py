@@ -94,7 +94,20 @@ class LeagueTournament:
         pairings = self.scheduler.generate_round(entries)[: self.max_pairings_per_round]
 
         total_games = total_plies = completed = 0
-        for a, b in pairings:
+        # calibration pairings with a shared architecture can run batched
+        # in the slot-partitioned pool; training pairings stay sequential
+        # because they collect rollouts for the dynamic trainer
+        pooled, sequential = self._partition_for_pool(pairings)
+        if pooled:
+            try:
+                g, p, c = self._play_pooled(pooled, epoch)
+                total_games += g
+                total_plies += p
+                completed += c
+            except Exception:
+                logger.exception("pooled round failed — falling back sequential")
+                sequential = pooled + sequential
+        for a, b in sequential:
             try:
                 stats = self._play_pairing(a, b, epoch)
             except Exception:
@@ -130,6 +143,59 @@ class LeagueTournament:
         except Exception:
             logger.exception("tournament stats write failed — continuing")
         return round_stats
+
+    def _partition_for_pool(self, pairings):
+        """(pooled, sequential): calibration pairings sharing one arch+params
+        go to the ConcurrentMatchPool, capped at its slot count."""
+        P = self.config.concurrency.parallel_matches
+        if P <= 1 or not pairings:
+            return [], list(pairings)
+        pooled, sequential = [], []
+        key0 = None
+        for a, b in pairings:
+            _, ka = self._model_for(a)
+            _, kb = self._model_for(b)
+            if (not is_training_match(a, b)) and ka == kb \
+                    and (key0 is None or ka == key0) and len(pooled) < P:
+                key0 = ka
+                pooled.append((a, b))
+            else:
+                sequential.append((a, b))
+        if len(pooled) < 2:  # no batching win for a single pairing
+            return [], list(pairings)
+        return pooled, sequential
+
+    def _play_pooled(self, pooled, epoch: int):
+        from .concurrent import ConcurrentMatchPool
+
+        model, key = self._model_for(pooled[0][0])
+        pool_key = ("__pool__", key)  # the pool pads short rounds itself
+        if pool_key not in self._runners:
+            self._runners[pool_key] = ConcurrentMatchPool(
+                model,
+                parallel_matches=self.config.concurrency.parallel_matches,
+                envs_per_match=self.config.concurrency.envs_per_match,
+            )
+        pool = self._runners[pool_key]
+        pairs_vars = [
+            (self.store.load_variables_cached(a), self.store.load_variables_cached(b))
+            for a, b in pooled
+        ]
+        results, stats = pool.run_round(pairs_vars, seed=epoch * 77)
+        for (a, b), result in zip(pooled, results):
+            self.store.record_result(
+                a.id, b.id, epoch=epoch,
+                wins_a=result.wins_a, wins_b=result.wins_b, draws=result.draws,
+                match_type="tournament", k=self.config.tournament_k_factor,
+                role_elo_k={
+                    Role.FRONTIER_STATIC: self.config.elo.frontier_k,
+                    Role.DYNAMIC: self.config.elo.dynamic_k,
+                    Role.RECENT_FIXED: self.config.elo.recent_k,
+                },
+            )
+            self.scorer.record_result(a.id, b.id)
+            self.scorer.record_round_result(a.id, b.id)
+        return stats.games, stats.total_plies, len(pooled)
 
     def _play_pairing(self, a: OpponentEntry, b: OpponentEntry, epoch: int) -> dict:
         runner = self._runner_for(a, b)

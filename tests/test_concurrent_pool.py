@@ -1,0 +1,52 @@
+"""ConcurrentMatchPool: P pairings in one batch, per-slot attribution."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keisei_tpu.league.concurrent import ConcurrentMatchPool
+from keisei_tpu.league.match import play_match
+from keisei_tpu.models.registry import build_model
+
+
+@pytest.mark.integration
+class TestConcurrentPool:
+    def test_round_matches_sequential_shape(self):
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        vs = [
+            model.init(jax.random.key(i), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                       train=False)
+            for i in range(3)
+        ]
+        pool = ConcurrentMatchPool(model, parallel_matches=2, envs_per_match=4,
+                                   max_ply=64, chunk_steps=32)
+        results, stats = pool.run_round([(vs[0], vs[1]), (vs[1], vs[2])], seed=4)
+        assert len(results) == 2
+        assert stats.pairings == 2
+        for r in results:
+            assert r.games == 4
+            assert r.wins_a + r.wins_b + r.draws == 4
+            assert r.total_plies > 0
+
+    def test_padding_discards_extra_slot(self):
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        v0 = model.init(jax.random.key(0), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                        train=False)
+        v1 = model.init(jax.random.key(1), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                        train=False)
+        pool = ConcurrentMatchPool(model, parallel_matches=3, envs_per_match=2,
+                                   max_ply=48, chunk_steps=24)
+        results, stats = pool.run_round([(v0, v1)], seed=9)
+        assert len(results) == 1 and stats.pairings == 1
+        assert results[0].games == 2
+
+    def test_capacity_enforced(self):
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        v = model.init(jax.random.key(0), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                       train=False)
+        pool = ConcurrentMatchPool(model, parallel_matches=1, envs_per_match=2,
+                                   max_ply=16)
+        with pytest.raises(ValueError, match="capacity"):
+            pool.run_round([(v, v), (v, v)])

@@ -130,3 +130,38 @@ class TestGauntlet:
         assert len(rows) == played
         # anchor's historical elo untouched
         assert store.get_entry(hist.id).elo_historical == 1000.0
+
+
+@pytest.mark.integration
+class TestPooledRound:
+    def test_calibration_pairings_run_pooled(self, store):
+        # 3 frontier entries -> all pairings are calibration (no training)
+        for i in range(3):
+            add_entry(store, Role.FRONTIER_STATIC, seed=i)
+        from keisei_tpu.league.config import ConcurrencyConfig
+
+        cfg = LeagueConfig(
+            tournament_enabled=True, tournament_num_envs=4,
+            concurrency=ConcurrencyConfig(parallel_matches=3, envs_per_match=2),
+        )
+        t = LeagueTournament(store, cfg, max_pairings_per_round=3, min_epoch=0)
+        pairings = t.scheduler.generate_round(store.list_entries())
+        pooled, sequential = t._partition_for_pool(pairings)
+        assert len(pooled) == 3 and sequential == []
+        stats = t.run_round(epoch=5)
+        assert stats["pairings_completed"] == 3
+        assert stats["total_games"] == 6  # 3 pairings x 2 envs
+        data = db.read_league_data(store.db_path)
+        assert len(data["results"]) == 3
+
+    def test_training_pairings_stay_sequential(self, store):
+        d1, d2 = add_entry(store, Role.DYNAMIC, 0), add_entry(store, Role.DYNAMIC, 1)
+        from keisei_tpu.league.config import ConcurrencyConfig
+
+        cfg = LeagueConfig(
+            tournament_enabled=True,
+            concurrency=ConcurrencyConfig(parallel_matches=4),
+        )
+        t = LeagueTournament(store, cfg)
+        pooled, sequential = t._partition_for_pool([(d1, d2)])
+        assert pooled == [] and len(sequential) == 1
