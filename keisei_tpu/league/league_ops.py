@@ -39,6 +39,7 @@ def record_epoch_results(
     epoch: int,
     k_factor: float,
     role_elo_k: dict[str, float],
+    elo_floor: float = 0.0,
 ) -> None:
     """Record learner-vs-cohort outcomes from one rollout epoch: Elo +
     league_results + head-to-head per distinct opponent, and the rolling
@@ -64,6 +65,7 @@ def record_epoch_results(
                 learner_entry_id, opp_id, epoch=epoch,
                 wins_a=w, wins_b=l_, draws=d,
                 match_type="training", k=k_factor, role_elo_k=role_elo_k,
+                elo_floor=elo_floor,
             )
             opp = store.get_entry(opp_id)
             scheduler.record_learner_result(opp.role, won=w > l_)

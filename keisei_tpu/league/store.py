@@ -435,6 +435,7 @@ class OpponentStore:
         match_type: str = "tournament",
         k: float = 32.0,
         role_elo_k: dict[str, float] | None = None,
+        elo_floor: float = 0.0,
     ) -> tuple[float, float]:
         """One transaction: league_results row + composite Elo (majority
         score) + per-role Elo + game counters + head_to_head
@@ -458,6 +459,9 @@ class OpponentStore:
                 ).fetchone()
                 a, b = OpponentEntry.from_row(dict(row_a)), OpponentEntry.from_row(dict(row_b))
                 new_a, new_b = compute_elo_update(a.elo_rating, b.elo_rating, majority, k)
+                # ratings never sink below the configured floor
+                # (LeagueConfig.elo_floor, reference config.py:423)
+                new_a, new_b = max(new_a, elo_floor), max(new_b, elo_floor)
                 conn.execute(
                     "INSERT INTO league_results (epoch, entry_a_id, entry_b_id, "
                     "match_type, role_a, role_b, num_games, wins_a, wins_b, draws, "
@@ -498,6 +502,7 @@ class OpponentStore:
                     upd, _ = compute_elo_update(
                         cur_elo, opp_elo, score, rk.get(opp.role, k)
                     )
+                    upd = max(upd, elo_floor)
                     conn.execute(
                         f"UPDATE league_entries SET {col} = ? WHERE id = ?",
                         (upd, ent.id),

@@ -212,6 +212,7 @@ class LeagueTournament:
             a.id, b.id, epoch=epoch,
             wins_a=result.wins_a, wins_b=result.wins_b, draws=result.draws,
             match_type="tournament", k=self.config.tournament_k_factor,
+            elo_floor=self.config.elo_floor,
             role_elo_k={
                 Role.FRONTIER_STATIC: self.config.elo.frontier_k,
                 Role.DYNAMIC: self.config.elo.dynamic_k,

@@ -481,7 +481,7 @@ class SelfPlayTrainer:
             record_epoch_results(
                 self.store, self.scheduler, self.learner_entry_id,
                 self._cohort, league_stats, self.epoch,
-                lc.elo_k_factor, role_k,
+                lc.elo_k_factor, role_k, elo_floor=lc.elo_floor,
             )
         except Exception:
             logger.exception("league result recording failed — continuing")

@@ -154,3 +154,23 @@ class TestMatchPlay:
         assert res.total_plies > 0
         assert 0.0 <= res.score_a <= 1.0
         assert EvalResult.from_match(res).games == 8
+
+
+class TestEloFloor:
+    def test_ratings_clamped_at_floor(self, store):
+        _, variables = tiny_model()
+        a = store.add_entry(variables, architecture="mlp", model_params={},
+                            created_epoch=0)
+        b = store.add_entry(variables, architecture="mlp", model_params={},
+                            created_epoch=0)
+        import keisei_tpu.db.core as dbcore
+
+        dbcore.execute(store.db_path,
+                       "UPDATE league_entries SET elo_rating = 500.5 WHERE id = ?",
+                       (b.id,))
+        # b loses badly with a 500 floor: rating must not sink below it
+        new_a, new_b = store.record_result(
+            a.id, b.id, epoch=1, wins_a=8, wins_b=0, draws=0, elo_floor=500.0,
+        )
+        assert new_b == 500.0
+        assert store.get_entry(b.id).elo_rating == 500.0
