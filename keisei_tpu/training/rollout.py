@@ -70,7 +70,11 @@ def make_selfplay_rollout(env_core: EnvCore, model, adapter, num_steps: int):
 
             # Truncation bootstrap: -V(terminal_obs) (perspective alternates
             # every ply). Cheap-path: skip the extra forward when no env
-            # truncated this step (katago_loop.py:1496-1521).
+            # truncated this step (katago_loop.py:1496-1521). The predicate
+            # is a SCALAR at scan level (not vmapped), so lax.cond compiles
+            # to a real runtime branch on TPU — the b40c256 forward in the
+            # true branch only executes on the rare steps where some game
+            # actually hit max_ply, not as a select.
             trunc_only = eo.truncated & ~eo.terminated
 
             def with_term_v(_):
