@@ -46,6 +46,11 @@ FROM_RAY_C = np.maximum(FROM_RAY, 0)
 
 # BETWEEN flattened for the pin occupancy matmul: (81*81, 81).
 BETWEEN_FLAT = T.BETWEEN.reshape(81 * 81, 81).astype(np.float32)
+# BETWEEN contracted over the MIDDLE axis for king/target one-hot einsums:
+# BETWEEN_K_FLAT[f*81+t, k] = BETWEEN[f, k, t]. (f, t) vs one-hot of k.
+BETWEEN_K_FLAT = np.transpose(T.BETWEEN, (0, 2, 1)).reshape(81 * 81, 81).astype(np.float32)
+# ALIGNED_DIR as values+1 for one-hot matmuls (0 = unaligned, exact in f32).
+ALIGNED_P1 = (T.ALIGNED_DIR + 1).astype(np.float32)  # (81, 81)
 
 # Direction deltas for the 8 unrolled flood shifts.
 DIR_DELTAS = [tuple(d) for d in T.DIRECTIONS.tolist()]
@@ -100,6 +105,16 @@ SLIDE_OK1_G = np.concatenate([SLIDE_OK1, np.zeros((16, 1), dtype=bool)], axis=1)
 SLIDE_OK0_G = np.concatenate([SLIDE_OK0, np.zeros((16, 1), dtype=bool)], axis=1)
 
 KING_ADJ = T.STEP_ATT[TY.KING, 0]  # (81, 81) king-neighborhood incidence
+KING_ADJ_F = KING_ADJ.astype(np.float32)
+
+
+def _dir_onehot(dir_vals_p1: jax.Array) -> jax.Array:
+    """(81,) direction values (+1 encoding, 0 = unaligned) -> (81, 9)
+    one-hot over [dir 0..7, guard]; unaligned rows map to the guard col."""
+    idx = jnp.clip(dir_vals_p1.astype(jnp.int32) - 1, -1, 7)
+    return (idx[:, None] == jnp.arange(9)[None, :]) & (idx[:, None] >= 0) | (
+        (idx[:, None] < 0) & (jnp.arange(9)[None, :] == 8)
+    )
 
 
 @struct.dataclass
@@ -225,6 +240,17 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
 
     ksq = jnp.argmax(own & (kind == TY.KING))
     oksq = jnp.argmax(opp & (kind == TY.KING))
+    ksq_oh = (own & (kind == TY.KING)).astype(jnp.float32)  # (81,)
+    oksq_oh = (opp & (kind == TY.KING)).astype(jnp.float32)
+
+    # Per-kind side-1/side-0 slide capability by square — shared by the
+    # checkers/pins/drop-mate blocks (a one-hot einsum instead of the
+    # (N, 81)-index gathers XLA serializes; see the board-slot rationale).
+    kind_eq_f = kind_eq.astype(jnp.float32)  # (16, 81)
+    kslide1 = kind_eq_f.T @ jnp.asarray(
+        SLIDE_OK1_G.astype(np.float32)
+    )  # (81, 9): SLIDE_OK1_G[kind[f], :]
+    kslide0 = kind_eq_f.T @ jnp.asarray(SLIDE_OK0_G.astype(np.float32))
 
     # --- opponent attacks with x-ray through our king (for king moves) ---
     opp_steps = _step_attacks(opp_kind, STEP_ATT1_FLAT)
@@ -232,14 +258,18 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     empty_x = empty | (SQ_IOTA == ksq)
     opp_att_x = opp_steps | _flood(opp_sliders, empty_x)
 
-    # --- checkers on our king ---
-    step_to_k = T.STEP_ATT[:, 1, :, :]  # (16, 81, 81) constant
-    step_check = (opp_kind & jnp.asarray(step_to_k)[:, :, ksq]).any(axis=0)  # (81,)
-    aligned_to_k = jnp.asarray(T.ALIGNED_DIR)[:, ksq]  # (81,) dir f->ksq or -1
-    btw_to_k = jnp.asarray(T.BETWEEN)[:, ksq, :]  # (81, 81)
-    btw_to_k_blocked = (btw_to_k & occ[None, :]).any(axis=1)
-    dir_idx = jnp.where(aligned_to_k >= 0, aligned_to_k, 8)
-    slide_cap = jnp.asarray(SLIDE_OK1_G)[kind, dir_idx]  # piece at f slides toward ksq
+    # --- checkers on our king (all ksq lookups via the king one-hot) ---
+    step_to_k = (
+        jnp.asarray(STEP_ATT1_FLAT) @ ksq_oh
+    ).reshape(16, 81)  # STEP_ATT[:, 1, :, ksq]
+    step_check = (opp_kind & (step_to_k > 0.5)).any(axis=0)  # (81,)
+    aligned_to_k = (jnp.asarray(ALIGNED_P1) @ ksq_oh) - 1.0  # (81,) dir f->ksq
+    btw_to_k = (
+        jnp.asarray(BETWEEN_K_FLAT) @ ksq_oh
+    ).reshape(81, 81) > 0.5  # BETWEEN[f, ksq, t]
+    btw_to_k_blocked = (btw_to_k.astype(jnp.float32) @ occ.astype(jnp.float32)) > 0.5
+    dir_oh_k = _dir_onehot(aligned_to_k + 1.0)  # (81, 9)
+    slide_cap = (kslide1 * dir_oh_k).sum(axis=1) > 0.5  # f slides toward ksq
     slide_check = opp & slide_cap & ~btw_to_k_blocked
     checkers = step_check | slide_check
     n_check = checkers.sum()
@@ -252,20 +282,21 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     nonking_allowed = jnp.where(in_check, jnp.where(n_check == 1, check_dest, jnp.zeros(81, bool)), ones81)
 
     # --- pins ---
-    d_ks = jnp.asarray(T.ALIGNED_DIR)[ksq, :]  # (81,) dir ksq->s, -1 unaligned
-    btw_from_king = jnp.asarray(T.BETWEEN)[ksq, :, :]  # (81, 81) between ksq and s
-    king_to_s_clear = ~(btw_from_king & occ[None, :]).any(axis=1)
+    d_ks = (ksq_oh @ jnp.asarray(ALIGNED_P1)) - 1.0  # (81,) dir ksq->s
+    d_ks_i = d_ks.astype(jnp.int32)
     # BTW_OCC[s, t] = any occupied square strictly between s and t
     btw_occ = (BETWEEN_FLAT @ occ.astype(jnp.float32)).reshape(81, 81) > 0.5
+    king_to_s_clear = ~(ksq_oh @ btw_occ.astype(jnp.float32) > 0.5)
     # t is a candidate pinner of s iff: t lies on the continuation of the
     # king->s ray (dir s->t == dir king->s), nothing between s and t, and
     # the opponent piece at t slides along t->king (= opposite direction).
-    same_dir = jnp.asarray(T.ALIGNED_DIR) == d_ks[:, None]  # (81s, 81t)
-    pin_dir_s = jnp.where(d_ks >= 0, (d_ks + 4) % 8, 8)  # (81s,) guarded
-    slide_t = jnp.asarray(SLIDE_OK1_G)[kind]  # (81t, 9)
-    pinner_match = slide_t[:, pin_dir_s].T  # (81s, 81t)
+    same_dir = jnp.asarray(T.ALIGNED_DIR) == d_ks_i[:, None]  # (81s, 81t)
+    pin_dir_oh = _dir_onehot(
+        jnp.where(d_ks_i >= 0, (d_ks_i + 4) % 8, -1).astype(jnp.float32) + 1.0
+    )  # (81s, 9)
+    pinner_match = (kslide1 @ pin_dir_oh.astype(jnp.float32).T).T > 0.5  # (81s, 81t)
     pin_t = same_dir & opp[None, :] & pinner_match & ~btw_occ
-    pinned = own & (kind != TY.KING) & (d_ks >= 0) & king_to_s_clear & pin_t.any(axis=1)
+    pinned = own & (kind != TY.KING) & (d_ks_i >= 0) & king_to_s_clear & pin_t.any(axis=1)
     # A pinned piece's reachable destinations are legal iff they stay on the
     # king ray through the piece: dir(ksq->t) == dir(ksq->s). (Equivalent to
     # the reference's explicit between(king,pinner)+pinner line for every
@@ -358,8 +389,10 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     # deliver pawn-drop check. Test reference semantics (rules.rs:19-162).
     ufz_sq = oksq + 9
     ufz_possible = (oksq // 9) < 8
+    # one-hot of c = oksq + 9: shift the king one-hot south one row
+    c_oh = jnp.concatenate([jnp.zeros(9, jnp.float32), oksq_oh[:-9]])
     ufz = _uchi_fu_zume(
-        own_kind, opp, kind, occ, empty, oksq, jnp.minimum(ufz_sq, 80)
+        own_kind, opp, kind, occ, empty, oksq_oh, c_oh, kslide1, kslide0
     )
     pawn_drop_ok = pawn_drop_ok & ~(
         (SQ_IOTA == ufz_sq) & ufz & ufz_possible
@@ -378,52 +411,59 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     return mask, in_check, n_check
 
 
-def _uchi_fu_zume(own_kind, opp, kind, occ, empty, oksq, c):
-    """Pawn-drop-mate test at square c (= oksq + 9, pre-clipped).
+def _uchi_fu_zume(own_kind, opp, kind, occ, empty, oksq_oh, c_oh, kslide1, kslide0):
+    """Pawn-drop-mate test at square c (= oksq + 9), one-hot addressed.
 
     Replicates rules.rs:19-162 including its quirks: the defender-king
     escape test uses the attack map with the king still in place, and
     capture candidates are only vetted for "dropper still attacks the king
-    after the capture".
+    after the capture". All dynamic-square lookups are one-hot matmuls
+    against ALIGNED_P1 / BETWEEN_K_FLAT / STEP_ATT — TPU gathers keyed by a
+    per-env square serialize (docs/profiling-round2.md).
     """
-    c_oh = SQ_IOTA == c
-    occ_p = occ | c_oh
-    empty_p = empty & ~c_oh
+    c_mask = c_oh > 0.5
+    occ_p = occ | c_mask
+    empty_p = empty & ~c_mask
 
-    # Our full attack map with the pawn placed (pawn attacks oksq by
-    # construction; it may also BLOCK our own slider rays through c).
-    own_kind_p = own_kind.at[TY.PAWN, c].set(True)
-    own_steps_p = _step_attacks(own_kind_p, STEP_ATT0_FLAT)
+    # Our full attack map with the pawn placed. The dropped pawn attacks
+    # exactly oksq (c is directly south of it), so instead of editing
+    # own_kind we OR the king square into our step attacks; the pawn's
+    # BLOCKING effect on our own slider rays flows through empty_p.
+    own_steps = _step_attacks(own_kind, STEP_ATT0_FLAT)
+    own_steps_p = own_steps | (oksq_oh > 0.5)
     own_sliders = _slider_presence(own_kind, SLIDE_OK0)
     own_att_p = own_steps_p | _flood(own_sliders, empty_p)
 
     # 1. King escape: adjacent square not occupied by a defender piece and
     #    not attacked by us (with the pawn in place).
-    adj = jnp.asarray(KING_ADJ)[oksq]  # (81,)
+    adj = (oksq_oh @ jnp.asarray(KING_ADJ_F)) > 0.5  # (81,)
     king_escape = (adj & ~opp & ~own_att_p).any()
 
     # 2. Capture the pawn with a non-king defender.
     #    Candidate must attack c (occupancy includes the pawn — irrelevant
     #    for reaching c itself since BETWEEN is strict).
-    step_to_c = jnp.asarray(T.STEP_ATT)[:, 1, :, :][:, :, c]  # (16, 81)
+    step_to_c = (jnp.asarray(STEP_ATT1_FLAT) @ c_oh).reshape(16, 81) > 0.5
     opp_kind = (kind[None, :] == KIND_IOTA[:, None]) & opp[None, :]
     cand_step = (opp_kind & step_to_c).any(axis=0)
-    aligned_to_c = jnp.asarray(T.ALIGNED_DIR)[:, c]
-    btw_to_c = jnp.asarray(T.BETWEEN)[:, c, :]
-    dir_idx_c = jnp.where(aligned_to_c >= 0, aligned_to_c, 8)
-    cand_slide = opp & jnp.asarray(SLIDE_OK1_G)[kind, dir_idx_c] & ~(btw_to_c & occ_p[None, :]).any(axis=1)
+    aligned_to_c = (jnp.asarray(ALIGNED_P1) @ c_oh)  # (81,) dir f->c, +1 enc
+    dir_oh_c = _dir_onehot(aligned_to_c)
+    cap_to_c = (kslide1 * dir_oh_c).sum(axis=1) > 0.5
+    btw_to_c = (jnp.asarray(BETWEEN_K_FLAT) @ c_oh).reshape(81, 81) > 0.5
+    blocked_to_c = (btw_to_c.astype(jnp.float32) @ occ_p.astype(jnp.float32)) > 0.5
+    cand_slide = opp & cap_to_c & ~blocked_to_c
     cand = (cand_step | cand_slide) & (kind != TY.KING) & opp
 
     # After capturing at c (defender moves from t to c): do we still attack
     # the defender's king? Our pieces are untouched; occupancy loses t.
-    own_steps = _step_attacks(own_kind, STEP_ATT0_FLAT)
-    step_att_on_k = own_steps[oksq]
-    aligned_to_ok = jnp.asarray(T.ALIGNED_DIR)[:, oksq]  # (81s,)
-    dir_idx_ok = jnp.where(aligned_to_ok >= 0, aligned_to_ok, 8)
+    step_att_on_k = (own_steps.astype(jnp.float32) @ oksq_oh) > 0.5  # scalar
+    aligned_to_ok = (jnp.asarray(ALIGNED_P1) @ oksq_oh)  # (81s,) +1 enc
+    dir_oh_ok = _dir_onehot(aligned_to_ok)
     own_mask = own_kind.any(axis=0)
-    slider_cap_ok = jnp.asarray(SLIDE_OK0_G)[kind, dir_idx_ok]
+    slider_cap_ok = (kslide0 * dir_oh_ok).sum(axis=1) > 0.5
     s_aligned = own_mask & slider_cap_ok  # (81s,) our slider aimed at oksq
-    btw_to_ok = jnp.asarray(T.BETWEEN)[:, oksq, :]  # (81s, 81)
+    btw_to_ok = (
+        jnp.asarray(BETWEEN_K_FLAT) @ oksq_oh
+    ).reshape(81, 81) > 0.5  # (81s, 81)
     b0 = (btw_to_ok & occ_p[None, :]).sum(axis=1)  # (81s,) blockers incl. pawn
     # removing candidate t unblocks s iff t was the only blocker
     contains_t = btw_to_ok & occ_p[None, :]  # (81s, 81t) blocker incidence

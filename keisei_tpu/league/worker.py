@@ -68,8 +68,23 @@ class TournamentWorker:
             self.pairings_done,
         )
 
+    def _stale_cutoff(self) -> int | None:
+        """Expire pairings older than max_staleness_epochs relative to the
+        trainer's current epoch (tournament_runner.py stale expiry)."""
+        try:
+            from .. import db as kdb
+
+            state = kdb.read_training_state(self.store.db_path)
+            if state and state.get("current_epoch") is not None:
+                return int(state["current_epoch"]) - self.config.max_staleness_epochs
+        except Exception:
+            pass
+        return None
+
     def run_once(self, stale_before_epoch: int | None = None) -> int:
         """Claim and play one batch; returns pairings completed."""
+        if stale_before_epoch is None:
+            stale_before_epoch = self._stale_cutoff()
         batch = dbq.claim_next_pairings_batch(
             self.store.db_path, self.worker_id,
             2 * self.parallel_matches, stale_before_epoch,

@@ -419,14 +419,22 @@ class DashboardServer:
 
     # -- lifecycle ---------------------------------------------------------------
 
-    async def start(self, host: str = "127.0.0.1", port: int = 8765):
+    async def start(self, host: str = "127.0.0.1", port: int = 8765,
+                    unix_socket: str | None = None):
         db.init_db(self.db_path)
-        self._server = await asyncio.start_server(self._handle, host, port)
+        if unix_socket:
+            if os.path.exists(unix_socket):
+                os.unlink(unix_socket)
+            self._server = await asyncio.start_unix_server(self._handle, unix_socket)
+        else:
+            self._server = await asyncio.start_server(self._handle, host, port)
         return self._server
 
-    async def serve_forever(self, host: str = "127.0.0.1", port: int = 8765):
-        server = await self.start(host, port)
-        logger.info("dashboard serving on %s:%d (db=%s)", host, port, self.db_path)
+    async def serve_forever(self, host: str = "127.0.0.1", port: int = 8765,
+                            unix_socket: str | None = None):
+        server = await self.start(host, port, unix_socket)
+        logger.info("dashboard serving on %s (db=%s)",
+                    unix_socket or f"{host}:{port}", self.db_path)
         async with server:
             await server.serve_forever()
 
@@ -437,6 +445,8 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--static-dir", default=None)
+    p.add_argument("--unix-socket", default=None,
+                   help="serve on a unix socket instead of TCP (run.sh parity)")
     p.add_argument("--allow-host", action="append", default=[],
                    help="additional allowed Host header values")
     args = p.parse_args(argv)
@@ -446,7 +456,7 @@ def main(argv=None):
         allowed_hosts=DEFAULT_ALLOWED_HOSTS | frozenset(args.allow_host)
         | frozenset({args.host}),
     )
-    asyncio.run(server.serve_forever(args.host, args.port))
+    asyncio.run(server.serve_forever(args.host, args.port, args.unix_socket))
 
 
 if __name__ == "__main__":

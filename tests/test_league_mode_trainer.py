@@ -75,6 +75,7 @@ class TestLeagueModeTrainer:
         data = db.read_league_data(trainer.store.db_path)
         assert isinstance(data["results"], list)
 
+    @pytest.mark.slow
     def test_gauntlet_and_history_fire(self, tmp_path):
         raw = copy.deepcopy(RAW)
         raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
