@@ -9,6 +9,7 @@ domain modules stay declarative.
 
 from __future__ import annotations
 
+import os
 import sqlite3
 from typing import Any
 
@@ -27,6 +28,8 @@ def connect(db_path: str) -> sqlite3.Connection:
 
 def init_db(db_path: str) -> None:
     """Create all tables (idempotent) and stamp/verify the schema version."""
+    parent = os.path.dirname(os.path.abspath(db_path))
+    os.makedirs(parent, exist_ok=True)
     conn = connect(db_path)
     try:
         conn.executescript(DDL)

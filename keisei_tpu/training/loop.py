@@ -555,6 +555,15 @@ def main(argv=None):
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
         force=True,  # the TPU platform plugin pre-configures logging at import
     )
+    # persistent compilation cache: the production-shape programs take
+    # minutes to compile (b40c256 update ~5 min); relaunches and sidecars
+    # should hit the cache instead
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache_dir = os.path.expanduser("~/.cache/keisei-tpu-jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
     # multi-host: join the slice before any jax usage; non-main processes
     # run the same SPMD program but skip DB/checkpoint writes
     from ..parallel.distributed import get_distributed_context, setup_distributed
