@@ -204,10 +204,14 @@ class VecEnv:
         self.episodes_truncated = 0
         self.total_episode_ply = 0
 
-        # per-env USI move history for spectator data (the reference records
-        # Hodges via its legal-moves cache, vec_env.rs:696-701; full Hodges
-        # disambiguation lives in SpectatorEnv where N = 1)
-        self._move_history: list[list[str]] = [[] for _ in range(num_envs)]
+        # per-env move history for spectator data, stored as raw
+        # (action, stm) pairs and rendered to USI lazily in
+        # get_spectator_data so the hot step loop pays no string cost
+        # (the reference records Hodges via its legal-moves cache,
+        # vec_env.rs:696-701; full Hodges lives in SpectatorEnv where N = 1)
+        self._move_history: list[list[tuple[int, int]]] = [
+            [] for _ in range(num_envs)
+        ]
         self._last_reason = np.zeros(num_envs, dtype=np.uint8)
 
     # -- helpers ------------------------------------------------------------
@@ -269,9 +273,10 @@ class VecEnv:
 
         done = out.terminated | out.truncated
         for i in range(self.num_envs):
-            self._move_history[i].append(move_usi(int(spatial[i]), int(pre_stm[i])))
             if done[i]:
                 self._move_history[i] = []
+            else:
+                self._move_history[i].append((int(spatial[i]), int(pre_stm[i])))
         n_done = int(done.sum())
         if n_done:
             self.episodes_completed += n_done
@@ -344,7 +349,7 @@ class VecEnv:
             build_spectator_dict(
                 boards[i], hands[i], int(stms[i]), int(plys[i]),
                 reason=TY.NOT_TERMINATED, winner=-1, in_check=bool(checks[i]),
-                move_history=self._move_history[i],
+                move_history=[move_usi(a, s) for a, s in self._move_history[i]],
             )
             for i in range(self.num_envs)
         ]

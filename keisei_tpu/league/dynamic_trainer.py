@@ -135,7 +135,8 @@ class DynamicTrainer:
             optax.clip_by_global_norm(config.grad_clip),
             optax.adam(learner_lr * config.lr_scale),
         )
-        self._update_fn = None  # built lazily (needs model)
+        self._update_fns: dict[int, object] = {}  # keyed by id(self.model)
+        self.architecture: str | None = None  # set to gate entries by arch
         self._buffers: dict[int, deque] = {}
         self._match_counts: dict[int, int] = {}
         self._error_counts: dict[int, int] = {}
@@ -244,6 +245,12 @@ class DynamicTrainer:
         """Run one training update if gates allow. Returns True on success."""
         if not self.should_update(entry.id):
             return False
+        if self.architecture is not None and entry.architecture != self.architecture:
+            logger.info(
+                "dynamic entry %d arch %s != trainer arch %s — skipping",
+                entry.id, entry.architecture, self.architecture,
+            )
+            return False
         try:
             return self._update_inner(entry, seed)
         except Exception:
@@ -268,11 +275,12 @@ class DynamicTrainer:
             entry, template=self.optimizer.init(variables["params"])
         ) or self.optimizer.init(variables["params"])
 
-        if self._update_fn is None:
-            self._update_fn = _make_update_fn(
+        key = id(self.model)
+        if key not in self._update_fns:
+            self._update_fns[key] = _make_update_fn(
                 self.model, self.config, self.optimizer, contract=self.contract
             )
-        new_vars, opt_state, metrics = self._update_fn(
+        new_vars, opt_state, metrics = self._update_fns[key](
             variables, opt_state, batch, jax.random.key(seed)
         )
         pl = float(metrics["policy_loss"])

@@ -58,7 +58,9 @@ def extract_game_features(
     slots = actions % 139
     sources = actions // 139
     is_drop = slots >= 132
-    is_promo = (slots >= 64) & (slots < 132)
+    # slide promotions are slots 64-127; knight promotions are the ODD
+    # knight slots (129, 131) — 128/130 are plain jumps
+    is_promo = ((slots >= 64) & (slots < 128)) | (slots == 129) | (slots == 131)
 
     rows: list[dict] = []
     for n in range(N):

@@ -129,13 +129,14 @@ class HistoricalGauntlet:
         store: OpponentStore,
         config: GauntletConfig,
         historical_k: float = 12.0,
-        num_envs: int = 16,
+        num_envs: int | None = None,
         max_ply: int = 512,
     ):
         self.store = store
         self.config = config
         self.historical_k = historical_k
-        self.num_envs = num_envs
+        # one env per gauntlet game (games_per_matchup is the config knob)
+        self.num_envs = num_envs if num_envs is not None else config.games_per_matchup
         self.max_ply = max_ply
         self._runners: dict[tuple, object] = {}
         self._models: dict[str, object] = {}

@@ -44,9 +44,9 @@ class MatchRollout:
     are (T, N, ...); `mover_color` is the seat that chose each action and
     `rewards` are last-mover perspective."""
 
-    obs: jax.Array  # (T, N, C, 81) f32
+    obs: jax.Array | None  # (T, N, C, 81) f32 (None in light collection)
     actions: jax.Array  # (T, N) i32
-    legal_masks: jax.Array  # (T, N, A) bool
+    legal_masks: jax.Array | None  # (T, N, A) bool (None in light collection)
     rewards: jax.Array  # (T, N) f32
     dones: jax.Array  # (T, N) bool
     captured: jax.Array  # (T, N) u8 — hand-piece index or 255
@@ -111,13 +111,15 @@ def play_match(
     seed: int = 0,
     env_core: EnvCore | None = None,
     chunk_fn=None,
-    collect: bool = False,
+    collect: bool | str = False,
 ) -> MatchResult | tuple[MatchResult, MatchRollout]:
     """Play `num_games` A-vs-B games; A holds Black in even-indexed envs.
 
     Pass a prebuilt (env_core, chunk_fn) pair to reuse compilations across
     matches (the tournament loop does this). With collect=True, also return
-    the full (T, N) transition record for Dynamic-entry training.
+    the full (T, N) transition record for Dynamic-entry training;
+    collect="light" keeps only the small per-step arrays (for feature
+    extraction) and drops observations/masks chunk by chunk.
     """
     core = env_core or EnvCore(num_games, max_ply, num_channels)
     N = core.num_envs
@@ -137,7 +139,9 @@ def play_match(
             vars_a, vars_b, env_states, obs, masks, a_color, done_seen,
             result, plies, rng,
         )
-        if collect:
+        if collect == "light":
+            collected.append((None, *ys[1:2], None, *ys[3:]))
+        elif collect:
             collected.append(ys)
         if bool(done_seen.all()):
             break
@@ -153,7 +157,10 @@ def play_match(
     )
     if not collect:
         return match_result
-    cat = [jnp.concatenate(parts, axis=0) for parts in zip(*collected)]
+    cat = [
+        None if parts[0] is None else jnp.concatenate(parts, axis=0)
+        for parts in zip(*collected)
+    ]
     rollout = MatchRollout(
         obs=cat[0], actions=cat[1], legal_masks=cat[2], rewards=cat[3],
         dones=cat[4], mover_color=cat[5], captured=cat[6],

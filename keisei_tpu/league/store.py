@@ -252,6 +252,7 @@ class OpponentStore:
     ) -> OpponentEntry:
         """Snapshot `variables` into the pool. Weights land on disk before
         the row commits."""
+        entry_id = None
         with self._lock:
             conn = db.connect(self.db_path)
             try:
@@ -281,7 +282,8 @@ class OpponentStore:
                 conn.commit()
             except Exception:
                 conn.rollback()
-                shutil.rmtree(self._entry_dir(entry_id), ignore_errors=True)
+                if entry_id is not None:
+                    shutil.rmtree(self._entry_dir(entry_id), ignore_errors=True)
                 raise
             finally:
                 conn.close()

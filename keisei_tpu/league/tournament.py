@@ -187,6 +187,7 @@ class LeagueTournament:
                 a.id, b.id, epoch=epoch,
                 wins_a=result.wins_a, wins_b=result.wins_b, draws=result.draws,
                 match_type="tournament", k=self.config.tournament_k_factor,
+                elo_floor=self.config.elo_floor,
                 role_elo_k={
                     Role.FRONTIER_STATIC: self.config.elo.frontier_k,
                     Role.DYNAMIC: self.config.elo.dynamic_k,
@@ -203,10 +204,13 @@ class LeagueTournament:
         vars_b = self.store.load_variables_cached(b)
         training = is_training_match(a, b) and self.dynamic_trainer is not None
 
-        # always collect: feature extraction reads only the small (T, N)
-        # arrays (actions/dones/captured), never pulls observations to host
-        result, rollout = runner(vars_a, vars_b, seed=epoch * 1000 + a.id,
-                                 collect=True)
+        # training matches collect the full record (the dynamic trainer
+        # consumes observations); calibration matches collect "light" — only
+        # the small (T, N) arrays feature extraction needs
+        result, rollout = runner(
+            vars_a, vars_b, seed=epoch * 1000 + a.id,
+            collect=True if training else "light",
+        )
 
         self.store.record_result(
             a.id, b.id, epoch=epoch,

@@ -101,9 +101,17 @@ class TournamentWorker:
                 if is_training_match(a, b):
                     # the worker's dynamic trainer needs a model; built per
                     # architecture inside _play_pairing's runner cache — give
-                    # it the pairing's model lazily
+                    # it the pairing's model lazily (the per-model update-fn
+                    # cache keys by id(model), and the arch gate skips
+                    # entries that don't match the pairing's architecture)
+                    from ..models.registry import get_model_contract
+
                     model, _ = self._tourney._model_for(a)
                     self._tourney.dynamic_trainer.model = model
+                    self._tourney.dynamic_trainer.contract = get_model_contract(
+                        a.architecture
+                    )
+                    self._tourney.dynamic_trainer.architecture = a.architecture
                 self._tourney._play_pairing(a, b, pairing["enqueued_epoch"])
                 dbq.mark_pairing_done(self.store.db_path, pairing["id"])
                 done += 1

@@ -167,7 +167,7 @@ class DashboardServer:
         rel = path.lstrip("/").split("?")[0] or "index.html"
         target = (self.static_dir / rel).resolve()
         if (not self.static_dir.is_dir()
-                or not str(target).startswith(str(self.static_dir.resolve()))
+                or not target.is_relative_to(self.static_dir.resolve())
                 or not target.is_file()):
             await self._respond(writer, 404, {"detail": "Not Found"})
             return

@@ -79,8 +79,13 @@ def compute_gae_masked(
     def scan_fn(carry, x):
         gae_c, nv_c = carry
         r, v, nd, vld, o = x
-        nv = jnp.where(jnp.isnan(o), nv_c, o)
-        delta = r + gamma * nv * nd - v
+        has_ov = ~jnp.isnan(o)
+        nv = jnp.where(has_ov, jnp.nan_to_num(o), nv_c)
+        # an explicit override IS the bootstrap (truncation: -V(terminal)),
+        # so it must survive the done-cut that otherwise zeroes it — dones
+        # include truncation in league mode (fixes the dead-override bug)
+        boot = jnp.where(has_ov, 1.0, nd)
+        delta = r + gamma * nv * boot - v
         gae = delta + gamma * lam * nd * gae_c
         adv = jnp.where(vld, gae, 0.0)
         gae_c = jnp.where(vld, gae, gae_c)

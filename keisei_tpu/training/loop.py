@@ -204,6 +204,7 @@ class SelfPlayTrainer:
             learner_lr=self.config.algorithm_params.learning_rate,
             contract=contract,
         )
+        self.dyn_trainer.architecture = self.config.model.architecture
         self.historical = HistoricalLibrary(self.store, lc.history)
         self.gauntlet = HistoricalGauntlet(
             self.store, lc.gauntlet, historical_k=lc.elo.historical_k,
@@ -263,12 +264,14 @@ class SelfPlayTrainer:
         }
         if not any(by_role.values()):
             # no opponents yet: play the learner's own snapshot
-            entry = self.store.get_entry(self.learner_entry_id)
-            cohort = [entry]
+            cohort = [self.store.get_entry(self.learner_entry_id)]
         else:
             cohort = self.scheduler.sample_k_for_learner(by_role, self.K)
-        while len(cohort) < self.K:
-            cohort.append(cohort[len(cohort) % max(len(cohort), 1)])
+            if not cohort:
+                cohort = [self.store.get_entry(self.learner_entry_id)]
+        base = list(cohort)
+        while len(cohort) < self.K:  # cycle the sampled set to fill K blocks
+            cohort.append(base[len(cohort) % len(base)])
         return cohort[: self.K]
 
     # -- state management ------------------------------------------------------
@@ -572,6 +575,15 @@ def main(argv=None):
     setup_distributed(ctx)
 
     config = load_config(args.config)
+    if ctx.is_distributed and config.league is not None and config.league.enabled:
+        # league bookkeeping is host-side and per-process; running it on N
+        # hosts would apply Elo updates N times and diverge cohort sampling.
+        raise NotImplementedError(
+            "league mode is single-host in this build — run multi-host data "
+            "parallelism with [league] disabled, or league training on one "
+            "host (the same constraint as the reference's league-vs-DDP "
+            "incompatibility, katago_loop.py:472-478)"
+        )
     if not ctx.is_main:
         import dataclasses
 

@@ -69,6 +69,24 @@ class TestMaskedGAE:
         # invalid slots produce exactly zero advantage
         assert (np.asarray(sparse[:, 0])[~valid] == 0).all()
 
+    def test_override_survives_done_cut(self):
+        """League truncation slots have dones=True AND an override; the
+        override IS the bootstrap and must not be zeroed by the done cut
+        (regression: the -V(terminal) bootstrap was dead in league mode)."""
+        adv = compute_gae_masked(
+            jnp.asarray([[1.0]]), jnp.asarray([[0.5]]), jnp.asarray([[True]]),
+            jnp.asarray([[True]]), jnp.asarray([9.9]), 0.5, 1.0,
+            next_value_override=jnp.asarray([[2.0]]),
+        )
+        # delta = 1 + 0.5*2.0 - 0.5 = 1.5; chain still cut by done
+        assert float(adv[0, 0]) == pytest.approx(1.5)
+        # terminated slot WITHOUT an override: bootstrap stays zeroed
+        adv2 = compute_gae_masked(
+            jnp.asarray([[1.0]]), jnp.asarray([[0.5]]), jnp.asarray([[True]]),
+            jnp.asarray([[True]]), jnp.asarray([9.9]), 0.5, 1.0,
+        )
+        assert float(adv2[0, 0]) == pytest.approx(0.5)  # 1 + 0 - 0.5
+
     def test_override_used_for_delta(self):
         adv = compute_gae_masked(
             jnp.asarray([[1.0]]), jnp.asarray([[0.5]]), jnp.asarray([[False]]),
