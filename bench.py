@@ -21,6 +21,13 @@ repeated runs (reproducible within ~2% run-to-run).
 
 from __future__ import annotations
 
+import os
+
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    _cache = os.path.expanduser("~/.cache/keisei-tpu-jax")
+    os.makedirs(_cache, exist_ok=True)
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+
 import json
 import statistics
 import time
