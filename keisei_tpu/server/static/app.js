@@ -1,6 +1,15 @@
 /* keisei-tpu dashboard: vanilla JS client for the WS push protocol
  * (server/app.py). Views: training metrics (canvas charts), live boards,
- * league table + Elo history, showcase with match controls. */
+ * league (table, Elo history, matchup matrix, entry detail), showcase
+ * (board + heatmap overlay, win-prob graph, move review, commentary,
+ * queue), about. Header tools: theme, notation, move sounds.
+ *
+ * Component parity with the reference Svelte SPA (webui/src/): Board,
+ * PieceTray (hands), MoveLog (click-to-review), EvalBar, WinProbGraph,
+ * MetricsChart/MetricsGrid, LeagueView (LeagueTable, EntryDetail,
+ * MatchupMatrix, EloChart, event log), ShowcaseView (CommentaryPanel,
+ * MatchControls, MatchQueue, heatmap overlay), AboutView (aboutLevel),
+ * theme/audio/notation stores. */
 "use strict";
 
 // ---------------------------------------------------------------------------
@@ -13,8 +22,49 @@ const S = {
   league: { entries: [], results: [], transitions: [], eloHistory: [],
             styles: [], h2h: [] },
   showcase: { game: null, moves: [], queue: [], alive: false },
+  reviewPly: null,      // null = follow live; else index into showcase.moves
+  selectedEntry: null,  // league entry id for the detail panel
 };
 const MAX_POINTS = 10000;
+
+// ---------------------------------------------------------------------------
+// persisted UI prefs (theme / notation / sound) — reference stores/theme,
+// stores/notation, stores/audio
+// ---------------------------------------------------------------------------
+const prefs = {
+  get theme() { return localStorage.getItem("ktpu-theme") || "dark"; },
+  set theme(v) { localStorage.setItem("ktpu-theme", v); },
+  get notation() { return localStorage.getItem("ktpu-notation") || "kanji"; },
+  set notation(v) { localStorage.setItem("ktpu-notation", v); },
+  get sound() { return localStorage.getItem("ktpu-sound") === "on"; },
+  set sound(v) { localStorage.setItem("ktpu-sound", v ? "on" : "off"); },
+};
+function applyTheme() {
+  document.documentElement.dataset.theme = prefs.theme;
+  document.getElementById("toggle-theme").textContent =
+    prefs.theme === "dark" ? "☾" : "☀";
+}
+function applyNotationBtn() {
+  document.getElementById("toggle-notation").textContent = prefs.notation;
+}
+function applySoundBtn() {
+  document.getElementById("toggle-sound").textContent = prefs.sound ? "🔊" : "🔇";
+}
+
+// move click sound: tiny WebAudio blip, no assets needed
+let audioCtx = null;
+function moveSound() {
+  if (!prefs.sound) return;
+  try {
+    audioCtx = audioCtx || new (window.AudioContext || window.webkitAudioContext)();
+    const o = audioCtx.createOscillator(), g = audioCtx.createGain();
+    o.type = "triangle"; o.frequency.value = 660;
+    g.gain.setValueAtTime(0.08, audioCtx.currentTime);
+    g.gain.exponentialRampToValueAtTime(1e-4, audioCtx.currentTime + 0.09);
+    o.connect(g).connect(audioCtx.destination);
+    o.start(); o.stop(audioCtx.currentTime + 0.1);
+  } catch { /* audio unavailable */ }
+}
 
 // ---------------------------------------------------------------------------
 // websocket with reconnect/backoff
@@ -89,13 +139,20 @@ function dispatch(msg) {
       S.showcase.queue = msg.queue || [];
       S.showcase.alive = !!msg.sidecar_alive;
       if (msg.active_game_id === null) S.showcase.game = null;
-      renderShowcaseStatus();
+      renderShowcaseStatus(); renderQueue();
       break;
-    case "showcase_update":
+    case "showcase_update": {
+      const isNewGame = msg.game && (!S.showcase.game ||
+        msg.game.id !== S.showcase.game.id);
       S.showcase.game = msg.game;
-      S.showcase.moves.push(...(msg.new_moves || []));
+      if (isNewGame) { S.showcase.moves = []; S.reviewPly = null; }
+      if ((msg.new_moves || []).length) {
+        S.showcase.moves.push(...msg.new_moves);
+        moveSound();
+      }
       renderShowcase();
       break;
+    }
     case "ping":
       send({ type: "pong" });
       break;
@@ -105,6 +162,9 @@ function dispatch(msg) {
 // ---------------------------------------------------------------------------
 // tiny canvas line-chart helper
 // ---------------------------------------------------------------------------
+function css(name) {
+  return getComputedStyle(document.documentElement).getPropertyValue(name).trim();
+}
 function drawChart(canvasId, series, opts = {}) {
   const cv = document.getElementById(canvasId);
   if (!cv) return;
@@ -120,13 +180,14 @@ function drawChart(canvasId, series, opts = {}) {
   if (!all.length) { ctx.fillStyle = "#555"; ctx.fillText("no data", w / 2 - 18, h / 2); return; }
   let lo = Math.min(...all), hi = Math.max(...all);
   if (opts.zero) lo = Math.min(lo, 0);
+  if (opts.unit) { lo = Math.min(lo, opts.unit[0]); hi = Math.max(hi, opts.unit[1]); }
   if (lo === hi) { lo -= 1; hi += 1; }
   const xs = series.flatMap(s => s.points.map(p => p[0]));
   const x0 = Math.min(...xs), x1 = Math.max(...xs) || 1;
   const X = x => pad.l + (x - x0) / Math.max(x1 - x0, 1) * (w - pad.l - pad.r);
   const Y = y => pad.t + (1 - (y - lo) / (hi - lo)) * (h - pad.t - pad.b);
   // gridlines + labels
-  ctx.strokeStyle = "#2c333d"; ctx.fillStyle = "#8b96a5"; ctx.font = "10px system-ui";
+  ctx.strokeStyle = css("--line"); ctx.fillStyle = css("--dim"); ctx.font = "10px system-ui";
   for (let i = 0; i <= 3; i++) {
     const y = lo + (hi - lo) * i / 3;
     ctx.beginPath(); ctx.moveTo(pad.l, Y(y)); ctx.lineTo(w - pad.r, Y(y)); ctx.stroke();
@@ -141,6 +202,11 @@ function drawChart(canvasId, series, opts = {}) {
       else ctx.lineTo(X(x), Y(y));
     }
     ctx.stroke();
+  }
+  if (opts.marker != null) {
+    ctx.strokeStyle = css("--accent"); ctx.lineWidth = 1;
+    ctx.beginPath(); ctx.moveTo(X(opts.marker), pad.t);
+    ctx.lineTo(X(opts.marker), h - pad.b); ctx.stroke();
   }
   if (series.length > 1) {
     let lx = pad.l + 4;
@@ -194,6 +260,12 @@ function renderCharts() {
   ], { zero: true });
   drawChart("c-eplen", [seriesOf("avg_episode_length", "#5ae6c8")], { zero: true });
   drawChart("c-gnorm", [seriesOf("gradient_norm", "#e65a8f")]);
+  drawChart("c-wl", [
+    seriesOf("win_rate", "#63c57f", "win"),
+    seriesOf("loss_rate", "#e06c75", "loss"),
+  ], { zero: true });
+  drawChart("c-trunc", [seriesOf("truncation_rate", "#e6a95a")], { zero: true });
+  drawChart("c-episodes", [seriesOf("episodes_completed", "#5aa9e6")], { zero: true });
 }
 
 // ---------------------------------------------------------------------------
@@ -203,26 +275,47 @@ const KANJI = { pawn: "歩", lance: "香", knight: "桂", silver: "銀", gold: "
                 bishop: "角", rook: "飛", king: "玉" };
 const KANJI_P = { pawn: "と", lance: "杏", knight: "圭", silver: "全",
                   bishop: "馬", rook: "龍" };
-function boardHTML(board) {
+const LETTER = { pawn: "P", lance: "L", knight: "N", silver: "S", gold: "G",
+                 bishop: "B", rook: "R", king: "K" };
+function pieceChar(c) {
+  if (prefs.notation === "kanji")
+    return c.promoted ? (KANJI_P[c.type] || KANJI[c.type]) : KANJI[c.type];
+  return (c.promoted ? "+" : "") + (LETTER[c.type] || "?");
+}
+// USI square ("7f") -> cell index (row-major, row 0 = rank a, col 0 = file 9)
+function usiToCell(usi) {
+  const file = usi.charCodeAt(0) - 48, rank = usi.charCodeAt(1) - 97;
+  if (file < 1 || file > 9 || rank < 0 || rank > 8) return -1;
+  return rank * 9 + (9 - file);
+}
+// heat: optional {cellIndex: alpha 0..1}; lastCell: optional index to outline
+function boardHTML(board, heat = null, lastCell = -1) {
   let html = '<div class="grid">';
   for (let i = 0; i < 81; i++) {
     const c = board[i];
-    if (!c) { html += '<div class="sq"></div>'; continue; }
-    const ch = c.promoted ? (KANJI_P[c.type] || KANJI[c.type]) : KANJI[c.type];
-    const cls = "sq" + (c.color === "white" ? " w" : "");
-    html += `<div class="${cls}"><span class="p${c.promoted ? " promoted" : ""}">${ch}</span></div>`;
+    const a = heat ? heat[i] : undefined;
+    const overlay = a != null
+      ? `<span class="heat" style="background:rgba(${css("--heat")},${(0.15 + 0.6 * a).toFixed(2)})"></span>`
+      : "";
+    const lm = i === lastCell ? " lastmove" : "";
+    if (!c) { html += `<div class="sq${lm}">${overlay}</div>`; continue; }
+    const cls = "sq" + (c.color === "white" ? " w" : "") + lm;
+    html += `<div class="${cls}"><span class="p${c.promoted ? " promoted" : ""}">` +
+            `${pieceChar(c)}</span>${overlay}</div>`;
   }
   return html + "</div>";
 }
 function handsHTML(hands) {
+  const pc = (k) => prefs.notation === "kanji" ? KANJI[k] : LETTER[k];
   const fmtSide = (h) => Object.entries(h || {})
-    .filter(([, n]) => n > 0).map(([k, n]) => `${KANJI[k]}×${n}`).join(" ");
+    .filter(([, n]) => n > 0).map(([k, n]) => `${pc(k)}×${n}`).join(" ");
   return `<div class="hands">☗ ${fmtSide(hands.black)} &nbsp; ☖ ${fmtSide(hands.white)}</div>`;
 }
 function renderBoards() {
   if (!views.boards.classList.contains("active")) return;
   const el = document.getElementById("boards");
-  const games = [...S.games.values()].sort((a, b) => a.game_id - b.game_id).slice(0, 12);
+  const count = parseInt(document.getElementById("boards-count").value, 10) || 12;
+  const games = [...S.games.values()].sort((a, b) => a.game_id - b.game_id).slice(0, count);
   el.innerHTML = games.map(g => {
     const board = JSON.parse(g.board_json || "[]");
     const hands = JSON.parse(g.hands_json || "{}");
@@ -243,12 +336,21 @@ function renderLeague() {
   const learnerId = S.training && S.training.learner_entry_id;
   const styleOf = Object.fromEntries(S.league.styles.map(s => [s.checkpoint_id, s.primary_style]));
   tbody.innerHTML = S.league.entries.map(e =>
-    `<tr class="${e.id === learnerId ? "learner" : ""}">
+    `<tr data-entry="${e.id}" class="${e.id === learnerId ? "learner" : ""}${e.id === S.selectedEntry ? " selected" : ""}">
       <td>${e.display_name || "entry " + e.id}${e.id === learnerId ? " ◀" : ""}</td>
       <td>${(e.role || "").replace("_static", "").replace("_fixed", "")}</td>
       <td>${Math.round(e.elo_rating)}</td>
       <td>${e.games_played}</td>
       <td>${styleOf[e.id] || ""}</td></tr>`).join("");
+  for (const tr of tbody.querySelectorAll("tr")) {
+    tr.onclick = () => {
+      const id = parseInt(tr.dataset.entry, 10);
+      S.selectedEntry = S.selectedEntry === id ? null : id;
+      renderLeague();
+    };
+  }
+  renderEntryDetail();
+  renderMatchupMatrix();
 
   // elo history: one series per entry
   const byEntry = new Map();
@@ -271,6 +373,88 @@ function renderLeague() {
     ).join("");
 }
 
+function h2hFor(id) {
+  // normalized (opponent, wins, losses, draws, games) list for entry `id`
+  const rows = [];
+  for (const r of S.league.h2h) {
+    if (r.entry_a_id === id)
+      rows.push({ opp: r.entry_b_id, w: r.wins_a, l: r.wins_b, d: r.draws, g: r.games });
+    else if (r.entry_b_id === id)
+      rows.push({ opp: r.entry_a_id, w: r.wins_b, l: r.wins_a, d: r.draws, g: r.games });
+  }
+  return rows;
+}
+
+function styleCommentary(row) {
+  try {
+    const c = JSON.parse(row.commentary_json || "[]");
+    return Array.isArray(c) ? c.join(" ") : String(c);
+  } catch { return ""; }
+}
+
+function renderEntryDetail() {
+  const panel = document.getElementById("entry-detail");
+  const e = S.league.entries.find(x => x.id === S.selectedEntry);
+  if (!e) { panel.classList.add("hidden"); return; }
+  panel.classList.remove("hidden");
+  const styleRow = S.league.styles.find(s => s.checkpoint_id === e.id);
+  let flavour = [];
+  try { flavour = JSON.parse(e.flavour_facts || "[]"); } catch { /* ignore */ }
+  const names = Object.fromEntries(S.league.entries.map(x => [x.id, x.display_name || "#" + x.id]));
+  const h2h = h2hFor(e.id).sort((a, b) => b.g - a.g).slice(0, 6)
+    .map(r => `${names[r.opp] || "#" + r.opp}: ${r.w}-${r.l}-${r.d}`).join(" · ");
+  const kv = (k, v) => `<span class="k">${k}</span><span>${v ?? "—"}</span>`;
+  panel.innerHTML = `<h4>${e.display_name || "entry " + e.id}</h4>
+    <div class="kv">
+      ${kv("role", e.role)} ${kv("status", e.status)}
+      ${kv("elo (composite)", Math.round(e.elo_rating))}
+      ${kv("elo frontier / dynamic / recent / hist",
+           `${Math.round(e.elo_frontier)} / ${Math.round(e.elo_dynamic)} / ` +
+           `${Math.round(e.elo_recent)} / ${Math.round(e.elo_historical)}`)}
+      ${kv("games", `${e.games_played} (F${e.games_vs_frontier} D${e.games_vs_dynamic} R${e.games_vs_recent})`)}
+      ${kv("created epoch", e.created_epoch)} ${kv("architecture", e.architecture)}
+      ${kv("parent", e.parent_entry_id != null ? names[e.parent_entry_id] || "#" + e.parent_entry_id : "—")}
+      ${kv("lineage", e.lineage_group)} ${kv("protection", e.protection_remaining)}
+      ${kv("dynamic updates", e.update_count)}
+      ${styleRow ? kv("style", `${styleRow.primary_style || ""} — ${styleCommentary(styleRow)}`) : ""}
+      ${h2h ? kv("head-to-head", h2h) : ""}
+    </div>
+    ${flavour.length ? `<div class="flavour">${flavour.join(" · ")}</div>` : ""}`;
+}
+
+function renderMatchupMatrix() {
+  const el = document.getElementById("matchup-matrix");
+  const entries = S.league.entries.slice(0, 12);
+  if (entries.length < 2 || !S.league.h2h.length) {
+    el.innerHTML = '<p style="color:var(--dim);font-size:12px">no matches yet</p>';
+    return;
+  }
+  const key = (a, b) => `${a},${b}`;
+  const map = new Map();
+  for (const r of S.league.h2h) {
+    map.set(key(r.entry_a_id, r.entry_b_id), { w: r.wins_a, l: r.wins_b, d: r.draws, g: r.games });
+    map.set(key(r.entry_b_id, r.entry_a_id), { w: r.wins_b, l: r.wins_a, d: r.draws, g: r.games });
+  }
+  const short = e => (e.display_name || "#" + e.id).split(" ")[0];
+  let html = '<table class="matrix"><tr><th></th>' +
+    entries.map(e => `<th title="${e.display_name || e.id}">${short(e)}</th>`).join("") + "</tr>";
+  for (const a of entries) {
+    html += `<tr><th title="${a.display_name || a.id}">${short(a)}</th>`;
+    for (const b of entries) {
+      if (a.id === b.id) { html += '<td style="background:var(--line)"></td>'; continue; }
+      const r = map.get(key(a.id, b.id));
+      if (!r || !r.g) { html += "<td>·</td>"; continue; }
+      const wr = (r.w + 0.5 * r.d) / r.g;
+      const hue = Math.round(wr * 120);  // 0 red -> 120 green
+      html += `<td style="background:hsla(${hue},45%,40%,0.55)" ` +
+        `title="${short(a)} vs ${short(b)}: ${r.w}-${r.l}-${r.d} (${r.g} games)">` +
+        `${Math.round(wr * 100)}</td>`;
+    }
+    html += "</tr>";
+  }
+  el.innerHTML = html + "</table>";
+}
+
 // ---------------------------------------------------------------------------
 // showcase view
 // ---------------------------------------------------------------------------
@@ -290,27 +474,155 @@ function renderShowcaseStatus() {
   el.innerHTML =
     card("sidecar", S.showcase.alive ? "alive" : "offline") +
     card("queue", S.showcase.queue.length) +
-    (g ? card("match", `${g.name_black || g.entry_id_black} vs ${g.name_white || g.entry_id_white}`) : "");
+    (g ? card("match", `${g.name_black || g.entry_id_black} vs ${g.name_white || g.entry_id_white}`) : "") +
+    (g && g.result ? card("result", g.result) : "");
+}
+function renderQueue() {
+  document.getElementById("sc-queue").innerHTML =
+    S.showcase.queue.map(q =>
+      `<li>#${q.id} ${q.entry_id_1} vs ${q.entry_id_2} · ${q.speed} · ${q.status}</li>`
+    ).join("") || '<li style="border:none">empty</li>';
+}
+// black-perspective win prob from a move row (value_estimate is from the
+// side-to-move's perspective at that ply)
+function blackProb(m) {
+  if (m.value_estimate == null) return null;
+  const v = m.current_player === "black" ? m.value_estimate : -m.value_estimate;
+  return (v + 1) / 2;
+}
+function displayedMove() {
+  const moves = S.showcase.moves;
+  if (!moves.length) return null;
+  const i = S.reviewPly == null ? moves.length - 1
+    : Math.min(S.reviewPly, moves.length - 1);
+  return moves[i];
 }
 function renderShowcase() {
-  renderShowcaseStatus();
+  renderShowcaseStatus(); renderQueue();
   if (!views.showcase.classList.contains("active")) return;
   const moves = S.showcase.moves;
-  const last = moves[moves.length - 1];
+  const m = displayedMove();
   const boardEl = document.getElementById("sc-board");
-  if (last) {
-    boardEl.innerHTML = boardHTML(JSON.parse(last.board_json)) +
-      handsHTML(JSON.parse(last.hands_json));
-    const v = last.value_estimate;
-    if (v != null) {
-      document.getElementById("sc-evalfill").style.width =
-        `${Math.round((v + 1) / 2 * 100)}%`;
+  const slider = document.getElementById("sc-slider");
+  slider.max = Math.max(moves.length - 1, 0);
+  if (S.reviewPly == null) slider.value = slider.max;
+
+  if (m) {
+    // heatmap overlay: {usi: prob} of the policy over moves sharing the
+    // chosen move's source square (runner.build_heatmap)
+    let heat = null;
+    if (document.getElementById("sc-heat").checked && m.move_heatmap_json) {
+      try {
+        const hm = JSON.parse(m.move_heatmap_json);
+        const mx = Math.max(...Object.values(hm), 1e-9);
+        heat = {};
+        for (const [usi, p] of Object.entries(hm)) {
+          const cell = usiToCell(usi.slice(2, 4));
+          if (cell >= 0) heat[cell] = Math.max(heat[cell] || 0, p / mx);
+        }
+      } catch { /* ignore bad json */ }
+    }
+    const usi = m.move_usi || m.usi_notation || "";
+    const dest = usi.length >= 4 ? usiToCell(usi.slice(2, 4)) : -1;
+    boardEl.innerHTML =
+      `<div class="meta">ply ${m.ply} · ${m.current_player} played ${m.usi_notation}` +
+      `${m.in_check ? " · <b>check</b>" : ""}` +
+      `${S.reviewPly != null ? " · <i>review</i>" : ""}</div>` +
+      boardHTML(JSON.parse(m.board_json), heat, dest) +
+      handsHTML(JSON.parse(m.hands_json));
+    const p = blackProb(m);
+    if (p != null) {
+      document.getElementById("sc-evalfill").style.width = `${Math.round(p * 100)}%`;
+      document.getElementById("sc-evaltext").textContent =
+        `black ${(p * 100).toFixed(0)}%`;
     }
   } else {
     boardEl.innerHTML = '<p style="color:var(--dim)">no active showcase game</p>';
   }
+
+  // win-probability graph over plies with a review marker
+  drawChart("c-winprob",
+    [{ color: "#63c57f", points: moves.map(x => [x.ply, blackProb(x)]) }],
+    { unit: [0, 1], marker: m ? m.ply : null });
+
+  // commentary: top policy candidates at the displayed ply
+  const comm = document.getElementById("sc-commentary");
+  let cands = [];
+  if (m && m.top_candidates) {
+    try { cands = JSON.parse(m.top_candidates); } catch { /* ignore */ }
+  }
+  comm.innerHTML = m
+    ? `<h4>Policy preferences · ply ${m.ply}</h4>` +
+      (cands.length ? cands.map(([usi, p]) =>
+        `<div class="cand-bar"><span class="lab">${usi}</span>` +
+        `<span class="bar" style="width:${Math.round(p * 180)}px"></span>` +
+        `<span class="pct">${(p * 100).toFixed(1)}%</span></div>`).join("")
+      : '<span style="color:var(--dim)">no candidate data</span>')
+    : "";
+
+  const idx = m ? moves.indexOf(m) : -1;
   document.getElementById("sc-moves").innerHTML =
-    moves.map(m => `<li>${m.usi_notation}</li>`).join("");
+    moves.map((x, i) =>
+      `<li data-i="${i}" class="${i === idx ? "current" : ""}">${x.usi_notation}</li>`
+    ).join("");
+  for (const li of document.querySelectorAll("#sc-moves li")) {
+    li.onclick = () => {
+      const i = parseInt(li.dataset.i, 10);
+      S.reviewPly = i === moves.length - 1 ? null : i;
+      renderShowcase();
+    };
+  }
+}
+
+// ---------------------------------------------------------------------------
+// about view (reference AboutView + aboutLevel store)
+// ---------------------------------------------------------------------------
+const ABOUT = {
+  simple: `
+    <h2>What am I looking at?</h2>
+    <p>This dashboard watches a computer teach itself <b>shogi</b> (Japanese
+    chess) by playing against itself, millions of games at a time, on a TPU.</p>
+    <ul>
+      <li><b>Training</b> — learning-progress charts. Losses should drift down;
+      entropy measures how "undecided" the policy still is.</li>
+      <li><b>Boards</b> — live positions sampled from the thousands of parallel
+      self-play games.</li>
+      <li><b>League</b> — frozen snapshots of past versions play matches against
+      the current learner so progress is measured against real opponents, not
+      just loss curves. Elo works like in human chess.</li>
+      <li><b>Showcase</b> — watchable exhibition games between any two league
+      members, with the network's win-probability estimate and its preferred
+      moves overlaid.</li>
+    </ul>
+    <p>Pieces point toward their opponent; captured pieces go to the capturer's
+    <i>hand</i> (shown under the board) and can be dropped back onto the board —
+    that's shogi's signature rule.</p>`,
+  technical: `
+    <h2>Architecture</h2>
+    <p>A TPU-native rebuild of the Keisei shogi RL framework: the full rules
+    engine, vectorized environment, PPO training, and league live as
+    <b>one fused JAX program</b> per epoch — the rollout scan alternates a
+    branchless (81×139)-action legality tensor with SE-ResNet policy inference
+    entirely on device.</p>
+    <ul>
+      <li><b>Engine</b>: pure-functional game state; legality via one-hot
+      einsums on the MXU (no make/unmake loops); sennichite, perpetual check,
+      impasse, uchi-fu-zume all inside <code>jit</code>.</li>
+      <li><b>Training</b>: KataGo-style multi-head PPO (WDL value + score lead)
+      with GAE over a <code>lax.scan</code>, bf16 compute, SPMD data parallel
+      over a device mesh.</li>
+      <li><b>League</b>: tiered opponent pool (Frontier / Recent / Dynamic)
+      with role Elo, priority matchmaking, online PPO for Dynamic entries, and
+      historical gauntlets — coordinated through the SQLite WAL bus.</li>
+      <li><b>This UI</b>: a dependency-free SPA over a cursor-based WebSocket
+      push protocol (0.2 s metric deltas, 0.5 s showcase moves).</li>
+    </ul>
+    <p>Flagship model: 40-block × 256-channel SE-ResNet with global-pool bias
+    (~7.65 GFLOP/forward), evaluated once per ply for every parallel game.</p>`,
+};
+function renderAbout() {
+  const lvl = document.getElementById("about-level").value;
+  document.getElementById("about-body").innerHTML = ABOUT[lvl];
 }
 
 // ---------------------------------------------------------------------------
@@ -339,10 +651,39 @@ document.getElementById("sc-cancel").onclick = () => {
                   S.showcase.queue[0];
   if (running) send({ type: "cancel_showcase_match", queue_id: running.id });
 };
+document.getElementById("sc-speed").onchange = (ev) => {
+  const running = S.showcase.queue.find(q => q.status === "running");
+  if (running) send({ type: "change_showcase_speed", queue_id: running.id,
+                      speed: ev.target.value });
+};
+document.getElementById("sc-slider").oninput = (ev) => {
+  const i = parseInt(ev.target.value, 10);
+  S.reviewPly = i >= S.showcase.moves.length - 1 ? null : i;
+  renderShowcase();
+};
+document.getElementById("sc-live").onclick = () => {
+  S.reviewPly = null; renderShowcase();
+};
+document.getElementById("sc-heat").onchange = () => renderShowcase();
+document.getElementById("boards-count").onchange = () => renderBoards();
+document.getElementById("about-level").onchange = () => renderAbout();
+document.getElementById("toggle-theme").onclick = () => {
+  prefs.theme = prefs.theme === "dark" ? "light" : "dark";
+  applyTheme(); renderAll();
+};
+document.getElementById("toggle-notation").onclick = () => {
+  prefs.notation = prefs.notation === "kanji" ? "letters" : "kanji";
+  applyNotationBtn(); renderAll();
+};
+document.getElementById("toggle-sound").onclick = () => {
+  prefs.sound = !prefs.sound;
+  applySoundBtn();
+};
 
 function renderAll() {
   renderStatus(); renderCharts(); renderBoards(); renderLeague();
-  fillShowcaseSelectors(); renderShowcase();
+  fillShowcaseSelectors(); renderShowcase(); renderAbout();
 }
 window.addEventListener("resize", () => { renderCharts(); renderLeague(); });
+applyTheme(); applyNotationBtn(); applySoundBtn();
 connect();

@@ -141,3 +141,50 @@ class TestDashboard:
             await srv.wait_closed()
 
         run(scenario())
+
+
+class TestStaticUI:
+    """Consistency checks between the SPA and its HTML shell (no JS runtime
+    in the image, so this pins the DOM contract the scripts rely on)."""
+
+    @staticmethod
+    def _static_dir():
+        import keisei_tpu.server as srv
+        from pathlib import Path
+        return Path(srv.__file__).parent / "static"
+
+    def test_all_dom_ids_referenced_by_js_exist(self):
+        import re
+        static = self._static_dir()
+        html = (static / "index.html").read_text()
+        js = (static / "app.js").read_text()
+        html_ids = set(re.findall(r'id="([^"]+)"', html))
+        js_ids = set(re.findall(r'getElementById\("([^"]+)"\)', js))
+        missing = js_ids - html_ids
+        assert not missing, f"app.js references ids missing from index.html: {missing}"
+
+    def test_js_braces_balanced(self):
+        """Cheap syntax smoke: delimiters balance outside strings/comments."""
+        src = (self._static_dir() / "app.js").read_text()
+        # strip comments and string/template literals
+        import re
+        src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
+        src = re.sub(r"(^|[^:])//[^\n]*", r"\1", src)
+        src = re.sub(r"`(?:[^`\\]|\\.)*`", "``", src, flags=re.S)
+        src = re.sub(r'"(?:[^"\\]|\\.)*"', '""', src)
+        src = re.sub(r"'(?:[^'\\]|\\.)*'", "''", src)
+        # regex literals (the chart code has none, but be safe about division)
+        for o, c in ("{}", "()", "[]"):
+            assert src.count(o) == src.count(c), f"unbalanced {o}{c}"
+
+    def test_ws_commands_used_by_ui_are_handled(self):
+        static = self._static_dir()
+        js = (static / "app.js").read_text()
+        import re
+        from pathlib import Path
+        import keisei_tpu.server.app as appmod
+        server_src = Path(appmod.__file__).read_text()
+        sent = set(re.findall(r'send\(\{\s*type:\s*"([^"]+)"', js))
+        sent |= set(re.findall(r'send\(\{\s*type:\s*"([^"]+)"', js.replace("\n", " ")))
+        for cmd in sent - {"pong"}:
+            assert f'"{cmd}"' in server_src, f"UI sends unhandled command {cmd!r}"
