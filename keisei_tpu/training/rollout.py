@@ -40,15 +40,26 @@ class RolloutStats:
     total_ply: jax.Array
 
 
-def make_selfplay_rollout(env_core: EnvCore, model, adapter, num_steps: int):
-    """Build rollout(variables, env_states, obs, mask, rng) -> ... (jittable)."""
+def make_selfplay_rollout(
+    env_core: EnvCore, model, adapter, num_steps: int, forward_fn=None
+):
+    """Build rollout(variables, env_states, obs, mask, rng) -> ... (jittable).
+
+    forward_fn optionally replaces `model.apply(vars, obs, train=False)` for
+    all eval forwards in the scan - e.g. the fused Pallas inference path
+    (models/fused_infer.py). Signature: forward_fn(variables, obs4d) -> output
+    satisfying the model contract. Single-device only for the Pallas path.
+    """
     env_step = env_core.step_fn()
     N = env_core.num_envs
     C = env_core.num_channels
+    apply_eval = forward_fn or (
+        lambda variables, obs4d: model.apply(variables, obs4d, train=False)
+    )
 
     def policy_forward(variables, obs_flat, legal_masks, rng):
         obs4d = obs_flat.reshape(N, C, 9, 9)
-        out = model.apply(variables, obs4d, train=False)
+        out = apply_eval(variables, obs4d)
         flat = out.policy_logits.reshape(N, -1).astype(jnp.float32)
         masked = jnp.where(legal_masks, flat, -1e9)
         actions = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
@@ -78,9 +89,7 @@ def make_selfplay_rollout(env_core: EnvCore, model, adapter, num_steps: int):
             trunc_only = eo.truncated & ~eo.terminated
 
             def with_term_v(_):
-                tout = model.apply(
-                    variables, eo.terminal_obs.reshape(N, C, 9, 9), train=False
-                )
+                tout = apply_eval(variables, eo.terminal_obs.reshape(N, C, 9, 9))
                 tv = adapter.scalar_value_blended(tout)
                 return jnp.where(trunc_only, -tv, jnp.nan)
 
@@ -127,7 +136,7 @@ def make_selfplay_rollout(env_core: EnvCore, model, adapter, num_steps: int):
                 traj.values, traj.terminated, traj.next_value_override
             )
         )
-        out = model.apply(variables, obs.reshape(N, C, 9, 9), train=False)
+        out = apply_eval(variables, obs.reshape(N, C, 9, 9))
         next_value = -adapter.scalar_value_blended(out)  # katago_loop.py:1581-1589
 
         stats = jax.tree.map(lambda x: x.sum(axis=0).astype(jnp.int32), stats)
