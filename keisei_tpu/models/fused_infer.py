@@ -85,34 +85,102 @@ def make_fused_forward(
                 batch_tile=bt, interpret=interpret,
             )
 
-        # --- policy head: 1x1 convs are pointwise denses in any layout ---
-        pol = jnp.einsum("hwbc,co->hwbo", x,
-                         p["policy_conv1"]["kernel"][0, 0].astype(bf16))
-        s, b = _bn_affine(p["policy_bn1"], bs["policy_bn1"])
-        pol = jnp.maximum(pol.astype(f32) * s + b, 0.0).astype(bf16)
-        pol = jnp.einsum("hwbo,ok->hwbk", pol,
-                         p["policy_conv2"]["kernel"][0, 0].astype(bf16))
-        pol = pol.astype(f32) + p["policy_conv2"]["bias"]
-        policy = jnp.transpose(pol, (2, 0, 1, 3))          # (B,9,9,139)
+        return _apply_heads(p, bs, x)
 
-        # --- shared global pool -> value / score heads ---
-        xf = x.astype(f32)
-        mean = xf.mean(axis=(0, 1))
-        amax = xf.max(axis=(0, 1))
-        var = jnp.square(xf - mean[None, None]).mean(axis=(0, 1))
-        pool = jnp.concatenate(
-            [mean, amax, jnp.sqrt(var + 1e-10)], axis=-1).astype(bf16)
+    return fwd
 
-        def dense(z, name, dtype):
-            k = p[name]["kernel"].astype(dtype)
-            return z.astype(dtype) @ k + p[name]["bias"].astype(dtype)
 
-        v = jnp.maximum(dense(pool, "value_fc1", bf16), 0)
-        value = dense(v, "value_fc2", f32)
-        sc = jnp.maximum(dense(pool, "score_fc1", bf16), 0)
-        score = dense(sc, "score_fc2", f32)
+def _apply_heads(p: Any, bs: Any, x: jax.Array) -> KataGoOutput:
+    """Policy/value/score heads on a (9, 9, B, C) bf16 trunk output."""
+    bf16, f32 = jnp.bfloat16, jnp.float32
 
-        return KataGoOutput(
-            policy_logits=policy, value_logits=value, score_lead=score)
+    # --- policy head: 1x1 convs are pointwise denses in any layout ---
+    pol = jnp.einsum("hwbc,co->hwbo", x,
+                     p["policy_conv1"]["kernel"][0, 0].astype(bf16))
+    s, b = _bn_affine(p["policy_bn1"], bs["policy_bn1"])
+    pol = jnp.maximum(pol.astype(f32) * s + b, 0.0).astype(bf16)
+    pol = jnp.einsum("hwbo,ok->hwbk", pol,
+                     p["policy_conv2"]["kernel"][0, 0].astype(bf16))
+    pol = pol.astype(f32) + p["policy_conv2"]["bias"]
+    policy = jnp.transpose(pol, (2, 0, 1, 3))          # (B,9,9,139)
+
+    # --- shared global pool -> value / score heads ---
+    xf = x.astype(f32)
+    mean = xf.mean(axis=(0, 1))
+    amax = xf.max(axis=(0, 1))
+    var = jnp.square(xf - mean[None, None]).mean(axis=(0, 1))
+    pool = jnp.concatenate(
+        [mean, amax, jnp.sqrt(var + 1e-10)], axis=-1).astype(bf16)
+
+    def dense(z, name, dtype):
+        k = p[name]["kernel"].astype(dtype)
+        return z.astype(dtype) @ k + p[name]["bias"].astype(dtype)
+
+    v = jnp.maximum(dense(pool, "value_fc1", bf16), 0)
+    value = dense(v, "value_fc2", f32)
+    sc = jnp.maximum(dense(pool, "score_fc1", bf16), 0)
+    score = dense(sc, "score_fc2", f32)
+
+    return KataGoOutput(
+        policy_logits=policy, value_logits=value, score_lead=score)
+
+
+def make_quantized_forward(
+    cfg: SEResNetParams,
+    *,
+    batch_tile: int = 32,
+    interpret: bool = False,
+) -> Callable[[Any, jax.Array], KataGoOutput]:
+    """int8 trunk inference: dynamic per-tile activation quantization +
+    per-output-channel int8 weights on the int8 MXU path (ops/qblock.py).
+
+    ~2x the bf16 forward on the attached chip (docs S9). The input conv
+    and all heads stay bf16; weight quantization is computed from the
+    (loop-invariant) variables, so XLA hoists it out of rollout scans.
+    Opt-in: validate training quality before making this the default.
+    """
+
+    def fwd(variables: Any, obs: jax.Array) -> KataGoOutput:
+        from ..ops.qblock import (
+            pack_quantized,
+            quantize_conv_weights,
+            quantized_gpbias_block,
+            unpack_dequantized,
+        )
+
+        if obs.ndim != 4 or obs.shape[1] != cfg.obs_channels:
+            raise ValueError(
+                f"expected obs (B, {cfg.obs_channels}, 9, 9), got {obs.shape}")
+        n = obs.shape[0]
+        bt = batch_tile if n % batch_tile == 0 else pick_batch_tile(n, batch_tile)
+        p = variables["params"]
+        bs = variables["batch_stats"]
+        bf16, f32 = jnp.bfloat16, jnp.float32
+
+        x = jnp.transpose(obs, (2, 3, 0, 1)).astype(bf16)
+        x = conv3x3_hwbc(x, p["input_conv"]["kernel"],
+                         batch_tile=pick_batch_tile(n), interpret=interpret)
+        s, b = _bn_affine(p["input_bn"], bs["input_bn"])
+        x = jnp.maximum(x.astype(f32) * s + b, 0.0)
+
+        buf, sx = pack_quantized(x, bt)
+        for i in range(cfg.num_blocks):
+            blk = p[f"block{i}"]
+            stats = bs[f"block{i}"]
+            s1, b1 = _bn_affine(blk["bn1"], stats["bn1"])
+            s2, b2 = _bn_affine(blk["bn2"], stats["bn2"])
+            wq1, ws1 = quantize_conv_weights(blk["conv1"]["kernel"])
+            wq2, ws2 = quantize_conv_weights(blk["conv2"]["kernel"])
+            buf, sx = quantized_gpbias_block(
+                buf, sx, wq1, ws1, wq2, ws2,
+                jnp.stack([s1, b1, s2, b2]),
+                blk["gp_fc1"]["kernel"], blk["gp_fc1"]["bias"],
+                blk["gp_fc2"]["kernel"], blk["gp_fc2"]["bias"],
+                blk["se_fc1"]["kernel"], blk["se_fc1"]["bias"],
+                blk["se_fc2"]["kernel"], blk["se_fc2"]["bias"],
+                batch_tile=bt, interpret=interpret,
+            )
+        x = unpack_dequantized(buf, sx, bt).astype(bf16)
+        return _apply_heads(p, bs, x)
 
     return fwd

@@ -57,6 +57,13 @@ class TrainingConfig:
     lr_plateau_factor: float = 0.5
     lr_plateau_patience: int = 50
     lr_min: float = 1e-5
+    # Rollout inference path (se_resnet, single-device TPU only):
+    #   "flax"  - the standard XLA eval forward (default; autodiff twin)
+    #   "fused" - Pallas fused-block bf16 forward (ops/fused_block.py)
+    #   "int8"  - Pallas int8 MXU trunk (ops/qblock.py, ~2x; opt-in until
+    #             an A/B self-play run validates training quality)
+    #   "auto"  - "flax" today; reserved for flipping the default
+    rollout_forward: str = "auto"
 
     def __post_init__(self):
         if self.num_games <= 0:
@@ -69,6 +76,11 @@ class TrainingConfig:
             )
         if self.observation_mode not in ("default", "katago"):
             raise ValueError(f"bad observation_mode {self.observation_mode!r}")
+        if self.rollout_forward not in ("auto", "flax", "fused", "int8"):
+            raise ValueError(
+                f"bad rollout_forward {self.rollout_forward!r} "
+                "(valid: auto, flax, fused, int8)"
+            )
 
     @property
     def effective_steps_per_epoch(self) -> int:

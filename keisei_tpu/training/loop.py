@@ -140,6 +140,13 @@ class SelfPlayTrainer:
         if self.league_enabled:
             from .league_rollout import make_league_rollout
 
+            if tc.rollout_forward not in ("auto", "flax"):
+                raise ValueError(
+                    f"rollout_forward={tc.rollout_forward!r} is not supported "
+                    "in league mode (the split-merge rollout selects per-env "
+                    "opponent params; only the flax forward handles stacked "
+                    "variables)"
+                )
             self.K = config.league.opponents_per_epoch
             if tc.num_games % self.K != 0:
                 raise ValueError(
@@ -153,7 +160,10 @@ class SelfPlayTrainer:
             )
         else:
             self._rollout = jax.jit(
-                make_selfplay_rollout(self.env_core, self.model, self.adapter, self.T)
+                make_selfplay_rollout(
+                    self.env_core, self.model, self.adapter, self.T,
+                    forward_fn=self._rollout_forward_fn(tc.rollout_forward),
+                )
             )
         self._update = jax.jit(
             make_ppo_update(self.model, self.adapter, ap, self.optimizer)
@@ -281,6 +291,35 @@ class SelfPlayTrainer:
         if self.state.batch_stats:
             v["batch_stats"] = self.state.batch_stats
         return v
+
+    def _rollout_forward_fn(self, mode: str):
+        """Resolve the rollout inference path (TrainingConfig.rollout_forward).
+
+        The Pallas paths (fused/int8, models/fused_infer.py) are
+        single-device TPU inference kernels: on other backends or under a
+        mesh they fall back to the flax forward ("auto" silently; explicit
+        requests raise so a misconfigured TPU job fails fast).
+        """
+        if mode in ("auto", "flax"):
+            return None
+        ok = (
+            self.config.model.architecture == "se_resnet"
+            and self.mesh is None
+            and jax.default_backend() == "tpu"
+        )
+        if not ok:
+            raise ValueError(
+                f"rollout_forward={mode!r} needs architecture=se_resnet, "
+                "a single device, and a TPU backend "
+                f"(got arch={self.config.model.architecture!r}, "
+                f"mesh={'yes' if self.mesh else 'no'}, "
+                f"backend={jax.default_backend()!r})"
+            )
+        from ..models.fused_infer import make_fused_forward, make_quantized_forward
+
+        if mode == "fused":
+            return make_fused_forward(self.model_cfg)
+        return make_quantized_forward(self.model_cfg)
 
     def _init_state(self):
         self.rng, k = jax.random.split(self.rng)

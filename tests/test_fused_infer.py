@@ -91,3 +91,73 @@ class TestFusedForward:
         rf = np.asarray(ref.policy_logits).reshape(batch, -1)
         agree = (pf.argmax(1) == rf.argmax(1)).mean()
         assert agree >= 0.9, f"top-1 agreement {agree}"
+
+
+class TestQuantizedForward:
+    """int8 trunk (ops/qblock.py) vs the f32 ground-truth flax forward.
+
+    Tolerances are quantization-sized, not bf16-sized: the criterion is
+    that int8 error stays in the same band as the production bf16 path.
+    """
+
+    @pytest.mark.parametrize("batch,tile", [(32, 32), (64, 32)])
+    def test_close_to_f32_truth(self, tiny_model, batch, tile):
+        from keisei_tpu.models.fused_infer import make_quantized_forward
+
+        model, cfg, variables = tiny_model
+        f32_model, _ = build_model(
+            "se_resnet",
+            {"num_blocks": 2, "channels": 128, "global_pool_channels": 64,
+             "dtype": jnp.float32},
+        )
+        obs = (jax.random.normal(jax.random.key(21), (batch, 50, 9, 9))
+               > 0.8).astype(jnp.float32)
+
+        truth = f32_model.apply(variables, obs, train=False)
+        bf16_ref = model.apply(variables, obs, train=False)
+        qfwd = make_quantized_forward(cfg, batch_tile=tile, interpret=True)
+        got = qfwd(variables, obs)
+
+        t = np.asarray(truth.policy_logits, np.float32).reshape(batch, -1)
+        q = np.asarray(got.policy_logits, np.float32).reshape(batch, -1)
+        r = np.asarray(bf16_ref.policy_logits, np.float32).reshape(batch, -1)
+        scale = np.abs(t).max()
+        q_err = np.abs(q - t).max() / scale
+        bf_err = np.abs(r - t).max() / scale
+        # int8 error within 5x of the bf16 path's own error, and small
+        assert q_err < max(5 * bf_err, 0.08), (q_err, bf_err)
+        agree = (q.argmax(1) == t.argmax(1)).mean()
+        assert agree >= 0.8, f"top-1 agreement vs f32 truth: {agree}"
+
+        v_err = np.abs(np.asarray(got.value_logits)
+                       - np.asarray(truth.value_logits)).max()
+        v_scale = np.abs(np.asarray(truth.value_logits)).max() + 1e-9
+        assert v_err / v_scale < 0.1, v_err
+
+    def test_weight_quantization_roundtrip(self):
+        from keisei_tpu.ops.qblock import quantize_conv_weights
+
+        w = jax.random.normal(jax.random.key(2), (3, 3, 64, 64)) * 0.1
+        wq, ws = quantize_conv_weights(w)
+        assert wq.shape == (3, 192, 64) and wq.dtype == jnp.int8
+        # row d holds [W(d,0); W(d,1); W(d,2)] stacked along K
+        back = wq.reshape(3, 3, 64, 64).astype(jnp.float32) * ws
+        err = float(jnp.abs(back - w).max() / jnp.abs(w).max())
+        assert err < 0.01, err  # 1/254 max per-channel rounding error
+
+    def test_pack_unpack_roundtrip(self):
+        from keisei_tpu.ops.qblock import pack_quantized, unpack_dequantized
+
+        x = jnp.abs(jax.random.normal(jax.random.key(3), (9, 9, 32, 128)))
+        buf, sx = pack_quantized(x, 32)
+        assert buf.shape == (145, 32, 384) and buf.dtype == jnp.int8
+        # margins are zero: band b is nonzero only on rows [12-b, 133-b)
+        assert int(jnp.abs(buf[:10]).max()) == 0
+        assert int(jnp.abs(buf[133:]).max()) == 0
+        assert int(jnp.abs(buf[:12, :, 0:128]).max()) == 0
+        # band consistency: band b at row r equals band 0 at row r+b
+        assert jnp.array_equal(buf[12:120, :, 128:256], buf[13:121, :, 0:128])
+        assert jnp.array_equal(buf[12:120, :, 256:384], buf[14:122, :, 0:128])
+        y = unpack_dequantized(buf, sx, 32)
+        err = float(jnp.abs(y - x).max() / jnp.abs(x).max())
+        assert err < 0.01, err
