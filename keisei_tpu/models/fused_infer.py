@@ -172,8 +172,10 @@ def make_quantized_forward(
             wq1, ws1 = quantize_conv_weights(blk["conv1"]["kernel"])
             wq2, ws2 = quantize_conv_weights(blk["conv2"]["kernel"])
             buf, sx = quantized_gpbias_block(
-                buf, sx, wq1, ws1, wq2, ws2,
-                jnp.stack([s1, b1, s2, b2]),
+                buf, sx, wq1, wq2,
+                # weight scales folded into the BN multipliers (kernel
+                # dequantizes acc * (tile_scale * m) + b in one pass)
+                jnp.stack([s1 * ws1, b1, s2 * ws2, b2]),
                 blk["gp_fc1"]["kernel"], blk["gp_fc1"]["bias"],
                 blk["gp_fc2"]["kernel"], blk["gp_fc2"]["bias"],
                 blk["se_fc1"]["kernel"], blk["se_fc1"]["bias"],

@@ -65,12 +65,13 @@ def _interior_mask() -> jax.Array:
 
 def _qconv_rows(buf_ref, wq_ref, bt: int, ch: int) -> jax.Array:
     """3 contiguous-window int8 row GEMMs (K=3C) -> (121*bt, ch) i32."""
-    acc = jnp.zeros((121 * bt, ch), jnp.int32)
+    acc = None
     for d, off in enumerate(_ROW_OFFSETS):
         win = buf_ref[12 + off: 133 + off].reshape(121 * bt, BANDS * ch)
-        acc = acc + jax.lax.dot_general(
+        dot = jax.lax.dot_general(
             win, wq_ref[d], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
+        acc = dot if acc is None else acc + dot
     return acc
 
 
@@ -82,24 +83,18 @@ def _quantize_tile(v: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
-def _store_banded(ref, yq: jax.Array, ch: int, *, zero_margins) -> None:
+def _store_banded(ref, yq: jax.Array, ch: int) -> None:
     """Write (121, bt, ch) int8 into a (145, bt, BANDS*ch) banded buffer.
 
     Band b at flat row r holds yq[r + b - 12]: store slice
     ref[12-b : 133-b, :, b*ch:(b+1)*ch] = yq. Margins (rows [0,12) and
-    [131,145) — band 2's store starts at row 10 and ends at 131) are
-    zeroed first; stores then overwrite their regions. zero_margins is
-    True (always zero) or a traced bool (zero under pl.when — used for
-    persistent scratch that only needs it on the first grid step).
+    [131,145)) are deliberately left UNWRITTEN (garbage): every margin
+    row only ever contributes to border output positions of the next
+    conv (window row w at offset o feeds output w-o, which for all
+    margin rows lies outside the 9x9 interior), and the interior mask
+    kills those before the pool, the quantizer amax, and the residual.
+    Skipping the zero stores saves ~1.3 MB of VPU writes per tile.
     """
-    def _zero():
-        ref[0:12] = jnp.zeros_like(ref[0:12])
-        ref[131:145] = jnp.zeros_like(ref[131:145])
-
-    if zero_margins is True:
-        _zero()
-    else:
-        pl.when(zero_margins)(_zero)
     for b in range(BANDS):
         ref[12 - b: 133 - b, :, b * ch: (b + 1) * ch] = yq
 
@@ -108,10 +103,9 @@ def _qblock_kernel(
     x_ref,        # (145,bt,3C) int8 banded padded-flat
     sx_ref,       # (G,1) f32 per-tile input scales        [SMEM, full]
     wq1_ref,      # (3,3C,C) int8 row-packed
-    ws1_ref,      # (1,C) f32 per-out-channel conv1 weight scales
     wq2_ref,      # (3,3C,C) int8
-    ws2_ref,      # (1,C) f32
-    bn_ref,       # (4,C) f32: s1,b1,s2,b2
+    bn_ref,       # (4,C) f32: m1=s1*ws1, b1, m2=s2*ws2, b2 (weight scales
+                  #   folded into the BN affine by the host caller)
     gp1w_ref,     # (3C,gpc) bf16
     gp1b_ref,     # (1,gpc) f32
     gp2w_ref,     # (gpc,C) bf16
@@ -131,13 +125,9 @@ def _qblock_kernel(
     i = pl.program_id(0)
     sx = sx_ref[i, 0]
 
-    # conv1 (int8, K=3C) -> dequant -> bn affine -> relu
-    acc1 = _qconv_rows(x_ref, wq1_ref, bt, ch).reshape(121, bt, ch)
-    deq1 = sx * ws1_ref[...]                          # (1,C)
-    h = acc1.astype(f32) * deq1[None]
-    h = jnp.maximum(h * bn_ref[0:1][None] + bn_ref[1:2][None], 0.0)
-
-    # global-pool bias from the (dequantized) block input, interior only
+    # global-pool bias from the (dequantized) block input, interior only.
+    # Issued BEFORE conv1 so this VPU work has no dependency on the MXU
+    # dots and the scheduler is free to overlap them.
     xf = x_ref[12:133, :, 0:ch].astype(f32) * sx      # (121,bt,C) band 0
     xm = xf * mask
     mean = xm.sum(axis=0) / 81.0                      # (bt,C)
@@ -150,14 +140,17 @@ def _qblock_kernel(
     g2 = jax.lax.dot_general(
         g.astype(bf16), gp2w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=f32) + gp2b_ref[...]   # (bt,C)
-    h = (h + g2[None]) * mask
 
-    # requantize h -> banded scratch -> conv2 (int8) -> dequant -> bn
+    # conv1 (int8, K=3C) -> folded dequant+bn affine -> relu
+    acc1 = _qconv_rows(x_ref, wq1_ref, bt, ch).reshape(121, bt, ch)
+    h = acc1.astype(f32) * (sx * bn_ref[0:1])[None] + bn_ref[1:2][None]
+    h = (jnp.maximum(h, 0.0) + g2[None]) * mask
+
+    # requantize h -> banded scratch -> conv2 (int8) -> dequant+bn
     hq, sh = _quantize_tile(h)
-    _store_banded(hbuf_ref, hq, ch, zero_margins=pl.program_id(0) == 0)
+    _store_banded(hbuf_ref, hq, ch)
     acc2 = _qconv_rows(hbuf_ref, wq2_ref, bt, ch).reshape(121, bt, ch)
-    z = acc2.astype(f32) * (sh * ws2_ref[...])[None]
-    z = z * bn_ref[2:3][None] + bn_ref[3:4][None]
+    z = acc2.astype(f32) * (sh * bn_ref[2:3])[None] + bn_ref[3:4][None]
 
     # SE scale+shift from the masked spatial mean of z
     zmean = (z * mask).sum(axis=0) / 81.0
@@ -172,7 +165,7 @@ def _qblock_kernel(
 
     y = jnp.maximum(z * scale[None] + shift[None] + xf, 0.0) * mask
     yq, sy = _quantize_tile(y)
-    _store_banded(o_ref, yq, ch, zero_margins=True)
+    _store_banded(o_ref, yq, ch)
     sy_ref[i, 0] = sy
 
 
@@ -181,9 +174,7 @@ def quantized_gpbias_block(
     xbuf: jax.Array,
     sx: jax.Array,
     wq1: jax.Array,
-    ws1: jax.Array,
     wq2: jax.Array,
-    ws2: jax.Array,
     bn_affine: jax.Array,
     gp1_w: jax.Array,
     gp1_b: jax.Array,
@@ -200,8 +191,11 @@ def quantized_gpbias_block(
     """int8 GlobalPoolBias block in banded padded-flat layout.
 
     xbuf (145, B, BANDS*C) int8, sx (B/batch_tile, 1) f32 per-tile input
-    scales. Returns (ybuf (145, B, BANDS*C) int8, sy (B/bt, 1) f32).
-    batch_tile should be a multiple of 32 (int8 sublane tile).
+    scales. bn_affine rows are (m1, b1, m2, b2) with the per-out-channel
+    conv weight scales PRE-FOLDED into the multipliers (m = bn_scale *
+    weight_scale — see models/fused_infer.py). Returns (ybuf (145, B,
+    BANDS*C) int8, sy (B/bt, 1) f32). batch_tile should be a multiple of
+    32 (int8 sublane tile).
     """
     _, n, chb = xbuf.shape
     ch = chb // BANDS
@@ -226,9 +220,7 @@ def quantized_gpbias_block(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (G,1) scales
             pl.BlockSpec((3, BANDS * ch, ch), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ch), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((3, BANDS * ch, ch), const3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ch), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((4, ch), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * ch, gpc), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gpc), const, memory_space=pltpu.VMEM),
@@ -256,7 +248,7 @@ def quantized_gpbias_block(
         interpret=interpret,
     )(
         xbuf, sx.astype(f32),
-        wq1, vec(ws1), wq2, vec(ws2), bn_affine.astype(f32),
+        wq1, wq2, bn_affine.astype(f32),
         gp1_w.astype(bf16), vec(gp1_b), gp2_w.astype(bf16), vec(gp2_b),
         se1_w.astype(bf16), vec(se1_b), se2_w.astype(bf16), vec(se2_b),
     )

@@ -52,7 +52,7 @@ from keisei_tpu.ops.qblock import (  # noqa: E402
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 CH = 256
-BT = 32
+BT = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 T_SHORT, T_LONG, REPEATS = 16, 128, 3
 GOP_PER_BLOCK = 2 * 2 * 9 * 121 * B * CH * CH / 1e9  # counts border tax
 
@@ -73,8 +73,9 @@ def per_step(make_fn):
     return statistics.median(samples)
 
 
-def _convs_kernel(x_ref, wq1_ref, wq2_ref, o_ref, hbuf_ref, *, vpu, gemm):
-    """Stripped block: optional GEMMs, optional minimal VPU requantize."""
+def _convs_kernel(x_ref, wq1_ref, wq2_ref, o_ref, hbuf_ref, *, vpu, gemm,
+                  store=True):
+    """Stripped block: optional GEMMs / VPU requantize / banded stores."""
     bt = x_ref.shape[1]
     ch = x_ref.shape[2] // BANDS
     if gemm:
@@ -86,17 +87,22 @@ def _convs_kernel(x_ref, wq1_ref, wq2_ref, o_ref, hbuf_ref, *, vpu, gemm):
         hq, _ = _quantize_tile(h)
     else:
         hq = (acc1 & 1).astype(jnp.int8)
-    _store_banded(hbuf_ref, hq, ch, zero_margins=pl.program_id(0) == 0)
+    if store:
+        _store_banded(hbuf_ref, hq, ch)
+        src2 = hbuf_ref
+    else:
+        src2 = x_ref
     if gemm:
-        acc2 = _qconv_rows(hbuf_ref, wq2_ref, bt, ch).reshape(121, bt, ch)
+        acc2 = _qconv_rows(src2, wq2_ref, bt, ch).reshape(121, bt, ch)
     else:
-        acc2 = hbuf_ref[12:133, :, 0:ch].astype(jnp.int32)
-    if vpu:
-        y = jnp.maximum(acc2.astype(jnp.float32) * 1e-4, 0.0)
-        yq, _ = _quantize_tile(y)
+        acc2 = src2[12:133, :, 0:ch].astype(jnp.int32)
+    yq = (acc2 & 1 if not vpu else jnp.clip(acc2, -127, 127)).astype(jnp.int8)
+    if store:
+        _store_banded(o_ref, yq, ch)
     else:
-        yq = (acc2 & 1).astype(jnp.int8)
-    _store_banded(o_ref, yq, ch, zero_margins=True)
+        # consume both values (i8 vector arith is unsupported in Mosaic)
+        o_ref[12:133, :, 0:ch] = yq
+        o_ref[13:134, :, 0:ch] = hq
 
 
 def _bf16_kernel(x_ref, wq1_ref, wq2_ref, o_ref, hbuf_ref):
@@ -136,13 +142,16 @@ def make_stripped(variant, T):
     dt = jnp.int8 if i8 else jnp.bfloat16
     chb = BANDS * CH
 
-    if variant == "bf16gemm":
+    if variant == "gemm3d":
+        kern = _convs3d_kernel
+    elif variant == "bf16gemm":
         kern = _bf16_kernel
     else:
         kern = functools.partial(
             _convs_kernel,
             vpu=variant in ("convs", "vpuonly"),
-            gemm=variant in ("convs", "novpu"),
+            gemm=variant in ("convs", "novpu", "gemmonly"),
+            store=variant not in ("gemmonly",),
         )
 
     def call(xbuf, wq1, wq2):
@@ -181,6 +190,74 @@ def make_stripped(variant, T):
     return run
 
 
+def _qconv_rows3d(buf_ref, wq_ref, bt, ch):
+    """Rank-3 window dots: contract channel dim directly, no reshape."""
+    acc = None
+    for d, off in enumerate(_ROW_OFFSETS):
+        win = buf_ref[12 + off: 133 + off]            # (121, bt, 3C)
+        dot = jax.lax.dot_general(
+            win, wq_ref[d], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)          # (121, bt, C)
+        acc = dot if acc is None else acc + dot
+    return acc
+
+
+def _convs3d_kernel(x_ref, wq1_ref, wq2_ref, o_ref, hbuf_ref):
+    """gemmonly but with rank-3 dots (no 2D reshape of the windows)."""
+    bt = x_ref.shape[1]
+    ch = x_ref.shape[2] // BANDS
+    acc1 = _qconv_rows3d(x_ref, wq1_ref, bt, ch)
+    hq = (acc1 & 1).astype(jnp.int8)
+    acc2 = _qconv_rows3d(x_ref, wq2_ref, bt, ch)
+    yq = (acc2 & 1).astype(jnp.int8)
+    o_ref[12:133, :, 0:ch] = yq
+    o_ref[13:134, :, 0:ch] = hq
+
+
+def make_dotrate(T, dtype=jnp.int8):
+    """Pure dependent-dot chain at the conv's M/K: (3872,768)@(768,768).
+
+    No accumulator adds, no stores beyond the final cast — the raw MXU
+    rate Mosaic achieves at these shapes. N=768 (vs the conv's 256) so
+    each dot's output feeds the next dot's input with a single cast.
+    """
+    M, K = 121 * BT, BANDS * CH
+    i8 = dtype == jnp.int8
+    odt = jnp.int32 if i8 else jnp.float32
+    chain = 8
+
+    def kern(x_ref, w_ref, o_ref):
+        x = x_ref[:]
+        for _ in range(chain):
+            o = jax.lax.dot_general(x, w_ref[:], (((1,), (0,)), ((), ())),
+                                    preferred_element_type=odt)
+            x = (o & 1).astype(dtype) if i8 else (o * 1e-3).astype(dtype)
+        o_ref[:] = x
+
+    def call(x, w):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((M, K), dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(x, w)
+
+    @jax.jit
+    def run():
+        x = jnp.ones((M, K), dtype)
+        w = jnp.ones((K, K), dtype)
+
+        def step(x, _):
+            return call(x, w), ()
+
+        x, _ = jax.lax.scan(step, x, None, length=T)
+        return x.astype(jnp.float32)[0, 0]
+
+    # report per-"block": scale so the printed ms is per chain-call and the
+    # rate column is the honest TOP/s of the measured dots
+    return run, 2 * M * K * K * chain / 1e9
+
+
 def make_full(T):
     rng = jax.random.key(0)
     x = jax.random.normal(rng, (9, 9, B, CH))
@@ -189,7 +266,7 @@ def make_full(T):
     wq, ws = quantize_conv_weights(w)
     gpc, sec = 64, 16
     args = dict(
-        wq1=wq, ws1=ws, wq2=wq, ws2=ws,
+        wq1=wq, wq2=wq,
         bn_affine=jnp.ones((4, CH)),
         gp1_w=jnp.ones((3 * CH, gpc)) * 0.01, gp1_b=jnp.zeros((gpc,)),
         gp2_w=jnp.ones((gpc, CH)) * 0.01, gp2_b=jnp.zeros((CH,)),
@@ -214,12 +291,20 @@ def main():
     names = sys.argv[2].split(",") if len(sys.argv) > 2 else [
         "full", "convs", "novpu", "vpuonly", "bf16gemm"]
     for name in names:
-        mk = make_full if name == "full" else functools.partial(
-            make_stripped, name)
+        gop = GOP_PER_BLOCK
+        if name in ("dotrate", "dotrate16"):
+            dt = jnp.int8 if name == "dotrate" else jnp.bfloat16
+            _, gop = make_dotrate(1, dt)
+            mk = lambda T, dt=dt: make_dotrate(T, dt)[0]  # noqa: E731
+            tag = "raw dot chain"
+        else:
+            mk = make_full if name == "full" else functools.partial(
+                make_stripped, name)
+            tag = "incl. border tax"
         t = per_step(lambda T, mk=mk: mk(T))
-        rate = GOP_PER_BLOCK / t / 1e3  # TOP/s
-        print(f"{name:9s}: {t*1e3:7.3f} ms/block  "
-              f"({rate:6.1f} T(FL)OP/s incl. border tax)", flush=True)
+        rate = gop / t / 1e3  # TOP/s
+        print(f"{name:9s}: {t*1e3:7.3f} ms  "
+              f"({rate:6.1f} T(FL)OP/s {tag})", flush=True)
 
 
 if __name__ == "__main__":
