@@ -230,6 +230,10 @@ class LeagueConfig:
     tournament_games_per_match: int = 3
     tournament_k_factor: float = 16.0
     tournament_pause_seconds: float = 1.0
+    # in_process tournaments run synchronously at epoch boundaries on the
+    # SAME chip (the reference's thread assumes a second GPU); gate how
+    # often so match play does not dominate learner wall-clock.
+    tournament_interval_epochs: int = 5
     tournament_mode: str = "in_process"
     dispatcher_max_queue_depth: int = 400
     max_staleness_epochs: int = 50
@@ -257,6 +261,8 @@ class LeagueConfig:
             raise ValueError("league.opponents_per_epoch must be >= 1")
         if self.tournament_mode not in ("in_process", "sidecar"):
             raise ValueError(f"bad tournament_mode {self.tournament_mode!r}")
+        if self.tournament_interval_epochs < 1:
+            raise ValueError("league.tournament_interval_epochs must be >= 1")
 
 
 _SUB_SECTIONS = {

@@ -6,20 +6,30 @@ so the host-side store/DB machinery never leaks into traced functions.
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
+import jax.numpy as jnp
 
-from ..training.league_rollout import stack_opponent_variables
 from .store import OpponentEntry, OpponentStore, Role
 
 logger = logging.getLogger(__name__)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _stack_k(k: int, *leaves_lists):
+    del k  # only keys the jit cache per cohort size
+    return [jnp.stack(xs) for xs in leaves_lists]
+
+
 def stack_cohort_variables(
     store: OpponentStore, cohort: list[OpponentEntry], template: dict
 ):
-    """Load each cohort entry's variables (LRU-cached) and stack along K."""
+    """Load each cohort entry's variables (LRU-cached, device-resident)
+    and stack along K — inside one jitted program so the stack is a single
+    dispatch of device-to-device concats, not hundreds of eager host ops.
+    """
     loaded = [store.load_variables_cached(e, template=template) for e in cohort]
     # normalize batch_stats presence across entries
     def norm(v):
@@ -27,7 +37,11 @@ def stack_cohort_variables(
             return {**v, "batch_stats": template["batch_stats"]}
         return v
 
-    return stack_opponent_variables([norm(v) for v in loaded])
+    loaded = [norm(v) for v in loaded]
+    treedef = jax.tree.structure(loaded[0])
+    leaves = [jax.tree.leaves(v) for v in loaded]
+    stacked = _stack_k(len(loaded), *[list(xs) for xs in zip(*leaves)])
+    return jax.tree.unflatten(treedef, stacked)
 
 
 def record_epoch_results(

@@ -75,8 +75,10 @@ _NAME_TITLES = (
 
 
 def display_name_for(entry_id: int) -> str:
+    # co-prime strides so consecutive ids vary BOTH stem and title
+    # (id//len(stems) kept every early entry on title[0])
     stem = _NAME_STEMS[entry_id % len(_NAME_STEMS)]
-    title = _NAME_TITLES[(entry_id // len(_NAME_STEMS)) % len(_NAME_TITLES)]
+    title = _NAME_TITLES[(entry_id * 5) % len(_NAME_TITLES)]
     return f"{stem} {title}"
 
 
@@ -207,13 +209,21 @@ class OpponentStore:
 
     def load_variables_cached(self, entry: OpponentEntry, template: dict | None = None):
         """LRU-cached variables keyed by (id, update_count) so retrained
-        Dynamic entries are re-read (opponent_store.py:909-930)."""
+        Dynamic entries are re-read (opponent_store.py:909-930).
+
+        Cached trees are device-resident (jax.device_put), mirroring the
+        reference's GPU-side model LRU: repeated cohort sampling then
+        stacks on-device instead of re-uploading host arrays every epoch
+        (on the axon tunnel that upload dominated league rollout time).
+        """
+        import jax
+
         key = (entry.id, entry.update_count)
         with self._lock:
             if key in self._cache:
                 self._cache.move_to_end(key)
                 return self._cache[key]
-        variables = self.load_variables(entry, template)
+        variables = jax.device_put(self.load_variables(entry, template))
         with self._lock:
             self._cache[key] = variables
             while len(self._cache) > self._cache_size:

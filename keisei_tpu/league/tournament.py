@@ -78,6 +78,8 @@ class LeagueTournament:
             return False
         if epoch < self.min_epoch:
             return False
+        if epoch % self.config.tournament_interval_epochs != 0:
+            return False
         return self.store.pool_size() >= self.min_pool
 
     # -- the round ---------------------------------------------------------------

@@ -436,9 +436,17 @@ class SelfPlayTrainer:
             from ..league.league_ops import stack_cohort_variables
 
             self._cohort = self._sample_cohort()
-            opp_vars = stack_cohort_variables(
-                self.store, self._cohort, self._variables()
-            )
+            # Reuse the stacked on-device cohort when the sampled entries
+            # (and their update counts) are unchanged — re-stacking every
+            # epoch re-dispatched ~K model uploads per epoch.
+            ck = tuple((e.id, e.update_count) for e in self._cohort)
+            if getattr(self, "_cohort_key", None) == ck:
+                opp_vars = self._cohort_vars
+            else:
+                opp_vars = stack_cohort_variables(
+                    self.store, self._cohort, self._variables()
+                )
+                self._cohort_key, self._cohort_vars = ck, opp_vars
             carry, traj, next_value, stats = self._rollout(
                 self._variables(), opp_vars, *self.env_carry,
                 self.learner_color, k_roll,
