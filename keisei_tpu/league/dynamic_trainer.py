@@ -149,12 +149,43 @@ class DynamicTrainer:
     # -- data intake -------------------------------------------------------
 
     def record_rollout(self, entry_id: int, rollout: MatchRollout, side: str) -> None:
-        """Buffer a match rollout; side is 'a' or 'b' (seat in the match)."""
+        """Compact to the entry's own transitions and buffer on the HOST.
+
+        The raw MatchRollout holds (T, N) device arrays — obs alone is
+        T*N*4050 f32, hundreds of MB per match — and buffering those
+        device-side exhausts HBM after a few tournament rounds
+        (max_buffer_depth * dynamic slots * ~300 MB). The reference
+        buffers CPU tensors (dynamic_trainer.py:163-200); match that:
+        select the entry's mover-seat transitions on device, cap at
+        batch_cap (newest win), fetch once, store numpy.
+        """
+        self._match_counts[entry_id] = self._match_counts.get(entry_id, 0) + 1
+        if rollout.obs is None or rollout.legal_masks is None:
+            return  # "light" collection carries nothing trainable
+        color = rollout.a_color if side == "a" else 1 - rollout.a_color
+        mine = np.asarray(rollout.mover_color == color[None, :]).reshape(-1)
+        idx = np.nonzero(mine)[0]
+        if idx.size == 0:
+            return
+        if idx.size > self.batch_cap:
+            idx = idx[-self.batch_cap:]
+        take = jnp.asarray(idx)
+        T, N = rollout.actions.shape
+
+        def gather(a):
+            return np.asarray(jnp.take(a.reshape(T * N, *a.shape[2:]), take, axis=0))
+
+        compact = {
+            "obs": gather(rollout.obs),
+            "actions": gather(rollout.actions),
+            "masks": gather(rollout.legal_masks),
+            "rewards": gather(rollout.rewards),
+            "dones": gather(rollout.dones),
+        }
         buf = self._buffers.setdefault(
             entry_id, deque(maxlen=self.config.max_buffer_depth)
         )
-        buf.append((rollout, side))
-        self._match_counts[entry_id] = self._match_counts.get(entry_id, 0) + 1
+        buf.append(compact)
 
     def disabled_entries(self) -> set[int]:
         return set(self._disabled)
@@ -203,35 +234,24 @@ class DynamicTrainer:
         buf = self._buffers.get(entry_id)
         if not buf:
             return None
-        obs, actions, masks, rewards, dones, weights = [], [], [], [], [], []
-        for rollout, side in buf:
-            T, N = rollout.actions.shape
-            color = rollout.a_color if side == "a" else 1 - rollout.a_color
-            mine = rollout.mover_color == color[None, :]  # (T, N)
-            obs.append(rollout.obs.reshape(T * N, *rollout.obs.shape[2:]))
-            actions.append(rollout.actions.reshape(T * N))
-            masks.append(rollout.legal_masks.reshape(T * N, -1))
-            rewards.append(rollout.rewards.reshape(T * N))
-            dones.append(rollout.dones.reshape(T * N))
-            weights.append(mine.reshape(T * N))
-        batch = {
-            "obs": jnp.concatenate(obs),
-            "actions": jnp.concatenate(actions),
-            "masks": jnp.concatenate(masks),
-            "rewards": jnp.concatenate(rewards),
-            "dones": jnp.concatenate(dones),
-            "weights": jnp.concatenate(weights).astype(jnp.float32),
-        }
-        S = batch["obs"].shape[0]
+        # buffered records are host-side, already perspective-filtered and
+        # per-rollout capped (record_rollout); assemble on host, upload once
+        cat = {k: np.concatenate([c[k] for c in buf]) for k in buf[0]}
+        S = cat["obs"].shape[0]
         cap = self.batch_cap
+        weights = np.ones(S, np.float32)
         if S > cap:  # most recent transitions win
-            batch = {k: v[-cap:] for k, v in batch.items()}
+            cat = {k: v[-cap:] for k, v in cat.items()}
+            weights = weights[-cap:]
         elif S < cap:
             pad = cap - S
-            batch = {
-                k: jnp.concatenate([v, jnp.zeros((pad, *v.shape[1:]), v.dtype)])
-                for k, v in batch.items()
+            cat = {
+                k: np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+                for k, v in cat.items()
             }
+            weights = np.concatenate([weights, np.zeros(pad, np.float32)])
+        batch = {k: jnp.asarray(v) for k, v in cat.items()}
+        batch["weights"] = jnp.asarray(weights)
         # WDL cats from terminal rewards (truncation -> draw, by design)
         term = batch["dones"]
         r = batch["rewards"]

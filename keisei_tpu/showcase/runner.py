@@ -21,6 +21,7 @@ import math
 import os
 import random
 import signal
+import sqlite3
 import time
 from collections import OrderedDict
 
@@ -219,15 +220,22 @@ class ShowcaseRunner:
             logger.info("swept %d orphaned showcase games", swept)
         sc.write_heartbeat(self.db_path, os.getpid())
         while not self._stop:
-            match = sc.claim_next_match(self.db_path)
-            if match is None:
-                self._maybe_auto_showcase()
-                time.sleep(2.0)
-                sc.write_heartbeat(self.db_path, os.getpid())
-                continue
-            self._last_activity = time.monotonic()
-            self.play_match(match)
-            sc.complete_queue_entry(self.db_path, match["id"])
+            try:
+                match = sc.claim_next_match(self.db_path)
+                if match is None:
+                    self._maybe_auto_showcase()
+                    time.sleep(2.0)
+                    sc.write_heartbeat(self.db_path, os.getpid())
+                    continue
+                self._last_activity = time.monotonic()
+                self.play_match(match)
+                sc.complete_queue_entry(self.db_path, match["id"])
+            except sqlite3.OperationalError as e:
+                # non-fatal telemetry policy (reference §5.3): the DB can be
+                # momentarily locked, re-initialized, or replaced by a fresh
+                # training run — back off and retry instead of dying
+                logger.warning("showcase DB unavailable (%s) — retrying", e)
+                time.sleep(5.0)
         logger.info("showcase runner exiting")
 
 
@@ -237,7 +245,20 @@ def main(argv=None):
     p.add_argument("--league-dir", required=True)
     p.add_argument("--max-ply", type=int, default=512)
     p.add_argument("--no-auto", action="store_true")
+    p.add_argument("--device", default="cpu", choices=("cpu", "default"),
+                   help="cpu (default): pin JAX to the host CPU so the "
+                   "sidecar never contends with the learner chip — the "
+                   "reference showcase is CPU-only the same way "
+                   "(inference.py:21-30 sets CUDA_VISIBLE_DEVICES=''). "
+                   "'default' keeps the ambient platform.")
     args = p.parse_args(argv)
+    if args.device == "cpu" and jax.config.jax_platforms != "cpu":
+        # env vars are too late here: the environment's sitecustomize
+        # imports jax at interpreter startup (see tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
     logging.basicConfig(level=logging.INFO, force=True)
     runner = ShowcaseRunner(args.db, args.league_dir, max_ply=args.max_ply,
                             auto_showcase=not args.no_auto)

@@ -94,3 +94,35 @@ class TestDynamicTrainer:
         cats = np.asarray(batch["value_cats"])
         dones = np.asarray(batch["dones"])
         assert (cats[~dones] == -1).all()
+
+    def test_buffers_are_host_resident_and_capped(self, setup):
+        """record_rollout compacts to the entry's own transitions, caps at
+        batch_cap, and stores numpy (buffering raw device MatchRollouts
+        OOMed the chip after a few tournament rounds — regression)."""
+        store, model, variables, entry = setup
+        trainer = DynamicTrainer(store, model, DynamicConfig(), batch_cap=64)
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        buf = trainer._buffers[entry.id]
+        assert len(buf) == 1
+        rec = buf[0]
+        assert isinstance(rec["obs"], np.ndarray)          # host, not device
+        assert all(isinstance(v, np.ndarray) for v in rec.values())
+        assert rec["obs"].shape[0] <= 64                   # per-rollout cap
+        assert rec["obs"].shape[0] == rec["actions"].shape[0]
+        # batch still assembles and pads to cap
+        batch = trainer._build_batch(entry.id)
+        assert batch["obs"].shape[0] == 64
+        w = np.asarray(batch["weights"])
+        assert w.sum() == rec["obs"].shape[0]
+
+    def test_light_rollout_counts_match_but_buffers_nothing(self, setup):
+        store, model, variables, entry = setup
+        trainer = DynamicTrainer(store, model, DynamicConfig(), batch_cap=64)
+        _, rollout = play_match(
+            model, variables, model, variables,
+            num_games=2, max_ply=16, chunk_steps=8, seed=3, collect="light",
+        )
+        trainer.record_rollout(entry.id, rollout, side="b")
+        assert trainer._match_counts[entry.id] == 1
+        assert entry.id not in trainer._buffers
