@@ -219,3 +219,40 @@ class TestLeagueRolloutProtocol:
             )
         )
         assert moved
+
+
+@pytest.mark.integration
+class TestRewardAttribution:
+    """Port of the reference's reward-attribution acceptance semantics
+    (test_reward_attribution.py, test_split_merge_transitions.py): the
+    trajectory's learner-perspective terminal rewards must agree with the
+    independent seat-based win attribution in LeagueStats — a sign error in
+    to-learner-perspective negation (opponent delivers mate -> learner
+    reward -1) would flip one side of this equality."""
+
+    def test_traj_rewards_match_stats_attribution(self):
+        # near-random play needs hundreds of plies to reach checkmates;
+        # max_ply high enough that games terminate rather than truncate
+        n, k, t = 8, 2, 512
+        env_core, model, adapter, learner, opps, rollout = build_league(
+            n, k, t, max_ply=2048)
+        env_states, obs, mask = env_core.init()
+        color = jnp.asarray([0, 1] * (n // 2), jnp.int32)
+        carry, traj, next_value, stats = rollout(
+            learner, opps, env_states, obs, mask, color, jax.random.key(11)
+        )
+        valid = np.asarray(traj.valid)
+        rewards = np.asarray(traj.rewards)
+        terminated = np.asarray(traj.terminated)
+        st = jax.tree.map(np.asarray, stats)
+
+        term_rows = valid & terminated
+        learner_wins = int((rewards[term_rows] > 0).sum())
+        learner_losses = int((rewards[term_rows] < 0).sum())
+        learner_draws = int((rewards[term_rows] == 0).sum())
+        assert int(st.base.terminated) > 0, "no terminations in 512 plies"
+        # every terminated episode finalizes exactly one learner-terminal row
+        assert learner_wins + learner_losses + learner_draws == int(st.base.terminated)
+        assert learner_wins == int(st.opp_wins.sum())
+        assert learner_losses == int(st.opp_losses.sum())
+        assert learner_draws == int(st.opp_draws.sum())
