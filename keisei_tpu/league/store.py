@@ -199,8 +199,18 @@ class OpponentStore:
     def _entry_dir(self, entry_id: int) -> str:
         return os.path.join(self.league_dir, str(entry_id))
 
-    def _save_variables(self, path: str, variables: dict) -> None:
+    def _save_variables(self, path: str, variables: dict,
+                        meta: dict | None = None) -> None:
         ocp.PyTreeCheckpointer().save(path, variables, force=True)
+        if meta is not None:
+            # keisei_meta.json sidecar (same name/shape as trainer
+            # checkpoints) so entry weights are standalone-loadable by
+            # keisei-tpu-evaluate and external tools. Written AFTER the
+            # orbax save: force=True recreates the directory.
+            tmp = os.path.join(path, "keisei_meta.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, os.path.join(path, "keisei_meta.json"))
 
     def load_variables(self, entry: OpponentEntry, template: dict | None = None):
         """Model variables ({params, batch_stats}) for an entry."""
@@ -279,7 +289,13 @@ class OpponentStore:
                 )
                 entry_id = int(cur.lastrowid)
                 weights_path = os.path.join(self._entry_dir(entry_id), "weights")
-                self._save_variables(weights_path, variables)
+                self._save_variables(weights_path, variables, meta={
+                    "architecture": architecture,
+                    "model_params": model_params,
+                    "epoch": created_epoch,
+                    "league_entry_id": entry_id,
+                    "format_version": 1,
+                })
                 name = display_name_for(entry_id)
                 facts = flavour_facts_for(entry_id, created_epoch)
                 lineage = lineage_group or f"L{entry_id}"
@@ -430,7 +446,13 @@ class OpponentStore:
     def update_weights(self, entry_id: int, variables: dict) -> None:
         """Overwrite a Dynamic entry's weights after online training."""
         entry = self.get_entry(entry_id)
-        self._save_variables(entry.checkpoint_path, variables)
+        self._save_variables(entry.checkpoint_path, variables, meta={
+            "architecture": entry.architecture,
+            "model_params": entry.model_params,
+            "epoch": entry.created_epoch,
+            "league_entry_id": entry.id,
+            "format_version": 1,
+        })
         self.bump_update_count(entry_id)
 
     # -- results + Elo -----------------------------------------------------------
