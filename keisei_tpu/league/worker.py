@@ -145,7 +145,21 @@ def main(argv=None):
     p.add_argument("--league-dir", required=True)
     p.add_argument("--parallel-matches", type=int, default=2)
     p.add_argument("--worker-id", default=None)
+    p.add_argument("--device", default="cpu", choices=("cpu", "default"),
+                   help="cpu (default): pin JAX to the host CPU so the "
+                   "worker never contends with the learner chip (the "
+                   "reference gives workers their own GPU via "
+                   "tournament_device; on one chip use in_process mode "
+                   "instead for accelerated matches). 'default' keeps the "
+                   "ambient platform. Env vars cannot do this: the "
+                   "environment's sitecustomize pins the platform before "
+                   "they apply.")
     args = p.parse_args(argv)
+    if args.device == "cpu" and jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
     logging.basicConfig(level=logging.INFO, force=True)
 
     worker = TournamentWorker(
