@@ -11,8 +11,11 @@ update rate limit).
 
 TPU deltas: the update is one jitted program over a FIXED-size transition
 window (the most recent `batch_cap` transitions, zero-weight padded) so
-varying match lengths never retrace; perspective filtering is a sample
-weight, not a dynamic boolean gather.
+varying match lengths never retrace. Perspective filtering happens
+host-side at buffering time (record_rollout selects the entry's
+mover-seat transitions and stores compact numpy arrays — device-resident
+buffers exhausted HBM); the jitted update then only sees the fixed-size
+weighted window.
 """
 
 from __future__ import annotations
@@ -169,19 +172,23 @@ class DynamicTrainer:
             return
         if idx.size > self.batch_cap:
             idx = idx[-self.batch_cap:]
-        take = jnp.asarray(idx)
         T, N = rollout.actions.shape
+        take = jnp.asarray(idx)
 
         def gather(a):
-            return np.asarray(jnp.take(a.reshape(T * N, *a.shape[2:]), take, axis=0))
+            # eager = async dispatch; nothing blocks until the fetch below
+            return jnp.take(a.reshape(T * N, *a.shape[2:]), take, axis=0)
 
-        compact = {
+        # ONE host fetch for all five arrays (separate np.asarray calls
+        # would each pay a sync round trip through the dispatch tunnel;
+        # jitting this instead would retrace per distinct match length)
+        compact = jax.device_get({
             "obs": gather(rollout.obs),
             "actions": gather(rollout.actions),
             "masks": gather(rollout.legal_masks),
             "rewards": gather(rollout.rewards),
             "dones": gather(rollout.dones),
-        }
+        })
         buf = self._buffers.setdefault(
             entry_id, deque(maxlen=self.config.max_buffer_depth)
         )

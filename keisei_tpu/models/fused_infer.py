@@ -134,10 +134,13 @@ def make_quantized_forward(
     """int8 trunk inference: dynamic per-tile activation quantization +
     per-output-channel int8 weights on the int8 MXU path (ops/qblock.py).
 
-    ~2x the bf16 forward on the attached chip (docs S9). The input conv
-    and all heads stay bf16; weight quantization is computed from the
-    (loop-invariant) variables, so XLA hoists it out of rollout scans.
-    Opt-in: validate training quality before making this the default.
+    Measured AT PARITY with the bf16 flax forward on the attached chip —
+    docs/profiling-round3.md has the full decomposition of why (the int8
+    MXU runs narrow-N conv dots at the bf16-equivalent rate). Kept as an
+    opt-in path: it is the correct starting point if a future toolchain
+    reaches full int8 rate. The input conv and all heads stay bf16;
+    weight quantization is computed from the (loop-invariant) variables,
+    so XLA hoists it out of rollout scans.
     """
 
     def fwd(variables: Any, obs: jax.Array) -> KataGoOutput:
@@ -153,6 +156,13 @@ def make_quantized_forward(
                 f"expected obs (B, {cfg.obs_channels}, 9, 9), got {obs.shape}")
         n = obs.shape[0]
         bt = batch_tile if n % batch_tile == 0 else pick_batch_tile(n, batch_tile)
+        if bt % 32:
+            # the int8 kernel's (32, 128) sublane tiling needs 32-multiple
+            # batch tiles (ops/qblock.py); fail with a clear message
+            # instead of a Mosaic lowering error deep in the first rollout
+            raise ValueError(
+                f"rollout_forward='int8' needs a batch size divisible by "
+                f"32 (got {n}, best tile {bt})")
         p = variables["params"]
         bs = variables["batch_stats"]
         bf16, f32 = jnp.bfloat16, jnp.float32

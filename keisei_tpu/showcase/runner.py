@@ -219,8 +219,21 @@ class ShowcaseRunner:
         if swept:
             logger.info("swept %d orphaned showcase games", swept)
         sc.write_heartbeat(self.db_path, os.getpid())
+        last_sweep = time.monotonic()
+        claimed_id = None
         while not self._stop:
             try:
+                # a claimed-but-uncompleted entry (its complete/cancel write
+                # hit a locked DB below) blocks claim_next_match forever —
+                # finish it off before claiming anything new
+                if claimed_id is not None:
+                    sc.complete_queue_entry(self.db_path, claimed_id)
+                    claimed_id = None
+                if time.monotonic() - last_sweep > 60.0:
+                    # periodic orphan sweep (not just at startup): recovers
+                    # 'running' rows stranded by any earlier failure
+                    sc.cleanup_orphaned_games(self.db_path)
+                    last_sweep = time.monotonic()
                 match = sc.claim_next_match(self.db_path)
                 if match is None:
                     self._maybe_auto_showcase()
@@ -228,8 +241,10 @@ class ShowcaseRunner:
                     sc.write_heartbeat(self.db_path, os.getpid())
                     continue
                 self._last_activity = time.monotonic()
+                claimed_id = match["id"]
                 self.play_match(match)
-                sc.complete_queue_entry(self.db_path, match["id"])
+                sc.complete_queue_entry(self.db_path, claimed_id)
+                claimed_id = None
             except sqlite3.OperationalError as e:
                 # non-fatal telemetry policy (reference §5.3): the DB can be
                 # momentarily locked, re-initialized, or replaced by a fresh
