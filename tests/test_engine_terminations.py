@@ -218,3 +218,89 @@ class TestUchiFuZume:
         state, out = step_fn(state, jnp.int32(action))
         assert int(out.term_reason) == TY.CHECKMATE
         assert float(out.reward) == 1.0  # the mover (black) wins
+
+
+class TestMaterialBalance:
+    """Direct device-path fixtures for material_balance, pinned to the
+    reference's expectations (rules.rs:957-1056 test suite): startpos zero,
+    perspective antisymmetry, hand pieces counted, promoted values used,
+    king excluded."""
+
+    def _balance(self, sfen, perspective):
+        board, hands, _ = parse_sfen(sfen)
+        return int(C.material_balance(
+            jnp.asarray(board), jnp.asarray(hands), jnp.int32(perspective)))
+
+    def test_startpos_zero_both_sides(self):
+        sfen = "lnsgkgsnl/1r5b1/ppppppppp/9/9/9/PPPPPPPPP/1B5R1/LNSGKGSNL b - 1"
+        assert self._balance(sfen, 0) == 0
+        assert self._balance(sfen, 1) == 0
+
+    def test_black_extra_rook_and_negation(self):
+        # kings only + black rook: balance = rook value (10); negates for white
+        sfen = "4k4/9/9/9/R8/9/9/9/4K4 b - 1"
+        assert self._balance(sfen, 0) == int(TY.PIECE_VALUE[TY.ROOK]) == 10
+        assert self._balance(sfen, 1) == -10
+
+    def test_hand_pieces_counted(self):
+        # gold in black's hand only
+        sfen = "4k4/9/9/9/9/9/9/9/4K4 b G 1"
+        assert self._balance(sfen, 0) == int(TY.PIECE_VALUE[TY.GOLD]) == 6
+
+    def test_promoted_piece_uses_promoted_value(self):
+        # dragon (promoted rook) = 12, not 10
+        sfen = "4k4/9/9/9/+R8/9/9/9/4K4 b - 1"
+        assert self._balance(sfen, 0) == int(TY.PIECE_VALUE[TY.ROOK + 8]) == 12
+
+    def test_king_excluded(self):
+        sfen = "4k4/9/9/9/9/9/9/9/4K4 b - 1"
+        assert self._balance(sfen, 0) == 0
+        assert self._balance(sfen, 1) == 0
+
+
+class TestImpasseScoring:
+    """Threshold-pinning fixtures for the CSA-24 scorer (rules.rs:286-397
+    + its test suite): promoted R/B still count 5, hand pieces count, and
+    the >=24 line decides the winner. Each position puts Black at EXACTLY
+    24 points, so any scoring error flips the outcome."""
+
+    def _impasse(self, sfen, hands_extra=None):
+        board, hands, _ = parse_sfen(sfen)
+        if hands_extra:
+            for (color, idx, n) in hands_extra:
+                hands[color][idx] = n
+        return C.impasse_check(jnp.asarray(board), jnp.asarray(hands))
+
+    def test_exact_24_with_promoted_pieces_wins(self):
+        # black: K +R +B and 14 pawns in White's camp = 5+5+14 = 24 points,
+        # 17 zone pieces; white: k +r and 18 pawns = 23 points, 19 pieces
+        sfen = ("K+R+B6/PPPPPPPPP/PPPPP4/9/9/9/"
+                "ppppppppp/ppppppppp/k7r b - 1")
+        active, winner = self._impasse(sfen)
+        assert bool(active)
+        assert int(winner) == 0  # black declares at exactly 24; white at 23
+        # drop one black pawn (23 points): no side reaches 24 -> inactive
+        sfen23 = ("K+R+B6/PPPPPPPPP/PPPP5/9/9/9/"
+                  "ppppppppp/ppppppppp/k7r b - 1")
+        active, _ = self._impasse(sfen23)
+        assert not bool(active)
+
+    def test_hand_pieces_reach_the_threshold(self):
+        # 12 board pawns + promoted pair = 22; two pawns IN HAND complete 24
+        sfen = ("K+R+B6/PPPPPPPPP/PPP6/9/9/9/"
+                "ppppppppp/ppppppppp/k7r b 2P 1")
+        active, winner = self._impasse(sfen)
+        assert bool(active)
+        assert int(winner) == 0
+        # with only one hand pawn (23) the declaration fails
+        sfen1 = ("K+R+B6/PPPPPPPPP/PPP6/9/9/9/"
+                 "ppppppppp/ppppppppp/k7r b P 1")
+        active, _ = self._impasse(sfen1)
+        assert not bool(active)
+
+    def test_both_kings_must_enter(self):
+        # same 24-point black setup but the white king stays at home mid-board
+        sfen = ("K+R+B6/PPPPPPPPP/PPPPP4/9/k8/9/"
+                "ppppppppp/ppppppppp/8r b - 1")
+        active, _ = self._impasse(sfen)
+        assert not bool(active)
