@@ -1,0 +1,110 @@
+"""Two-PROCESS distributed training: the reference's DDP integration bar.
+
+The reference spawns 2 gloo ranks and asserts weight equality after
+training (tests/integration/test_ddp_training.py:32-120). Here: two OS
+processes each with 4 virtual CPU devices join via
+`jax.distributed.initialize` (KEISEI_* env vars -> setup_distributed),
+build the SAME SelfPlayTrainer over a GLOBAL 8-device mesh, run 2 fused
+rollout+PPO epochs, and must end with bit-identical replicated parameters
+and losses — XLA's gradient psums ride the Gloo cross-process collectives
+that NCCL allreduce rides in the reference.
+
+Runs in the default suite (~65 s: two cold JAX processes compile the
+tiny trainer each).
+"""
+
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+CHILD = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; cfg = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["KEISEI_COORDINATOR"] = f"localhost:{port}"
+    os.environ["KEISEI_NUM_PROCESSES"] = "2"
+    os.environ["KEISEI_PROCESS_ID"] = str(pid)
+    import jax
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends; clear_backends()
+    sys.path.insert(0, "@@REPO@@")
+    from keisei_tpu.parallel.distributed import (
+        get_distributed_context, setup_distributed)
+    ctx = get_distributed_context()
+    assert ctx.is_distributed and ctx.num_processes == 2
+    setup_distributed(ctx)
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+    from keisei_tpu.training.config import load_config
+    from keisei_tpu.training.loop import SelfPlayTrainer
+    trainer = SelfPlayTrainer(load_config(cfg))
+    for _ in range(2):
+        em = trainer.run_epoch()
+    import numpy as np
+    leaves = jax.tree.leaves(trainer.state.params)
+    checksum = float(sum(np.abs(np.asarray(x), dtype=np.float64).sum()
+                         for x in leaves))
+    print(f"RESULT pid={pid} checksum={checksum:.10f} "
+          f"policy={em.policy_loss:.10f}", flush=True)
+""").replace("@@REPO@@", str(REPO))
+
+CONFIG = textwrap.dedent("""
+    [model]
+    architecture = "mlp"
+    [model.params]
+    hidden_sizes = [16]
+    [training]
+    num_games = 8
+    max_ply = 64
+    steps_per_epoch = 4
+    checkpoint_interval = 1000
+    checkpoint_dir = "{ckpt}"
+    [training.algorithm_params]
+    batch_size = 16
+    epochs_per_batch = 1
+    [distributed]
+    num_devices = 8
+""")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.integration
+def test_two_process_training_replicas_identical(tmp_path):
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(CONFIG.format(ckpt=str(tmp_path / "ckpt") + "/"))
+    child = tmp_path / "child.py"
+    child.write_text(CHILD)
+    port = _free_port()
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(pid), str(port), str(cfg)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=str(REPO),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, f"child failed:\n{out[-3000:]}"
+
+    results = {}
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
+        kv = dict(part.split("=") for part in line.split()[1:])
+        results[kv["pid"]] = (kv["checksum"], kv["policy"])
+    assert results["0"] == results["1"], results
