@@ -105,6 +105,9 @@ function dispatch(msg) {
         entries: msg.league_entries || [], results: msg.league_results || [],
         transitions: msg.transitions || [], eloHistory: msg.elo_history || [],
         styles: msg.style_profiles || [], h2h: msg.head_to_head || [],
+        historical: msg.historical_library || [],
+        gauntlet: msg.gauntlet_results || [],
+        tournamentStats: msg.tournament_stats || null,
       };
       if (msg.showcase) {
         S.showcase.game = msg.showcase.game;
@@ -133,6 +136,9 @@ function dispatch(msg) {
       S.league.transitions = msg.transitions; S.league.eloHistory = msg.elo_history;
       S.league.h2h = msg.head_to_head || S.league.h2h;
       if (msg.style_profiles) S.league.styles = msg.style_profiles;
+      if (msg.historical_library) S.league.historical = msg.historical_library;
+      if (msg.gauntlet_results) S.league.gauntlet = msg.gauntlet_results;
+      if (msg.tournament_stats) S.league.tournamentStats = msg.tournament_stats;
       renderLeague(); fillShowcaseSelectors();
       break;
     case "showcase_status":
@@ -371,6 +377,47 @@ function renderLeague() {
       `<li>#${t.entry_id} ${t.from_role || ""}${t.to_role ? "→" + t.to_role : ""} ` +
       `${t.from_status ? t.from_status + "→" + t.to_status : ""} — ${t.reason || ""}</li>`
     ).join("");
+  renderTournamentPanel();
+}
+
+function renderTournamentPanel() {
+  // tournament round stats + historical milestone slots + latest gauntlet
+  // results (reference LeagueView side panels)
+  const el = document.getElementById("tournament-panel");
+  if (!el) return;
+  const ts = S.league.tournamentStats;
+  const names = Object.fromEntries(
+    S.league.entries.map(e => [e.id, e.display_name || "#" + e.id]));
+  let html = "";
+  if (ts) {
+    html += `<div class="kv">
+      <span class="k">last round</span><span>${(ts.round_duration_s ?? 0).toFixed(1)} s,
+        ${ts.pairings_completed ?? 0}/${ts.pairings_requested ?? 0} pairings,
+        ${ts.total_games ?? 0} games (${Math.round(ts.games_per_min ?? 0)}/min)</span>
+      <span class="k">model loads</span><span>${ts.model_load_count ?? 0}
+        (${(ts.model_load_time_s ?? 0).toFixed(1)} s)</span>
+    </div>`;
+  }
+  const hist = S.league.historical || [];
+  if (hist.length) {
+    // most recent gauntlet result per milestone slot
+    const lastBySlot = new Map();
+    for (const g of S.league.gauntlet || []) {
+      const prev = lastBySlot.get(g.historical_slot);
+      if (!prev || g.epoch >= prev.epoch) lastBySlot.set(g.historical_slot, g);
+    }
+    html += '<table class="matrix"><tr><th>slot</th><th>epoch</th>' +
+      '<th>entry</th><th>last gauntlet (W-L-D)</th></tr>' +
+      hist.map(h => {
+        const g = lastBySlot.get(h.slot_index);
+        return `<tr><td>${h.slot_index}</td>` +
+          `<td>${h.actual_epoch ?? h.target_epoch}</td>` +
+          `<td>${h.entry_name || names[h.entry_id] || "#" + h.entry_id}</td>` +
+          `<td>${g ? `${g.wins}-${g.losses}-${g.draws} (ep ${g.epoch})` : "·"}</td></tr>`;
+      }).join("") + "</table>";
+  }
+  el.innerHTML = html ||
+    '<p style="color:var(--dim);font-size:12px">no tournament rounds yet</p>';
 }
 
 function h2hFor(id) {
