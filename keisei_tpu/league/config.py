@@ -221,14 +221,21 @@ class LeagueConfig:
     elo_k_factor: float = 32.0
     elo_floor: float = 500.0
     color_randomization: bool = True
-    per_env_opponents: bool = True
+    per_env_opponents: bool = True  # False = single opponent per epoch
     opponents_per_epoch: int = 4
     opponent_device: str | None = None  # accepted for file compat
     tournament_enabled: bool = False
     tournament_device: str | None = None  # accepted for file compat
     tournament_num_envs: int = 64
     tournament_games_per_match: int = 3
+    # NOTE scheduler.tournament_games_per_pair and dynamic.batch_reuse parse
+    # and validate but have no consumer — TRUE IN THE REFERENCE TOO (grep:
+    # config-only); kept for config-file compatibility
     tournament_k_factor: float = 16.0
+    # accepted for file compat; the reference's THREADED tournament sleeps
+    # between matches to avoid starving the trainer — this build runs rounds
+    # synchronously at tournament_interval_epochs boundaries, so there is no
+    # thread to pace (see LeagueTournament docstring)
     tournament_pause_seconds: float = 1.0
     # in_process tournaments run synchronously at epoch boundaries on the
     # SAME chip (the reference's thread assumes a second GPU); gate how
@@ -259,6 +266,12 @@ class LeagueConfig:
             raise ValueError("elo_floor must be <= initial_elo")
         if self.opponents_per_epoch < 1:
             raise ValueError("league.opponents_per_epoch must be >= 1")
+        if not self.per_env_opponents and self.opponents_per_epoch > 1:
+            raise ValueError(
+                "per_env_opponents = false means a single opponent per "
+                "epoch - set opponents_per_epoch = 1 (the split-merge "
+                "rollout assigns opponents per env block)"
+            )
         if self.tournament_mode not in ("in_process", "sidecar"):
             raise ValueError(f"bad tournament_mode {self.tournament_mode!r}")
         if self.tournament_interval_epochs < 1:

@@ -141,6 +141,7 @@ class DynamicTrainer:
         self._update_fns: dict[int, object] = {}  # keyed by id(self.model)
         self.architecture: str | None = None  # set to gate entries by arch
         self._buffers: dict[int, deque] = {}
+        self._opt_states: dict[int, object] = {}  # in-memory Adam continuity
         self._match_counts: dict[int, int] = {}
         self._error_counts: dict[int, int] = {}
         self._disabled: set[int] = set()
@@ -298,9 +299,15 @@ class DynamicTrainer:
         variables = self.store.load_variables_cached(entry)
         if "batch_stats" not in variables:
             variables = {**variables, "batch_stats": {}}
-        opt_state = self.store.load_optimizer(
-            entry, template=self.optimizer.init(variables["params"])
-        ) or self.optimizer.init(variables["params"])
+        # Adam moments live in memory between updates (disk flushes happen
+        # every checkpoint_flush_every for restart continuity; reloading
+        # from disk each update would reset or stale the moments, since
+        # the save cadence lags the update cadence)
+        opt_state = self._opt_states.get(entry.id)
+        if opt_state is None:
+            opt_state = self.store.load_optimizer(
+                entry, template=self.optimizer.init(variables["params"])
+            ) or self.optimizer.init(variables["params"])
 
         key = id(self.model)
         if key not in self._update_fns:
@@ -314,6 +321,7 @@ class DynamicTrainer:
         if not np.isfinite(pl):
             raise RuntimeError(f"non-finite dynamic policy loss: {pl}")
 
+        self._opt_states[entry.id] = opt_state
         self.store.update_weights(entry.id, jax.device_get(new_vars))
         self._updates_since_flush[entry.id] = (
             self._updates_since_flush.get(entry.id, 0) + 1

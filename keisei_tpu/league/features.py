@@ -107,7 +107,7 @@ def extract_game_features(
                 "opening_seq_3": json.dumps(opening[:3]),
                 "opening_seq_6": json.dumps(opening),
                 "rook_moved_ply": int(rook_first[0]) if len(rook_first) else None,
-                "king_displacement_20": int(king_moves[:KING_WINDOW].sum() > 0),
+                "king_displacement_20": int(king_moves[:20].sum() > 0),
                 "first_capture_ply": int(my_caps[0]) if len(my_caps) else None,
                 "first_drop_ply": int(my_drops[0]) if len(my_drops) else None,
                 "num_captures": int(len(my_caps)),

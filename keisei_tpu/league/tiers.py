@@ -320,7 +320,31 @@ class TieredPool:
                 if self.recent.count() > hard_cap:
                     self.store.retire_entry(oldest.id, reason="hard cap overflow")
                 break
+        self._enforce_pool_cap()
         return entry
+
+    def _pool_cap(self) -> int:
+        """max_active_entries overrides the derived tier-slot sum
+        (tiered_pool.py:74-86)."""
+        if self.config.max_active_entries is not None:
+            return self.config.max_active_entries
+        return (self.config.frontier.slots + self.config.recent.slots
+                + self.config.dynamic.slots)
+
+    def _enforce_pool_cap(self) -> None:
+        """Whole-pool hard cap: retire the oldest Recent Fixed entries until
+        the active count fits (tiered_pool.py:186-198)."""
+        cap = self._pool_cap()
+        while self.total_active() > cap:
+            rf = sorted(self.store.list_by_role(Role.RECENT_FIXED),
+                        key=lambda e: (e.created_epoch, e.id))
+            if not rf:
+                break
+            oldest = rf[0]
+            logger.info("hard cap: retiring Recent Fixed id=%d (pool %d/%d)",
+                        oldest.id, self.total_active(), cap)
+            self.store.retire_entry(
+                oldest.id, reason="hard cap: pool exceeded max_active_entries")
 
     def maybe_review_frontier(self, epoch: int) -> None:
         if self.frontier.is_due_for_review(epoch):

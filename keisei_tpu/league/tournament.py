@@ -23,7 +23,8 @@ from ..models.registry import build_model
 from .config import LeagueConfig
 from .dynamic_trainer import DynamicTrainer
 from .match import make_match_runner
-from .scheduler import MatchScheduler, PriorityScorer, is_training_match
+from .scheduler import (MatchScheduler, PriorityScorer,
+                        build_match_class_weights, is_training_match)
 from .store import OpponentEntry, OpponentStore, Role
 
 logger = logging.getLogger(__name__)
@@ -43,7 +44,8 @@ class LeagueTournament:
     ):
         self.store = store
         self.config = config
-        self.scorer = scorer or PriorityScorer(config.priority)
+        self.scorer = scorer or PriorityScorer(
+            config.priority, build_match_class_weights(config.scheduler))
         self.scheduler = scheduler or MatchScheduler(config.scheduler, self.scorer)
         self.dynamic_trainer = dynamic_trainer
         self.max_pairings_per_round = max_pairings_per_round
@@ -101,14 +103,20 @@ class LeagueTournament:
         # because they collect rollouts for the dynamic trainer
         pooled, sequential = self._partition_for_pool(pairings)
         if pooled:
+            recorded: set[tuple[int, int]] = set()
             try:
-                g, p, c = self._play_pooled(pooled, epoch)
+                g, p, c = self._play_pooled(pooled, epoch, recorded)
                 total_games += g
                 total_plies += p
                 completed += c
             except Exception:
                 logger.exception("pooled round failed — falling back sequential")
-                sequential = pooled + sequential
+                # replay only the pairings whose results were NOT already
+                # recorded: a mid-loop failure (e.g. a locked DB on pairing
+                # k) must not double-play and double-Elo pairings 0..k-1
+                sequential = [
+                    (a, b) for a, b in pooled if (a.id, b.id) not in recorded
+                ] + sequential
         for a, b in sequential:
             try:
                 stats = self._play_pairing(a, b, epoch)
@@ -167,7 +175,7 @@ class LeagueTournament:
             return [], list(pairings)
         return pooled, sequential
 
-    def _play_pooled(self, pooled, epoch: int):
+    def _play_pooled(self, pooled, epoch: int, recorded: set | None = None):
         from .concurrent import ConcurrentMatchPool
 
         model, key = self._model_for(pooled[0][0])
@@ -196,6 +204,8 @@ class LeagueTournament:
                     Role.RECENT_FIXED: self.config.elo.recent_k,
                 },
             )
+            if recorded is not None:
+                recorded.add((a.id, b.id))
             self.scorer.record_result(a.id, b.id)
             self.scorer.record_round_result(a.id, b.id)
         return stats.games, stats.total_plies, len(pooled)
@@ -261,7 +271,8 @@ class TournamentDispatcher:
     ):
         self.store = store
         self.config = config
-        self.scorer = scorer or PriorityScorer(config.priority)
+        self.scorer = scorer or PriorityScorer(
+            config.priority, build_match_class_weights(config.scheduler))
         self.scheduler = scheduler or MatchScheduler(config.scheduler, self.scorer)
         self._round_id = 0
 

@@ -76,6 +76,10 @@ class TrainingConfig:
             )
         if self.observation_mode not in ("default", "katago"):
             raise ValueError(f"bad observation_mode {self.observation_mode!r}")
+        if self.checkpoint_interval < 1:
+            raise ValueError(
+                f"checkpoint_interval must be >= 1, got {self.checkpoint_interval}"
+            )
         if self.rollout_forward not in ("auto", "flax", "fused", "int8"):
             raise ValueError(
                 f"bad rollout_forward {self.rollout_forward!r} "

@@ -22,11 +22,25 @@ def compute_gae(
     gamma: float,
     lam: float,
     next_value_override: jax.Array | None = None,  # (T, N), NaN = default
+    chain_cut: jax.Array | None = None,  # (T, N) episode ends; default = terminated
 ) -> jax.Array:
-    """(T, N) advantages via a reversed lax.scan. Non-differentiable."""
+    """(T, N) advantages via a reversed lax.scan. Non-differentiable.
+
+    `terminated` zeroes the bootstrap (truncations bootstrap instead, via
+    values[t+1] or an override). `chain_cut` additionally cuts the
+    gamma*lam chain at EVERY episode boundary: with auto-reset envs a
+    truncated episode's chain must not accumulate the next (unrelated)
+    episode's advantages. The reference's GAE uses `terminated` for both
+    roles (gae.py:8-73), leaking the lambda chain across truncations —
+    passing dones as chain_cut fixes that while keeping bootstrap parity
+    (the same boundary semantics compute_gae_masked already uses).
+    """
     rewards = jax.lax.stop_gradient(rewards.astype(jnp.float32))
     values = jax.lax.stop_gradient(values.astype(jnp.float32))
     not_done = 1.0 - terminated.astype(jnp.float32)
+    not_cut = (
+        not_done if chain_cut is None else 1.0 - chain_cut.astype(jnp.float32)
+    )
 
     next_vals = jnp.concatenate([values[1:], next_value[None].astype(jnp.float32)], axis=0)
     if next_value_override is not None:
@@ -34,7 +48,7 @@ def compute_gae(
         next_vals = jnp.where(jnp.isnan(ov), next_vals, ov)
 
     delta = rewards + gamma * next_vals * not_done - values
-    decay = gamma * lam * not_done
+    decay = gamma * lam * not_cut
 
     def scan_fn(carry, x):
         d, dk = x

@@ -84,7 +84,8 @@ class LeagueStats:
     opp_draws: jax.Array  # (K,)
 
 
-def make_league_rollout(env_core: EnvCore, model, adapter, num_steps: int, k_opp: int):
+def make_league_rollout(env_core: EnvCore, model, adapter, num_steps: int,
+                        k_opp: int, color_randomization: bool = True):
     """Build rollout(learner_vars, opp_vars_stacked, env_states, obs, mask,
     learner_color, rng) -> (carry, traj(T+1,N), next_value, stats)."""
     env_step = env_core.step_fn()
@@ -221,9 +222,10 @@ def make_league_rollout(env_core: EnvCore, model, adapter, num_steps: int, k_opp
                 score_target=jnp.where(create, score_target, pend.score_target),
             )
 
-            # re-roll learner color on episode end (katago_loop.py:1421-1437)
-            new_color = jax.random.bernoulli(k_c, 0.5, (N,)).astype(jnp.int32)
-            learner_color = jnp.where(done, new_color, learner_color)
+            if color_randomization:
+                # re-roll learner color on episode end (katago_loop.py:1421-1437)
+                new_color = jax.random.bernoulli(k_c, 0.5, (N,)).astype(jnp.int32)
+                learner_color = jnp.where(done, new_color, learner_color)
 
             # stats: learner-perspective outcomes, per opponent block
             term_out = eo.terminated

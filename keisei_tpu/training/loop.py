@@ -155,7 +155,8 @@ class SelfPlayTrainer:
                 )
             self._rollout = jax.jit(
                 make_league_rollout(
-                    self.env_core, self.model, self.adapter, self.T, self.K
+                    self.env_core, self.model, self.adapter, self.T, self.K,
+                    color_randomization=config.league.color_randomization,
                 )
             )
         else:
@@ -195,7 +196,8 @@ class SelfPlayTrainer:
 
         from ..league.dynamic_trainer import DynamicTrainer
         from ..league.historical import HistoricalGauntlet, HistoricalLibrary
-        from ..league.scheduler import MatchScheduler, PriorityScorer
+        from ..league.scheduler import (MatchScheduler, PriorityScorer,
+                                        build_match_class_weights)
         from ..league.store import OpponentStore
         from ..league.tiers import TieredPool
         from ..league.tournament import LeagueTournament, TournamentDispatcher
@@ -206,7 +208,8 @@ class SelfPlayTrainer:
         )
         self.store = OpponentStore(db_path, lc.storage.league_dir)
         self.pool = TieredPool(self.store, lc)
-        self.scorer = PriorityScorer(lc.priority)
+        self.scorer = PriorityScorer(
+            lc.priority, build_match_class_weights(lc.scheduler))
         self.scheduler = MatchScheduler(lc.scheduler, self.scorer)
         contract = get_model_contract(self.config.model.architecture)
         self.dyn_trainer = DynamicTrainer(
@@ -253,10 +256,17 @@ class SelfPlayTrainer:
                 from .. import db as kdb
 
                 st = kdb.read_training_state(db_path)
-            self.learner_entry_id = (
-                st.get("learner_entry_id") if st and st.get("learner_entry_id")
-                else self.store.list_entries()[0].id
-            )
+            if st and st.get("learner_entry_id"):
+                self.learner_entry_id = st["learner_entry_id"]
+            else:
+                # fall back to the NEWEST snapshot (list_entries orders by
+                # Elo; the strongest entry may be an old frontier anchor —
+                # attributing learner results to it would corrupt Elo)
+                latest = max(
+                    self.store.list_entries(),
+                    key=lambda e: (e.created_epoch, e.id),
+                )
+                self.learner_entry_id = latest.id
         self._cohort = []
 
     def _variables_host(self):
@@ -267,9 +277,17 @@ class SelfPlayTrainer:
         (katago_loop.py:917-1084; static equal blocks replace per-env ids)."""
         from ..league.store import Role
 
+        want_params = dict(self.config.model.params)
+
+        def compatible(e):
+            # same arch AND same shape params: a reused league_dir can hold
+            # same-architecture entries of different sizes, which would
+            # crash the stacked-cohort restore mid-epoch
+            return (e.architecture == self.config.model.architecture
+                    and e.model_params == want_params)
+
         by_role = {
-            r: [e for e in self.store.list_by_role(r)
-                if e.architecture == self.config.model.architecture]
+            r: [e for e in self.store.list_by_role(r) if compatible(e)]
             for r in (Role.DYNAMIC, Role.FRONTIER_STATIC, Role.RECENT_FIXED)
         }
         if not any(by_role.values()):
@@ -571,7 +589,8 @@ class SelfPlayTrainer:
             logger.exception("league epoch maintenance failed — continuing")
 
     def run(self, num_epochs: int | None = None):
-        n = num_epochs or self.config.run.default_epochs
+        # explicit 0 means zero epochs; only None falls back to the default
+        n = self.config.run.default_epochs if num_epochs is None else num_epochs
         target = self.epoch + n
         self.observer.on_start(self.config, total_epochs=target)
         while self.epoch < target:

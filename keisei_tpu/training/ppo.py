@@ -211,6 +211,7 @@ def make_ppo_update(model, adapter, cfg: KataGoPPOParams, optimizer):
             advantages = compute_gae(
                 traj.rewards, traj.values, terminated, next_value,
                 cfg.gamma, cfg.gae_lambda, traj.next_value_override,
+                chain_cut=traj.dones,
             )
             weights = None
         returns = advantages + traj.values

@@ -55,6 +55,29 @@ class TestGAE:
         want = reference_gae(r, v, term, nv, 0.99, 0.95, ov)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_chain_cut_stops_truncation_leak(self):
+        """A truncated episode (done, not terminated) must bootstrap via
+        its override but NOT accumulate the next episode's advantages
+        through the gamma*lam chain (the reference GAE leaks here)."""
+        gamma, lam = 0.99, 0.95
+        r = jnp.array([[0.0], [0.0], [5.0]])
+        v = jnp.array([[0.1], [0.2], [0.3]])
+        term = jnp.zeros((3, 1))
+        dones = jnp.array([[0.0], [1.0], [0.0]])  # truncation at t=1
+        ov = jnp.array([[jnp.nan], [0.5], [jnp.nan]])  # -V(terminal) at t=1
+        nv = jnp.array([0.4])
+        adv = np.asarray(compute_gae(
+            r, v, term, nv, gamma, lam, ov, chain_cut=dones))
+        # t=2 (next episode): delta = 5 + 0.99*0.4 - 0.3
+        d2 = 5.0 + gamma * 0.4 - 0.3
+        # t=1: delta uses the override bootstrap; chain to t=2 is CUT
+        d1 = 0.0 + gamma * 0.5 - 0.2
+        assert adv[1, 0] == pytest.approx(d1, abs=1e-6)
+        # t=0 chains within its episode to t=1 as usual
+        d0 = 0.0 + gamma * 0.2 - 0.1
+        assert adv[0, 0] == pytest.approx(d0 + gamma * lam * d1, abs=1e-6)
+        assert adv[2, 0] == pytest.approx(d2, abs=1e-6)
+
     def test_terminated_blocks_bootstrap(self):
         r = jnp.array([[0.0], [1.0]])
         v = jnp.array([[0.5], [0.2]])
