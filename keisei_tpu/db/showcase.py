@@ -92,9 +92,12 @@ def get_queue_status(db_path: str, queue_id: int) -> str | None:
 
 
 def complete_queue_entry(db_path: str, queue_id: int) -> None:
+    # only running entries complete: a user cancellation (status =
+    # 'cancelled') must survive the runner's post-match completion call
     core.execute(
         db_path,
-        "UPDATE showcase_queue SET status = 'done', completed_at = ? WHERE id = ?",
+        "UPDATE showcase_queue SET status = 'done', completed_at = ? "
+        "WHERE id = ? AND status = 'running'",
         (_now(), queue_id),
     )
 

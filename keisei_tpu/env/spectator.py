@@ -41,7 +41,11 @@ def _programs(max_ply: int):
         reward = jnp.where(
             winner >= 0, jnp.where(winner == last_mover, 1.0, -1.0), 0.0
         ).astype(jnp.float32)
-        return s1, mask_flat, reward
+        # observation from the mask this program already computed — a
+        # separate inspect() call would run the legality kernel twice
+        obs = C.observe(pboard, s1.hands, s1.stm, s1.ply, max_ply,
+                        rep_count, in_check, 46)
+        return s1, mask_flat, reward, obs
 
     @jax.jit
     def inspect(state):
@@ -51,7 +55,11 @@ def _programs(max_ply: int):
         rep_count, _ = C.repetition_info(state)
         obs = C.observe(pboard, state.hands, state.stm, state.ply, max_ply,
                         rep_count, in_check, 46)
-        return mask.reshape(-1), in_check, obs
+        # termination status of the CURRENT position: needed when a game
+        # is seeded from an SFEN that is already decided (checkmate /
+        # stalemate / impasse) — is_over() must not report in_progress
+        reason, winner, _ = C.position_status(state, mask.reshape(-1), max_ply)
+        return mask.reshape(-1), in_check, obs, reason, winner
 
     return step, inspect
 
@@ -86,10 +94,13 @@ class SpectatorEnv:
     # -- internals -----------------------------------------------------------
 
     def _refresh(self):
-        mask, in_check, obs = self._inspect(self._state)
+        mask, in_check, obs, reason, winner = self._inspect(self._state)
         self._mask = np.asarray(mask)
         self._obs = np.asarray(obs)
-        self._state = self._state.replace(in_check=jnp.asarray(in_check))
+        self._state = self._state.replace(
+            in_check=jnp.asarray(in_check), reason=jnp.asarray(reason),
+            winner=jnp.asarray(winner),
+        )
 
     def _spatial(self, action: int) -> int:
         if self.action_mode == "spatial":
@@ -125,9 +136,9 @@ class SpectatorEnv:
         notation = move_notation(spatial, board, stm, legal_mask=self._mask)
         self.move_history.append((int(action), notation))
 
-        self._state, mask, reward = self._step(self._state, jnp.int32(spatial))
+        self._state, mask, reward, obs = self._step(
+            self._state, jnp.int32(spatial))
         self._mask = np.asarray(mask)
-        _, _, obs = self._inspect(self._state)
         self._obs = np.asarray(obs)
         d = self.to_dict()
         d["reward"] = float(reward)

@@ -245,6 +245,8 @@ class DashboardServer:
         last_result_id = league["results"][0]["id"] if league["results"] else 0
         last_transition_id = (league["transitions"][0]["id"]
                               if league["transitions"] else 0)
+        last_gauntlet_id = max((g["id"] for g in league["gauntlet_results"]),
+                               default=0)
         league_elapsed = 0.0
         total_episodes = sum((m.get("episodes_completed") or 0) for m in metrics)
 
@@ -298,9 +300,14 @@ class DashboardServer:
                 rid = new_league["results"][0]["id"] if new_league["results"] else 0
                 tid = (new_league["transitions"][0]["id"]
                        if new_league["transitions"] else 0)
+                # gauntlet runs write no league_results/transition rows, so
+                # they need their own fingerprint component
+                gid_ = max((g["id"] for g in new_league["gauntlet_results"]),
+                           default=0)
                 if (ids != last_entry_ids or rid != last_result_id
-                        or tid != last_transition_id):
+                        or tid != last_transition_id or gid_ != last_gauntlet_id):
                     last_entry_ids, last_result_id, last_transition_id = ids, rid, tid
+                    last_gauntlet_id = gid_
                     await ws.send_json({
                         "type": "league_update",
                         "entries": new_league["entries"],
@@ -391,8 +398,17 @@ class DashboardServer:
 
     async def _poll_showcase(self, ws: WebSocket) -> None:
         last_fp: tuple = (None, 0, False)
-        last_game_id: int | None = None
+        # start the cursor at the CURRENT game/ply: the init payload
+        # (fetched by _poll_and_push at the same moment) already carries
+        # the full move list, so re-sending it would double every move in
+        # the client's log
+        game0 = await asyncio.to_thread(sc.read_active_showcase_game, self.db_path)
+        last_game_id: int | None = game0["id"] if game0 else None
         last_ply = 0
+        if game0:
+            moves0 = await asyncio.to_thread(
+                sc.read_all_showcase_moves, self.db_path, game0["id"])
+            last_ply = max((m["ply"] for m in moves0), default=0)
         while True:
             await asyncio.sleep(SHOWCASE_POLL_INTERVAL_S)
             game = await asyncio.to_thread(sc.read_active_showcase_game, self.db_path)

@@ -153,8 +153,12 @@ function dispatch(msg) {
       S.showcase.game = msg.game;
       if (isNewGame) { S.showcase.moves = []; S.reviewPly = null; }
       if ((msg.new_moves || []).length) {
-        S.showcase.moves.push(...msg.new_moves);
-        moveSound();
+        // dedup by ply: the server's init payload and poll task race at
+        // connect time, so a move may arrive twice
+        const seen = S.showcase.moves.length
+          ? S.showcase.moves[S.showcase.moves.length - 1].ply : 0;
+        const fresh = msg.new_moves.filter(m => m.ply > seen);
+        if (fresh.length) { S.showcase.moves.push(...fresh); moveSound(); }
       }
       renderShowcase();
       break;
@@ -530,12 +534,18 @@ function renderQueue() {
       `<li>#${q.id} ${q.entry_id_1} vs ${q.entry_id_2} · ${q.speed} · ${q.status}</li>`
     ).join("") || '<li style="border:none">empty</li>';
 }
-// black-perspective win prob from a move row (value_estimate is from the
-// side-to-move's perspective at that ply)
+// black-perspective win prob from a move row. value_estimate is from the
+// MOVER's perspective; current_player is the side to move AFTER the move
+// (the mover's opponent), so black's value needs the flip when
+// current_player is black.
 function blackProb(m) {
   if (m.value_estimate == null) return null;
-  const v = m.current_player === "black" ? m.value_estimate : -m.value_estimate;
+  const mover = m.current_player === "black" ? "white" : "black";
+  const v = mover === "black" ? m.value_estimate : -m.value_estimate;
   return (v + 1) / 2;
+}
+function moverOf(m) {
+  return m.current_player === "black" ? "white" : "black";
 }
 function displayedMove() {
   const moves = S.showcase.moves;
@@ -572,7 +582,7 @@ function renderShowcase() {
     const usi = m.move_usi || m.usi_notation || "";
     const dest = usi.length >= 4 ? usiToCell(usi.slice(2, 4)) : -1;
     boardEl.innerHTML =
-      `<div class="meta">ply ${m.ply} · ${m.current_player} played ${m.usi_notation}` +
+      `<div class="meta">ply ${m.ply} · ${moverOf(m)} played ${m.usi_notation}` +
       `${m.in_check ? " · <b>check</b>" : ""}` +
       `${S.reviewPly != null ? " · <i>review</i>" : ""}</div>` +
       boardHTML(JSON.parse(m.board_json), heat, dest) +

@@ -18,6 +18,11 @@ import hashlib
 import json
 import struct
 
+# server-side inbound frames are small JSON commands; clients (tests,
+# tooling) receive large init payloads and use a higher cap
+MAX_FRAME_BYTES = 1 << 20
+MAX_CLIENT_FRAME_BYTES = 256 << 20
+
 _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
 OP_CONT, OP_TEXT, OP_BINARY, OP_CLOSE, OP_PING, OP_PONG = 0x0, 0x1, 0x2, 0x8, 0x9, 0xA
@@ -63,7 +68,9 @@ def encode_frame(opcode: int, payload: bytes, fin: bool = True) -> bytes:
 class WebSocket:
     """Server-side connection over (reader, writer)."""
 
-    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+    def __init__(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter,
+                 max_frame_bytes: int = MAX_FRAME_BYTES):
+        self.max_frame_bytes = max_frame_bytes
         self.reader = reader
         self.writer = writer
         self._send_lock = asyncio.Lock()
@@ -114,6 +121,14 @@ class WebSocket:
                 (length,) = struct.unpack(">H", await self._read_exactly(2))
             elif length == 127:
                 (length,) = struct.unpack(">Q", await self._read_exactly(8))
+            if (length > self.max_frame_bytes
+                    or len(message) + length > self.max_frame_bytes):
+                # dashboard commands are tiny JSON: an outsized declared
+                # length is either a broken client or a memory-exhaustion
+                # attempt — fail the connection before buffering anything
+                self.closed = True
+                raise ConnectionError(
+                    f"frame of {length} bytes exceeds max_frame_bytes")
             mask = await self._read_exactly(4) if masked else b""
             payload = await self._read_exactly(length) if length else b""
             if masked and payload:
@@ -190,7 +205,7 @@ async def client_connect(host: str, port: int, path: str = "/ws",
         line = await reader.readline()
         if line in (b"\r\n", b"\n", b""):
             break
-    ws = WebSocket(reader, writer)
+    ws = WebSocket(reader, writer, max_frame_bytes=MAX_CLIENT_FRAME_BYTES)
 
     # client frames must be masked: wrap _send_frame
     async def _send_frame_masked(opcode: int, payload: bytes) -> None:

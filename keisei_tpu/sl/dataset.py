@@ -127,18 +127,22 @@ class SLDataset:
         end = len(self) - (len(self) % batch_size) if drop_last else len(self)
         for start in range(0, end, batch_size):
             ids = order[start : start + batch_size]
-            # group by shard for mmap locality
             obs = np.empty((len(ids), OBS_SIZE), np.float32)
             pol = np.empty(len(ids), np.int64)
             val = np.empty(len(ids), np.int64)
             sc = np.empty(len(ids), np.float32)
-            for j, idx in enumerate(ids):
-                shard = int(np.searchsorted(self.offsets, idx, side="right")) - 1
-                rec = self._mmap(shard)[idx - self.offsets[shard]]
-                obs[j] = rec["obs"]
-                pol[j] = rec["policy"]
-                val[j] = rec["value"]
-                sc[j] = rec["score"]
+            # group reads by shard (and in-shard order) for mmap locality;
+            # writes land at each id's shuffled batch position
+            shards = np.searchsorted(self.offsets, ids, side="right") - 1
+            for shard in np.unique(shards):
+                sel = np.nonzero(shards == shard)[0]
+                sel = sel[np.argsort(ids[sel])]
+                mm = self._mmap(int(shard))
+                recs = mm[ids[sel] - self.offsets[shard]]
+                obs[sel] = recs["obs"]
+                pol[sel] = recs["policy"]
+                val[sel] = recs["value"]
+                sc[sel] = recs["score"]
             if not ((pol >= 0) & (pol < 11259)).all():
                 raise ValueError("invalid policy target in batch")
             if not np.isin(val, (0, 1, 2)).all():

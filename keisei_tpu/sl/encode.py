@@ -77,14 +77,18 @@ def _value_cat(outcome: GameOutcome, black_to_move: bool) -> int:
 
 
 @partial(jax.jit, static_argnames=("num_channels", "max_ply"))
-def _replay_program(actions, lengths, num_channels: int, max_ply: int):
+def _replay_program(actions, lengths, boards, hands, stms, hashes,
+                    num_channels: int, max_ply: int):
     """(G, L) actions -> per-ply observations, legality of played move,
-    material balance. Games shorter than L idle on a frozen state."""
+    material balance. Games shorter than L idle on a frozen state.
+    boards/hands/stms/hashes seed each game's start position (custom-SFEN
+    games replay from their real position, not startpos)."""
     G, L = actions.shape
     state0 = C.init_state(max_ply)
     states = jax.tree.map(
         lambda x: jnp.broadcast_to(jnp.asarray(x), (G,) + np.shape(x)), state0
     )
+    states = states.replace(board=boards, hands=hands, stm=stms, hash_=hashes)
 
     def observe_one(st):
         pboard = C.perspective_board(st.board, st.stm)
@@ -132,13 +136,31 @@ class GameEncoder:
         all_obs, all_pol, all_val, all_score = [], [], [], []
         dropped_moves = dropped_games = 0
 
+        from ..engine.sfen import parse_sfen
+        from ..engine.zobrist import compute_hash
+
+        st0 = C.init_state(self.max_ply)
+        b0, h0 = np.asarray(st0.board), np.asarray(st0.hands)
+        hash0 = np.asarray(st0.hash_)
+
         for start in range(0, len(records), self.batch_games):
             chunk = records[start : start + self.batch_games]
-            acts, lens, outcomes = [], [], []
+            acts, lens, outcomes, starts = [], [], [], []
             for rec in chunk:
+                if getattr(rec, "start_sfen", ""):
+                    try:
+                        sb, sh, sstm = parse_sfen(rec.start_sfen)
+                    except Exception:
+                        dropped_games += 1
+                        continue
+                    start_state = (sb, sh, sstm,
+                                   np.asarray(compute_hash(sb, sh, sstm)))
+                else:
+                    start_state = (b0, h0, 0, hash0)
+                stm0 = start_state[2]
                 try:
                     ids = [
-                        usi_to_action(m.move_usi, i % 2)
+                        usi_to_action(m.move_usi, (stm0 + i) % 2)
                         for i, m in enumerate(rec.moves[: self.max_ply - 1])
                     ]
                 except (ValueError, KeyError, IndexError):
@@ -147,6 +169,7 @@ class GameEncoder:
                 acts.append(ids)
                 lens.append(len(ids))
                 outcomes.append(rec.outcome)
+                starts.append(start_state)
             if not acts:
                 continue
             # bucket L to multiples of 64 so jit retraces stay bounded
@@ -157,6 +180,10 @@ class GameEncoder:
                 a[g, : len(ids)] = ids
             obs, legal, mat = _replay_program(
                 jnp.asarray(a), jnp.asarray(np.array(lens, np.int32)),
+                jnp.asarray(np.stack([x[0] for x in starts])),
+                jnp.asarray(np.stack([x[1] for x in starts])),
+                jnp.asarray(np.array([x[2] for x in starts], np.int8)),
+                jnp.asarray(np.stack([x[3] for x in starts])),
                 self.num_channels, self.max_ply,
             )
             obs = np.asarray(obs)  # (L, G, C, 81)
@@ -171,7 +198,8 @@ class GameEncoder:
                         break  # replay diverged; drop the tail
                     all_obs.append(obs[t, g].reshape(-1))
                     all_pol.append(a[g, t])
-                    all_val.append(_value_cat(outcomes[g], t % 2 == 0))
+                    all_val.append(
+                        _value_cat(outcomes[g], (starts[g][2] + t) % 2 == 0))
                     # REAL score target: material balance from the mover's
                     # perspective (the reference's FIXME, prepare.py:168-173)
                     all_score.append(mat[t, g] / 76.0)

@@ -36,6 +36,7 @@ class GameRecord:
     moves: list[ParsedMove]
     outcome: GameOutcome
     metadata: dict[str, str] = field(default_factory=dict)
+    start_sfen: str = ""  # "" = standard start position
 
 
 @dataclass
@@ -90,10 +91,13 @@ class SFENParser(GameParser):
                 outcome = GameOutcome(metadata.get("result", ""))
             except ValueError:
                 continue
-            idx += 1  # skip the position line
+            pos_line = lines[idx] if idx < len(lines) else "startpos"
+            start_sfen = "" if pos_line == "startpos" else pos_line
+            idx += 1  # past the position line
             moves = [ParsedMove(move_usi=ln) for ln in lines[idx:]]
             if moves:
-                yield GameRecord(moves=moves, outcome=outcome, metadata=metadata)
+                yield GameRecord(moves=moves, outcome=outcome,
+                                 metadata=metadata, start_sfen=start_sfen)
 
 
 class CSAParser(GameParser):
@@ -209,7 +213,9 @@ class CSAParser(GameParser):
                 board[(tc, tr)] = body[4:6]
             elif ln.startswith("%"):
                 n = len(moves)
-                if ln == "%TORYO":  # resignation: the mover to act loses
+                if ln in ("%TORYO", "%TIME_UP"):
+                    # resignation / flag fall: the side TO MOVE loses (no
+                    # move is recorded for them, unlike %ILLEGAL_MOVE)
                     outcome = (GameOutcome.WIN_WHITE if n % 2 == 0
                                else GameOutcome.WIN_BLACK)
                 elif ln in ("%SENNICHITE", "%JISHOGI", "%HIKIWAKE", "%CHUDAN"):
@@ -217,8 +223,8 @@ class CSAParser(GameParser):
                 elif ln == "%TSUMI":
                     outcome = (GameOutcome.WIN_WHITE if n % 2 == 0
                                else GameOutcome.WIN_BLACK)
-                elif ln in ("%ILLEGAL_MOVE", "%TIME_UP"):
-                    # the player who just moved / ran out loses
+                elif ln == "%ILLEGAL_MOVE":
+                    # the offending move IS recorded: the last mover loses
                     outcome = (GameOutcome.WIN_BLACK if n % 2 == 0
                                else GameOutcome.WIN_WHITE)
                 elif ln == "%KACHI":  # declaration win by the mover to act

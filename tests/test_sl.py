@@ -195,3 +195,39 @@ class TestShardsAndTraining:
         # and it trains
         em = rl.run_epoch()
         assert np.isfinite(em.policy_loss)
+
+
+class TestStartPositionAndOutcomes:
+    def test_sfen_seeded_game_encodes_from_its_position(self, tmp_path):
+        """A game starting from a custom SFEN must replay from THAT
+        position: its moves are illegal from startpos, so a startpos
+        replay would drop every position (regression: the encoder used
+        to ignore the position line)."""
+        from keisei_tpu.sl.encode import GameEncoder
+        from keisei_tpu.sl.parsers import SFENParser
+
+        block = ("result:win_black\n"
+                 "4k4/9/9/9/R8/9/9/9/4K4 b - 1\n"
+                 "9e9a+\n"   # rook up the open file, promoting — startpos-illegal
+                 "5a5b\n")
+        f = tmp_path / "seeded.sfen"
+        f.write_text(block)
+        records = list(SFENParser().parse(f))
+        assert len(records) == 1
+        assert records[0].start_sfen.startswith("4k4/")
+        obs, pol, val, score, stats = GameEncoder().encode_games(records)
+        assert stats["positions"] == 2, stats
+        assert stats["dropped_moves"] == 0
+
+    def test_csa_time_up_loser_is_side_to_move(self, tmp_path):
+        """%TIME_UP records no move for the flagged player: after an even
+        number of moves black is on move and loses (regression: was
+        inverted to WIN_BLACK)."""
+        from keisei_tpu.sl.parsers import CSAParser, GameOutcome
+
+        csa = ("V2.2\nN+B\nN-W\nPI\n+\n"
+               "+7776FU\n-3334FU\n%TIME_UP\n")
+        f = tmp_path / "t.csa"
+        f.write_text(csa)
+        rec = list(CSAParser().parse(f))[0]
+        assert rec.outcome == GameOutcome.WIN_WHITE
