@@ -21,12 +21,11 @@ repeated runs (reproducible within ~2% run-to-run).
 
 from __future__ import annotations
 
-import os
+import os  # noqa: F401  (kept for callers using os)
 
-if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    _cache = os.path.expanduser("~/.cache/keisei-tpu-jax")
-    os.makedirs(_cache, exist_ok=True)
-    os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+from keisei_tpu.utils.cache import ensure_compile_cache
+
+ensure_compile_cache()
 
 import json
 import statistics
@@ -41,9 +40,9 @@ BASELINE = 100_000.0  # BASELINE.json north star
 
 
 def timed(fn, *args):
-    t0 = time.time()
+    t0 = time.perf_counter()  # monotonic: NTP slew cannot skew the diff
     float(fn(*args))  # scalar host fetch forces completion
-    return time.time() - t0
+    return time.perf_counter() - t0
 
 
 def main():

@@ -54,21 +54,12 @@ def make_fused_forward(
     """
 
     def fwd(variables: Any, obs: jax.Array) -> KataGoOutput:
-        if obs.ndim != 4 or obs.shape[1] != cfg.obs_channels:
-            raise ValueError(
-                f"expected obs (B, {cfg.obs_channels}, 9, 9), got {obs.shape}")
         n = obs.shape[0]
         bt = batch_tile or pick_batch_tile(n)
         p = variables["params"]
         bs = variables["batch_stats"]
-        bf16, f32 = jnp.bfloat16, jnp.float32
-
-        # (B, C, 9, 9) -> (9, 9, B, C)
-        x = jnp.transpose(obs, (2, 3, 0, 1)).astype(bf16)
-        x = conv3x3_hwbc(x, p["input_conv"]["kernel"],
-                         batch_tile=bt, interpret=interpret)
-        s, b = _bn_affine(p["input_bn"], bs["input_bn"])
-        x = jnp.maximum(x.astype(f32) * s + b, 0.0).astype(bf16)
+        bf16 = jnp.bfloat16
+        x = _trunk_input(cfg, p, bs, obs, bt, interpret).astype(bf16)
 
         for i in range(cfg.num_blocks):
             blk = p[f"block{i}"]
@@ -88,6 +79,22 @@ def make_fused_forward(
         return _apply_heads(p, bs, x)
 
     return fwd
+
+
+def _trunk_input(cfg: SEResNetParams, p: Any, bs: Any, obs: jax.Array,
+                 batch_tile: int, interpret: bool) -> jax.Array:
+    """Shared bf16/int8 prologue: validate obs, transpose to spatial-major,
+    input conv (Pallas), folded input-BN affine + relu -> (9,9,B,C) f32."""
+    if (obs.ndim != 4 or obs.shape[1] != cfg.obs_channels
+            or obs.shape[2:] != (9, 9)):
+        raise ValueError(
+            f"expected obs (B, {cfg.obs_channels}, 9, 9), got {obs.shape}")
+    f32 = jnp.float32
+    x = jnp.transpose(obs, (2, 3, 0, 1)).astype(jnp.bfloat16)
+    x = conv3x3_hwbc(x, p["input_conv"]["kernel"],
+                     batch_tile=batch_tile, interpret=interpret)
+    s, b = _bn_affine(p["input_bn"], bs["input_bn"])
+    return jnp.maximum(x.astype(f32) * s + b, 0.0)
 
 
 def _apply_heads(p: Any, bs: Any, x: jax.Array) -> KataGoOutput:
@@ -151,28 +158,26 @@ def make_quantized_forward(
             unpack_dequantized,
         )
 
-        if obs.ndim != 4 or obs.shape[1] != cfg.obs_channels:
-            raise ValueError(
-                f"expected obs (B, {cfg.obs_channels}, 9, 9), got {obs.shape}")
         n = obs.shape[0]
-        bt = batch_tile if n % batch_tile == 0 else pick_batch_tile(n, batch_tile)
-        if bt % 32:
-            # the int8 kernel's (32, 128) sublane tiling needs 32-multiple
-            # batch tiles (ops/qblock.py); fail with a clear message
-            # instead of a Mosaic lowering error deep in the first rollout
-            raise ValueError(
-                f"rollout_forward='int8' needs a batch size divisible by "
-                f"32 (got {n}, best tile {bt})")
+        if batch_tile % 32 == 0 and n % batch_tile == 0:
+            bt = batch_tile
+        else:
+            # largest divisor of n that is a multiple of 32 (the int8
+            # kernel's (32, 128) sublane tiling requires it); fail with a
+            # clear message instead of a Mosaic lowering error deep in
+            # the first rollout
+            bt = max(
+                (d for d in range(32, min(n, 256) + 1, 32) if n % d == 0),
+                default=0,
+            )
+            if bt == 0:
+                raise ValueError(
+                    f"rollout_forward='int8' needs a batch size divisible "
+                    f"by 32 (got {n})")
         p = variables["params"]
         bs = variables["batch_stats"]
-        bf16, f32 = jnp.bfloat16, jnp.float32
 
-        x = jnp.transpose(obs, (2, 3, 0, 1)).astype(bf16)
-        x = conv3x3_hwbc(x, p["input_conv"]["kernel"],
-                         batch_tile=pick_batch_tile(n), interpret=interpret)
-        s, b = _bn_affine(p["input_bn"], bs["input_bn"])
-        x = jnp.maximum(x.astype(f32) * s + b, 0.0)
-
+        x = _trunk_input(cfg, p, bs, obs, pick_batch_tile(n), interpret)
         buf, sx = pack_quantized(x, bt)
         for i in range(cfg.num_blocks):
             blk = p[f"block{i}"]
@@ -192,7 +197,7 @@ def make_quantized_forward(
                 blk["se_fc2"]["kernel"], blk["se_fc2"]["bias"],
                 batch_tile=bt, interpret=interpret,
             )
-        x = unpack_dequantized(buf, sx, bt).astype(bf16)
+        x = unpack_dequantized(buf, sx, bt).astype(jnp.bfloat16)
         return _apply_heads(p, bs, x)
 
     return fwd

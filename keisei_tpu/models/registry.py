@@ -22,12 +22,15 @@ from .scalar import (
 )
 from .se_resnet import SEResNetModel, SEResNetParams
 
-# name -> (module_cls, params_cls, contract, obs_channels)
-_REGISTRY: dict[str, tuple[Any, Any, str, int]] = {
-    "mlp": (MLPModel, MLPParams, "scalar", 50),
-    "resnet": (ResNetModel, ResNetParams, "scalar", 50),
-    "transformer": (TransformerModel, TransformerParams, "scalar", 50),
-    "se_resnet": (SEResNetModel, SEResNetParams, "katago", 50),
+# name -> (module_cls, params_cls, contract, obs_channels, uses_batchnorm)
+# uses_batchnorm routes bn_axis_name for cross-replica stat syncing — kept
+# HERE so registering a new BN architecture is one-stop (forgetting it in
+# a build_model name tuple would silently train with unsynced BN stats)
+_REGISTRY: dict[str, tuple[Any, Any, str, int, bool]] = {
+    "mlp": (MLPModel, MLPParams, "scalar", 50, False),
+    "resnet": (ResNetModel, ResNetParams, "scalar", 50, True),
+    "transformer": (TransformerModel, TransformerParams, "scalar", 50, False),
+    "se_resnet": (SEResNetModel, SEResNetParams, "katago", 50, True),
 }
 
 VALID_ARCHITECTURES = frozenset(_REGISTRY)
@@ -70,13 +73,13 @@ def build_model(
     architectures (ignored by norm-free ones).
     """
     _check(architecture)
-    model_cls, params_cls, _, _ = _REGISTRY[architecture]
+    model_cls, params_cls, _, _, uses_bn = _REGISTRY[architecture]
     params = dict(params or {})
     if "hidden_sizes" in params and isinstance(params["hidden_sizes"], list):
         params["hidden_sizes"] = tuple(params["hidden_sizes"])
     validate_model_params(architecture, params)
     cfg = params_cls(**params)
-    if architecture in ("se_resnet", "resnet"):
+    if uses_bn:
         return model_cls(params_cfg=cfg, bn_axis_name=bn_axis_name), cfg
     return model_cls(params_cfg=cfg), cfg
 

@@ -104,7 +104,8 @@ class SEResNetModel(nn.Module):
     def __call__(self, obs, train: bool = False) -> KataGoOutput:
         p = self.params_cfg
         dt = p.dtype
-        if obs.ndim != 4 or obs.shape[1] != p.obs_channels:
+        if (obs.ndim != 4 or obs.shape[1] != p.obs_channels
+                or obs.shape[2:] != (9, 9)):
             raise ValueError(
                 f"expected obs (B, {p.obs_channels}, 9, 9), got {obs.shape}"
             )

@@ -60,6 +60,15 @@ def get_distributed_context(env: dict | None = None) -> DistributedContext:
         pid = int(env.get("KEISEI_PROCESS_ID", "0"))
     except ValueError as e:
         raise ValueError(f"bad distributed env vars: {e}") from e
+    if n <= 1:
+        # a coordinator with num_processes=1 is a misconfigured launch
+        # (forgotten KEISEI_NUM_PROCESSES): silently training standalone
+        # would let several processes write checkpoints/DB concurrently
+        raise ValueError(
+            "KEISEI_COORDINATOR is set but KEISEI_NUM_PROCESSES is "
+            f"{n} — set it to the total process count (or unset the "
+            "coordinator for single-process runs)"
+        )
     if not 0 <= pid < n:
         raise ValueError(f"KEISEI_PROCESS_ID {pid} out of range for {n} processes")
     return DistributedContext(process_id=pid, num_processes=n, coordinator=coord)

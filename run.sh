@@ -37,7 +37,30 @@ while [[ $# -gt 0 ]]; do
 done
 
 mkdir -p "$LOGDIR"
+if [[ -f "$PIDFILE" ]]; then
+  # refuse to clobber a live run's pidfile (a second launch would orphan
+  # the first run's processes from --stop/cleanup)
+  while read -r pid; do
+    if kill -0 "$pid" 2>/dev/null; then
+      echo "another run appears active (pid $pid in $PIDFILE) — use --stop first" >&2
+      exit 1
+    fi
+  done < "$PIDFILE"
+fi
 : > "$PIDFILE"
+
+rewrite_pidfile() {
+  # keep only CURRENT process pids: restarts would otherwise accumulate
+  # stale entries that the OS may recycle to unrelated processes, which
+  # cleanup/--stop would then kill
+  {
+    [[ -n "${TRAIN_PID:-}" ]] && echo "$TRAIN_PID"
+    [[ -n "${DASH_PID:-}" ]] && echo "$DASH_PID"
+    [[ -n "${SHOWCASE_PID:-}" ]] && echo "$SHOWCASE_PID"
+    local i
+    for i in "${!WORKER_PIDS[@]}"; do echo "${WORKER_PIDS[$i]}"; done
+  } > "$PIDFILE"
+}
 
 # Pull db_path / league_dir out of the TOML (python is the TOML parser we have)
 eval "$(python - "$CONFIG" <<'EOF'
@@ -56,7 +79,7 @@ start_trainer() {
   python -m keisei_tpu.training.loop "${args[@]}" \
     >> "$LOGDIR/train.log" 2>&1 &
   TRAIN_PID=$!
-  echo "$TRAIN_PID" >> "$PIDFILE"
+  rewrite_pidfile
   echo "trainer: pid $TRAIN_PID (log $LOGDIR/train.log)"
 }
 
@@ -65,7 +88,7 @@ start_dashboard() {
     --host 0.0.0.0 --port "$PORT" --allow-host "$(hostname)" \
     >> "$LOGDIR/dashboard.log" 2>&1 &
   DASH_PID=$!
-  echo "$DASH_PID" >> "$PIDFILE"
+  rewrite_pidfile
   echo "dashboard: pid $DASH_PID on :$PORT"
 }
 
@@ -74,7 +97,7 @@ start_showcase() {
     --db "$DB_PATH" --league-dir "$LEAGUE_DIR" \
     >> "$LOGDIR/showcase.log" 2>&1 &
   SHOWCASE_PID=$!
-  echo "$SHOWCASE_PID" >> "$PIDFILE"
+  rewrite_pidfile
   echo "showcase: pid $SHOWCASE_PID"
 }
 
@@ -84,8 +107,8 @@ start_worker() {
     --db "$DB_PATH" --league-dir "$LEAGUE_DIR" --worker-id "worker-$i" \
     >> "$LOGDIR/worker-$i.log" 2>&1 &
   local pid=$!
-  echo "$pid" >> "$PIDFILE"
   WORKER_PIDS[$i]=$pid
+  rewrite_pidfile
   echo "tournament worker $i: pid $pid"
 }
 

@@ -5,12 +5,11 @@ Run: python scripts/profile_quantized_forward.py [batch]
 
 from __future__ import annotations
 
-import os
+import os  # noqa: F401  (kept for callers using os)
 
-if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-    _cache = os.path.expanduser("~/.cache/keisei-tpu-jax")
-    os.makedirs(_cache, exist_ok=True)
-    os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+from keisei_tpu.utils.cache import ensure_compile_cache
+
+ensure_compile_cache()
 
 import statistics
 import sys
