@@ -65,3 +65,55 @@ class TestShowcaseRunner:
         assert m0["move_usi"] in hm
         assert m0["value_estimate"] is not None
         assert sc.get_queue_status(db_path, qid) == "done"
+
+
+class TestQueueWedgeRecovery:
+    def test_claimed_entry_completes_after_transient_db_error(self, tmp_path, monkeypatch):
+        """A failed complete_queue_entry must not wedge the queue: the
+        runner retries completing the claimed id before claiming again
+        (regression: status='running' rows blocked claim_next_match
+        forever while the runner idled 'healthy')."""
+        import keisei_tpu.db.showcase as sc
+        from keisei_tpu.db import init_db
+        from keisei_tpu.db.showcase import queue_match
+        from keisei_tpu.showcase.runner import ShowcaseRunner
+
+        db = str(tmp_path / "s.db")
+        init_db(db)
+        queue_match(db, "1", "2", "fast")
+
+        runner = ShowcaseRunner(db, str(tmp_path / "league"), auto_showcase=False)
+        played = []
+        monkeypatch.setattr(runner, "play_match", lambda row: played.append(row["id"]))
+
+        calls = {"n": 0}
+        real_complete = sc.complete_queue_entry
+
+        def flaky_complete(path, qid):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                import sqlite3
+                raise sqlite3.OperationalError("database is locked")
+            real_complete(path, qid)
+
+        monkeypatch.setattr(sc, "complete_queue_entry", flaky_complete)
+        # run() loops forever; drive a bounded number of iterations by
+        # stopping once the queue drains
+        import threading
+        import time as _t
+
+        t = threading.Thread(target=runner.run, daemon=True)
+        monkeypatch.setattr(_t, "sleep", lambda s: None) if False else None
+        t.start()
+        deadline = _t.monotonic() + 30
+        status = None
+        while _t.monotonic() < deadline:
+            status = sc.get_queue_status(db, 1)
+            if status == "done":
+                break
+            _t.sleep(0.5)
+        runner.request_stop()
+        t.join(timeout=10)
+        assert played, "match was never claimed/played"
+        assert status == "done", f"queue stuck in {status!r}"
+        assert calls["n"] >= 2  # first attempt failed, retry completed it
