@@ -304,3 +304,51 @@ class TestImpasseScoring:
                 "ppppppppp/ppppppppp/8r b - 1")
         active, _ = self._impasse(sfen)
         assert not bool(active)
+
+
+class TestMovegenFixtures:
+    """Device-path pins of the reference's movegen unit fixtures
+    (movegen.rs:322-427): forced/optional promotion emission, dead-drop
+    filtering, drops only on empty squares."""
+
+    def _mask(self, sfen):
+        board, hands, stm = parse_sfen(sfen)
+        pboard = C.perspective_board(jnp.asarray(board), jnp.int8(stm))
+        m, _, _ = C.legal_mask_pspace(pboard, jnp.asarray(hands)[stm])
+        return np.asarray(m)  # (81, 139)
+
+    def test_forced_promotion_single_move(self):
+        # black pawn on row 1 (rank b): its only move promotes
+        m = self._mask("4k4/4P4/9/9/9/9/9/9/4K4 b - 1")
+        pawn_sq = 1 * 9 + 4
+        slots = np.nonzero(m[pawn_sq])[0]
+        assert list(slots) == [64], slots  # N dist-1, promote variant only
+
+    def test_optional_promotion_two_moves(self):
+        # black pawn on row 3 moving INTO the zone: both options emitted
+        m = self._mask("4k4/9/9/4P4/9/9/9/9/4K4 b - 1")
+        pawn_sq = 3 * 9 + 4
+        slots = set(np.nonzero(m[pawn_sq])[0])
+        assert slots == {0, 64}, slots  # N dist-1, with and without promote
+
+    def test_dead_drop_rows(self):
+        # black with P, L, N, G in hand on an empty-ish board
+        m = self._mask("4k4/9/9/9/9/9/9/9/4K4 b PLNG 1")
+        drop = lambda sq, piece: m[sq, 132 + piece]  # noqa: E731
+        c = 2  # arbitrary empty file (no nifu interference)
+        assert not drop(0 * 9 + c, TY.PAWN) and drop(1 * 9 + c, TY.PAWN)
+        assert not drop(0 * 9 + c, TY.LANCE) and drop(1 * 9 + c, TY.LANCE)
+        assert (not drop(0 * 9 + c, TY.KNIGHT)
+                and not drop(1 * 9 + c, TY.KNIGHT)
+                and drop(2 * 9 + c, TY.KNIGHT))
+        assert drop(0 * 9 + c, TY.GOLD)  # gold is never a dead drop
+
+    def test_drops_only_on_empty_squares(self):
+        # startpos + rook in hand: legal drop squares == empty squares
+        m = self._mask(
+            "lnsgkgsnl/1r5b1/ppppppppp/9/9/9/PPPPPPPPP/1B5R1/LNSGKGSNL b R 1")
+        board, _, _ = parse_sfen(
+            "lnsgkgsnl/1r5b1/ppppppppp/9/9/9/PPPPPPPPP/1B5R1/LNSGKGSNL b R 1")
+        empty = board < 0
+        drops = m[:, 132 + TY.ROOK]
+        assert (drops == empty).all()
