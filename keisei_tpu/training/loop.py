@@ -616,6 +616,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="keisei-tpu self-play training")
     parser.add_argument("--config", required=True)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--steps-per-epoch", type=int, default=None,
+                        help="override training.steps_per_epoch "
+                        "(reference CLI parity, katago_loop.py:1970)")
     parser.add_argument("--seed", type=int, default=None)
     args = parser.parse_args(argv)
 
@@ -641,6 +644,15 @@ def main(argv=None):
     setup_distributed(ctx)
 
     config = load_config(args.config)
+    if args.steps_per_epoch is not None or args.seed is not None:
+        import dataclasses
+
+        tc = config.training
+        if args.steps_per_epoch is not None:
+            tc = dataclasses.replace(tc, steps_per_epoch=args.steps_per_epoch)
+        if args.seed is not None:
+            tc = dataclasses.replace(tc, seed=args.seed)
+        config = dataclasses.replace(config, training=tc)
     if ctx.is_distributed and config.league is not None and config.league.enabled:
         # league bookkeeping is host-side and per-process; running it on N
         # hosts would apply Elo updates N times and diverge cohort sampling.
@@ -655,12 +667,6 @@ def main(argv=None):
 
         config = dataclasses.replace(
             config, display=dataclasses.replace(config.display, db_path="")
-        )
-    if args.seed is not None:
-        import dataclasses
-
-        config = dataclasses.replace(
-            config, training=dataclasses.replace(config.training, seed=args.seed)
         )
     trainer = SelfPlayTrainer(config)
     trainer.run(args.epochs)
