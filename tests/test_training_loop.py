@@ -197,3 +197,36 @@ class TestTrainerMesh:
             np.testing.assert_array_equal(shards[0], s)
         for p in jax.tree.leaves(trainer.state.params):
             assert np.isfinite(np.asarray(p)).all()
+
+
+class Test46ChannelMode:
+    def test_default_observation_mode_trains(self, tmp_path):
+        """observation_mode='default' (46 channels) through a full epoch:
+        the env emits 46-channel observations and the model must be
+        registered at matching obs_channels (fail-fast covers mismatch;
+        this covers the happy path end-to-end)."""
+        from keisei_tpu.training.config import load_config
+        from keisei_tpu.training.loop import SelfPlayTrainer
+
+        cfg = tmp_path / "c.toml"
+        cfg.write_text(f"""
+[model]
+architecture = "mlp"
+[model.params]
+hidden_sizes = [16]
+obs_channels = 46
+[training]
+num_games = 4
+max_ply = 32
+steps_per_epoch = 4
+observation_mode = "default"
+checkpoint_dir = "{tmp_path}/ck/"
+[training.algorithm_params]
+batch_size = 8
+epochs_per_batch = 1
+""")
+        trainer = SelfPlayTrainer(load_config(str(cfg)))
+        assert trainer.num_channels == 46
+        em = trainer.run_epoch()
+        import numpy as np
+        assert np.isfinite(em.policy_loss)
