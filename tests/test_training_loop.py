@@ -230,3 +230,38 @@ epochs_per_batch = 1
         em = trainer.run_epoch()
         import numpy as np
         assert np.isfinite(em.policy_loss)
+
+
+class TestScalarArchitecturesTrain:
+    """BASELINE.json acceptance configs 2-3: the resnet (BatchNorm!) and
+    transformer scalar baselines must train end-to-end, not just satisfy
+    the forward contract."""
+
+    @pytest.mark.integration
+    @pytest.mark.parametrize("arch,params", [
+        ("resnet", "hidden_size = 16\nnum_layers = 1"),
+        ("transformer", "d_model = 32\nnhead = 2\nnum_layers = 1"),
+    ])
+    def test_one_epoch(self, tmp_path, arch, params):
+        from keisei_tpu.training.config import load_config
+        from keisei_tpu.training.loop import SelfPlayTrainer
+
+        cfg = tmp_path / "c.toml"
+        cfg.write_text(f"""
+[model]
+architecture = "{arch}"
+[model.params]
+{params}
+[training]
+num_games = 4
+max_ply = 32
+steps_per_epoch = 4
+checkpoint_dir = "{tmp_path}/ck/"
+[training.algorithm_params]
+batch_size = 8
+epochs_per_batch = 1
+""")
+        trainer = SelfPlayTrainer(load_config(str(cfg)))
+        em = trainer.run_epoch()
+        import numpy as np
+        assert np.isfinite(em.policy_loss) and np.isfinite(em.value_loss)
