@@ -44,6 +44,33 @@ class TestProtocol:
         f = encode_frame(0x1, b"x" * 70000)
         assert f[1] == 127
 
+    def test_oversized_frame_rejected_before_buffering(self):
+        """A forged 8-byte length must fail the connection instead of
+        buffering gigabytes (memory-exhaustion guard)."""
+        import asyncio
+        import struct
+
+        from keisei_tpu.server.ws_protocol import WebSocket
+
+        async def scenario():
+            reader = asyncio.StreamReader()
+            # header claiming an 8 GiB unmasked text frame
+            reader.feed_data(bytes([0x81, 127]) + struct.pack(">Q", 8 << 30))
+
+            class _W:  # writer stub; recv path never writes
+                def close(self):
+                    pass
+
+            ws = WebSocket(reader, _W())
+            try:
+                await asyncio.wait_for(ws.recv_text(), 5)
+            except ConnectionError as e:
+                return str(e)
+            return None
+
+        msg = run(scenario())
+        assert msg and "max_frame_bytes" in msg
+
 
 @pytest.mark.integration
 class TestDashboard:
