@@ -92,7 +92,6 @@ DEST_OH_T = _build_dest_onehot()  # (81, 5346) f32
 # Constant per-destination masks (False at invalid destinations).
 _DEST_C = np.maximum(FROM_RAY, 0)
 ROW0_AT_DEST = (T.ROW_OF[_DEST_C] == 0) & FROM_RAY_VALID  # (81, 8, 8)
-ROW01_AT_DEST = (T.ROW_OF[_DEST_C] <= 1) & FROM_RAY_VALID
 ZONE_AT_DEST = T.IN_PROMO_ZONE[_DEST_C] & FROM_RAY_VALID
 _KDEST_C = np.maximum(T.KNIGHT_TO[0], 0)
 K_VALID = T.KNIGHT_TO[0] >= 0  # (81, 2)
@@ -343,10 +342,10 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     # forced/optional promotion from constant per-destination masks
     is_pl = own & ((kind == TY.PAWN) | (kind == TY.LANCE))
     is_kn = own & (kind == TY.KNIGHT)
-    must = (
-        (is_pl[:, None, None] & jnp.asarray(ROW0_AT_DEST))
-        | (is_kn[:, None, None] & jnp.asarray(ROW01_AT_DEST))
-    )
+    # knights have no slide/step slots (MOVE_OK[KNIGHT] is all-false), so
+    # forced promotion here concerns pawns/lances only; knight forced
+    # promotion lives in the knight-slot block (K_ROW01 below)
+    must = is_pl[:, None, None] & jnp.asarray(ROW0_AT_DEST)
     canp = (kind_eq & jnp.asarray(T.CAN_PROMOTE_KIND)[:, None]).any(axis=0) & own
     zone_from = jnp.asarray(T.IN_PROMO_ZONE)  # (81,)
     promo_opt = canp[:, None, None] & (
@@ -392,7 +391,8 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     # one-hot of c = oksq + 9: shift the king one-hot south one row
     c_oh = jnp.concatenate([jnp.zeros(9, jnp.float32), oksq_oh[:-9]])
     ufz = _uchi_fu_zume(
-        own_kind, opp, kind, occ, empty, oksq_oh, c_oh, kslide1, kslide0
+        own_kind, opp_kind, opp, kind, occ, empty, oksq_oh, c_oh,
+        kslide1, kslide0
     )
     pawn_drop_ok = pawn_drop_ok & ~(
         (SQ_IOTA == ufz_sq) & ufz & ufz_possible
@@ -411,7 +411,8 @@ def legal_mask_pspace(pboard: jax.Array, own_hand: jax.Array):
     return mask, in_check, n_check
 
 
-def _uchi_fu_zume(own_kind, opp, kind, occ, empty, oksq_oh, c_oh, kslide1, kslide0):
+def _uchi_fu_zume(own_kind, opp_kind, opp, kind, occ, empty, oksq_oh, c_oh,
+                  kslide1, kslide0):
     """Pawn-drop-mate test at square c (= oksq + 9), one-hot addressed.
 
     Replicates rules.rs:19-162 including its quirks: the defender-king
@@ -443,7 +444,8 @@ def _uchi_fu_zume(own_kind, opp, kind, occ, empty, oksq_oh, c_oh, kslide1, kslid
     #    Candidate must attack c (occupancy includes the pawn — irrelevant
     #    for reaching c itself since BETWEEN is strict).
     step_to_c = (jnp.asarray(STEP_ATT1_FLAT) @ c_oh).reshape(16, 81) > 0.5
-    opp_kind = (kind[None, :] == KIND_IOTA[:, None]) & opp[None, :]
+    # opp_kind passed from the caller (identical construction at the
+    # legal_mask_pspace top — keeping one source prevents silent divergence)
     cand_step = (opp_kind & step_to_c).any(axis=0)
     aligned_to_c = (jnp.asarray(ALIGNED_P1) @ c_oh)  # (81,) dir f->c, +1 enc
     dir_oh_c = _dir_onehot(aligned_to_c)

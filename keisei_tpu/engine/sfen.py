@@ -28,6 +28,11 @@ class SfenError(ValueError):
     pass
 
 
+# total piece supply per hand type: a count beyond this is corrupt input;
+# it would also overflow the Zobrist hand table (19 slots)
+from .types import HAND_MAX as _HAND_LIMIT  # noqa: E402
+
+
 def parse_sfen(sfen: str) -> tuple[np.ndarray, np.ndarray, int]:
     """Parse to (board (81,) int8, hands (2,7) int8, stm)."""
     parts = sfen.split()
@@ -67,6 +72,8 @@ def parse_sfen(sfen: str) -> tuple[np.ndarray, np.ndarray, int]:
             promoted = False
         if c != 9:
             raise SfenError(f"rank {r} has {c} files, expected 9")
+        if promoted:
+            raise SfenError(f"dangling '+' at end of rank {r}")
 
     if side_str == "b":
         stm = 0
@@ -86,7 +93,12 @@ def parse_sfen(sfen: str) -> tuple[np.ndarray, np.ndarray, int]:
             if lower not in _LETTER_TO_KIND or lower == "k":
                 raise SfenError(f"bad hand char {ch!r}")
             color = 0 if ch.isupper() else 1
-            hands[color, _LETTER_TO_KIND[lower]] += max(count, 1)
+            n = int(hands[color, _LETTER_TO_KIND[lower]]) + max(count, 1)
+            if n > _HAND_LIMIT[_LETTER_TO_KIND[lower]]:
+                raise SfenError(
+                    f"hand count {n} for {ch!r} exceeds the piece supply "
+                    f"({_HAND_LIMIT[_LETTER_TO_KIND[lower]]})")
+            hands[color, _LETTER_TO_KIND[lower]] = n
             count = 0
         if count:
             raise SfenError("trailing count in hands")

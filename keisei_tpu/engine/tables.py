@@ -171,7 +171,7 @@ def _build_tables():
     STEP_ATT,
     RAY,
     ALIGNED_DIR,
-    DIST_TAB,
+    _DIST_TAB,  # produced by the builder; no runtime consumer
     BETWEEN,
 ) = _build_tables()
 
@@ -202,9 +202,6 @@ DEAD_DROP[KNIGHT] = ROW_OF <= 1
 # CAN_PROMOTE_KIND[kind] — unpromoted P/L/N/S/B/R only.
 CAN_PROMOTE_KIND = np.zeros(NUM_KINDS, dtype=bool)
 CAN_PROMOTE_KIND[[PAWN, LANCE, KNIGHT, SILVER, BISHOP, ROOK]] = True
-
-# 180-degree board flip permutation.
-FLIP = 80 - np.arange(NUM_SQUARES)
 
 # Observation channel for each perspective-space cell value:
 # cell = kind + 16 * side  ->  channel index in the 46/50-channel layout

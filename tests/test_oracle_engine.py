@@ -274,3 +274,29 @@ class TestActionCodec:
             if mv[0] == "d":
                 idx = g.encode_action(mv)
                 assert idx % 139 == 132 + mv[2]
+
+
+class TestSfenValidation:
+    """Untrusted-input hardening (game files feed parse_sfen): corrupt
+    hand counts and malformed promotion markers must raise SfenError, not
+    IndexError/OverflowError deep in the Zobrist/encode path."""
+
+    def test_hand_count_beyond_supply_rejected(self):
+        from keisei_tpu.engine.sfen import SfenError, parse_sfen
+        with pytest.raises(SfenError, match="piece supply"):
+            parse_sfen("4k4/9/9/9/9/9/9/9/4K4 b 20P 1")
+        with pytest.raises(SfenError, match="piece supply"):
+            parse_sfen("4k4/9/9/9/9/9/9/9/4K4 b 200P 1")
+        with pytest.raises(SfenError, match="piece supply"):
+            parse_sfen("4k4/9/9/9/9/9/9/9/4K4 b 3R 1")
+
+    def test_max_supply_accepted(self):
+        from keisei_tpu.engine.sfen import parse_sfen
+        _, hands, _ = parse_sfen("4k4/9/9/9/9/9/9/9/4K4 b 18P2R2B4G4S4N4L 1")
+        assert hands[0].tolist() == [18, 4, 4, 4, 4, 2, 2]
+
+    def test_dangling_promotion_marker_rejected(self):
+        from keisei_tpu.engine.sfen import SfenError, parse_sfen
+        with pytest.raises(SfenError, match="dangling"):
+            parse_sfen(
+                "lnsgkgsnl/1r5b1/ppppppppp+/9/9/9/PPPPPPPPP/1B5R1/LNSGKGSNL b - 1")
