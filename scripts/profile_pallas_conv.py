@@ -19,6 +19,11 @@ from __future__ import annotations
 
 import os  # noqa: F401  (kept for callers using os)
 
+# make the repo root importable when run as scripts/<name>.py
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from keisei_tpu.utils.cache import ensure_compile_cache
 
 ensure_compile_cache()

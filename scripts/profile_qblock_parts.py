@@ -20,6 +20,11 @@ from __future__ import annotations
 
 import os  # noqa: F401  (kept for callers using os)
 
+# make the repo root importable when run as scripts/<name>.py
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from keisei_tpu.utils.cache import ensure_compile_cache
 
 ensure_compile_cache()
@@ -34,8 +39,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-import pathlib
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 from keisei_tpu.ops.qblock import (  # noqa: E402
     BANDS,
