@@ -45,35 +45,9 @@ def timed(fn, *args):
     return time.perf_counter() - t0
 
 
-def main():
-    from keisei_tpu.env.vec_env import EnvCore
-    from keisei_tpu.models.registry import build_model
-    from keisei_tpu.training.rollout import make_selfplay_rollout
-    from keisei_tpu.training.value_adapter import get_value_adapter
-
-    env_core = EnvCore(num_envs=N, max_ply=512, num_channels=50)
-    model, _ = build_model("se_resnet", {"num_blocks": 40, "channels": 256})
-    adapter = get_value_adapter("katago")
-
-    variables = model.init(
-        jax.random.key(0), jnp.zeros((2, 50, 9, 9), jnp.float32), train=False
-    )
-    env_states, obs, mask = env_core.init()
-
-    def make_timed(T):
-        rollout = make_selfplay_rollout(env_core, model, adapter, T)
-
-        @jax.jit
-        def run(variables, env_states, obs, mask, rng):
-            carry, traj, next_value, stats = rollout(variables, env_states, obs, mask, rng)
-            # single scalar output -> 4-byte host fetch
-            return traj.rewards.sum() + next_value.sum()
-
-        return run
-
-    rng = jax.random.key(1)
-    f_short, f_long = make_timed(T_SHORT), make_timed(T_LONG)
-    args = (variables, env_states, obs, mask, rng)
+def _measure(make_fn, args, n_envs):
+    """Median per-step time via short/long scan differencing."""
+    f_short, f_long = make_fn(T_SHORT), make_fn(T_LONG)
     timed(f_short, *args)  # compile
     timed(f_long, *args)
     samples = []
@@ -81,11 +55,101 @@ def main():
         ts = timed(f_short, *args)
         tl = timed(f_long, *args)
         samples.append((tl - ts) / (T_LONG - T_SHORT))
-    per_step = statistics.median(samples)
-    steps_per_sec = N / per_step
+    return n_envs / statistics.median(samples)
 
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="keisei-tpu headline benchmark")
+    p.add_argument("--league", action="store_true",
+                   help="measure the compact split-merge league rollout "
+                   "instead of plain self-play (flagship K=4 cohort)")
+    p.add_argument("--mesh", type=int, default=0, metavar="D",
+                   help="shard the env batch over a D-device data mesh "
+                   "(one command on a real pod; 0 = single device)")
+    p.add_argument("--num-envs", type=int, default=N)
+    args_cli = p.parse_args(argv)
+    n = args_cli.num_envs
+
+    from keisei_tpu.env.vec_env import EnvCore
+    from keisei_tpu.models.registry import build_model
+    from keisei_tpu.training.rollout import make_selfplay_rollout
+    from keisei_tpu.training.value_adapter import get_value_adapter
+
+    env_core = EnvCore(num_envs=n, max_ply=512, num_channels=50)
+    model, _ = build_model("se_resnet", {"num_blocks": 40, "channels": 256})
+    adapter = get_value_adapter("katago")
+
+    variables = model.init(
+        jax.random.key(0), jnp.zeros((2, 50, 9, 9), jnp.float32), train=False
+    )
+    env_states, obs, mask = env_core.init()
+    rng = jax.random.key(1)
+
+    mesh = None
+    if args_cli.mesh:
+        from keisei_tpu.parallel.mesh import make_mesh, replicate, shard_env_batch
+
+        mesh = make_mesh(args_cli.mesh)
+        env_states = shard_env_batch(mesh, env_states)
+        obs = shard_env_batch(mesh, obs)
+        mask = shard_env_batch(mesh, mask)
+        variables = replicate(mesh, variables)
+
+    if args_cli.league:
+        from keisei_tpu.training.league_rollout import (
+            make_league_rollout, parity_colors, stack_opponent_variables,
+        )
+
+        K = 4  # flagship league cohort (configs/katago-league.toml)
+        opp_vars = stack_opponent_variables([variables] * K)
+        color = parity_colors(n)
+        if mesh is not None:
+            from keisei_tpu.parallel.mesh import replicate, shard_env_batch
+
+            opp_vars = replicate(mesh, opp_vars)
+            color = shard_env_batch(mesh, color)
+
+        def make_timed(T):
+            rollout = make_league_rollout(env_core, model, adapter, T, K)
+
+            @jax.jit
+            def run(variables, opp_vars, env_states, obs, mask, color, rng):
+                carry, traj, next_value, stats = rollout(
+                    variables, opp_vars, env_states, obs, mask, color, rng
+                )
+                return traj.rewards.sum() + next_value.sum()
+
+            return run
+
+        a = (variables, opp_vars, env_states, obs, mask, color, rng)
+        steps_per_sec = _measure(make_timed, a, n)
+        metric = ("league split-merge env steps/sec (full rules + b40c256 "
+                  "learner + K=4 opponent cohort, compact parity-locked)")
+    else:
+        def make_timed(T):
+            rollout = make_selfplay_rollout(env_core, model, adapter, T)
+
+            @jax.jit
+            def run(variables, env_states, obs, mask, rng):
+                carry, traj, next_value, stats = rollout(
+                    variables, env_states, obs, mask, rng
+                )
+                # single scalar output -> 4-byte host fetch
+                return traj.rewards.sum() + next_value.sum()
+
+            return run
+
+        a = (variables, env_states, obs, mask, rng)
+        steps_per_sec = _measure(make_timed, a, n)
+        metric = ("self-play env steps/sec/chip (full rules + SE-ResNet "
+                  "b40c256 sampling in loop)")
+
+    if mesh is not None:
+        metric += f" [mesh={args_cli.mesh}]"
     print(json.dumps({
-        "metric": "self-play env steps/sec/chip (full rules + SE-ResNet b40c256 sampling in loop)",
+        "metric": metric,
         "value": round(steps_per_sec, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(steps_per_sec / BASELINE, 4),

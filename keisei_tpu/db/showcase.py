@@ -91,6 +91,18 @@ def get_queue_status(db_path: str, queue_id: int) -> str | None:
     return row["status"] if row else None
 
 
+def requeue_entry(db_path: str, queue_id: int) -> None:
+    """Put a claimed-but-unplayed entry back in line (runner crash recovery).
+
+    Only 'running' entries revert — a user cancellation must stick."""
+    core.execute(
+        db_path,
+        "UPDATE showcase_queue SET status = 'pending', started_at = NULL "
+        "WHERE id = ? AND status = 'running'",
+        (queue_id,),
+    )
+
+
 def complete_queue_entry(db_path: str, queue_id: int) -> None:
     # only running entries complete: a user cancellation (status =
     # 'cancelled') must survive the runner's post-match completion call

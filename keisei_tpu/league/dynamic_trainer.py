@@ -198,6 +198,36 @@ class DynamicTrainer:
     def disabled_entries(self) -> set[int]:
         return set(self._disabled)
 
+    # -- cache lifecycle -------------------------------------------------------
+
+    def drop_entry(self, entry_id: int) -> None:
+        """Free all cached per-entry state.
+
+        _opt_states holds device-resident Adam moments and _buffers host
+        rollout batches; without eviction both grow unboundedly as dynamic
+        entries cycle over long league runs (ADVICE r1)."""
+        self._buffers.pop(entry_id, None)
+        self._opt_states.pop(entry_id, None)
+        self._match_counts.pop(entry_id, None)
+        self._error_counts.pop(entry_id, None)
+        self._updates_since_flush.pop(entry_id, None)
+        self._disabled.discard(entry_id)
+
+    def retain_only(self, active_ids) -> None:
+        """Evict caches for entries no longer in the dynamic tier.
+
+        Called as a reconciliation sweep after tier reviews: retirement and
+        eviction happen from several paths (overflow review, hard caps,
+        frontier promotion), so sweeping against the live role listing is
+        more robust than hooking each one."""
+        active = set(active_ids)
+        cached = (
+            set(self._buffers) | set(self._opt_states) | set(self._match_counts)
+            | set(self._error_counts) | set(self._updates_since_flush)
+        )
+        for eid in cached - active:
+            self.drop_entry(eid)
+
     # -- gating --------------------------------------------------------------
 
     def _rate_limited(self) -> bool:

@@ -129,6 +129,18 @@ class LeagueTournament:
         self.scorer.advance_round()
         self.rounds_played += 1
 
+        # reconcile dynamic-trainer caches against the live tier: entries
+        # retired/evicted since last round must release their buffered
+        # rollouts and device-resident Adam moments (ADVICE r1)
+        if self.dynamic_trainer is not None:
+            try:
+                active = {
+                    e.id for e in self.store.list_by_role(Role.DYNAMIC)
+                }
+                self.dynamic_trainer.retain_only(active)
+            except Exception:
+                logger.exception("dynamic-trainer cache sweep failed")
+
         # style profiles every 5 rounds (reference tournament.py:291-315)
         if self.rounds_played % 5 == 0:
             try:

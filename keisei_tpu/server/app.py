@@ -185,11 +185,16 @@ class DashboardServer:
         await writer.drain()
         ws = WebSocket(reader, writer)
         try:
+            # ONE showcase snapshot feeds both the init payload and the
+            # showcase poller's move cursor: fetching them separately let a
+            # move written between the two reads vanish for this client —
+            # cursor already past it, init payload without it (ADVICE r1)
+            snap = await self._showcase_snapshot()
             async with asyncio.TaskGroup() as tg:
-                tg.create_task(self._poll_and_push(ws))
+                tg.create_task(self._poll_and_push(ws, snap))
                 tg.create_task(self._keepalive(ws))
                 tg.create_task(self._receive_commands(ws))
-                tg.create_task(self._poll_showcase(ws))
+                tg.create_task(self._poll_showcase(ws, snap))
         except* (WebSocketClosed, ConnectionError, asyncio.CancelledError):
             pass
         except* Exception as eg:
@@ -198,7 +203,17 @@ class DashboardServer:
         finally:
             await ws.close()
 
-    async def _poll_and_push(self, ws: WebSocket) -> None:
+    async def _showcase_snapshot(self) -> dict:
+        """Consistent showcase view shared by init payload and poll cursor."""
+        p = self.db_path
+        game = await asyncio.to_thread(sc.read_active_showcase_game, p)
+        moves = (await asyncio.to_thread(sc.read_all_showcase_moves, p, game["id"])
+                 if game else [])
+        queue = await asyncio.to_thread(sc.read_queue, p)
+        hb = await asyncio.to_thread(sc.read_heartbeat, p)
+        return {"game": game, "moves": moves, "queue": queue, "hb": hb}
+
+    async def _poll_and_push(self, ws: WebSocket, snap: dict) -> None:
         p = self.db_path
         metrics = await asyncio.to_thread(db.read_metrics_since, p, 0,
                                           MAX_METRICS_IN_INIT)
@@ -209,11 +224,10 @@ class DashboardServer:
         t_stats = await asyncio.to_thread(db.read_tournament_stats, p)
         styles = await asyncio.to_thread(db.read_style_profiles, p)
         h2h = await asyncio.to_thread(db.read_head_to_head, p)
-        game = await asyncio.to_thread(sc.read_active_showcase_game, p)
-        sc_moves = (await asyncio.to_thread(sc.read_all_showcase_moves, p, game["id"])
-                    if game else [])
-        sc_queue = await asyncio.to_thread(sc.read_queue, p)
-        hb = await asyncio.to_thread(sc.read_heartbeat, p)
+        game = snap["game"]
+        sc_moves = snap["moves"]
+        sc_queue = snap["queue"]
+        hb = snap["hb"]
 
         await ws.send_json({
             "type": "init",
@@ -396,19 +410,14 @@ class DashboardServer:
         await asyncio.to_thread(sc.cancel_match, self.db_path, int(qid))
         await ws.send_json({"type": "showcase_match_cancelled", "queue_id": qid})
 
-    async def _poll_showcase(self, ws: WebSocket) -> None:
+    async def _poll_showcase(self, ws: WebSocket, snap: dict) -> None:
         last_fp: tuple = (None, 0, False)
-        # start the cursor at the CURRENT game/ply: the init payload
-        # (fetched by _poll_and_push at the same moment) already carries
-        # the full move list, so re-sending it would double every move in
-        # the client's log
-        game0 = await asyncio.to_thread(sc.read_active_showcase_game, self.db_path)
+        # the cursor starts at the exact game/ply the init payload carried
+        # (same snapshot): the client already has those moves, and any move
+        # written after the snapshot is >= the cursor, so none are skipped
+        game0 = snap["game"]
         last_game_id: int | None = game0["id"] if game0 else None
-        last_ply = 0
-        if game0:
-            moves0 = await asyncio.to_thread(
-                sc.read_all_showcase_moves, self.db_path, game0["id"])
-            last_ply = max((m["ply"] for m in moves0), default=0)
+        last_ply = max((m["ply"] for m in snap["moves"]), default=0)
         while True:
             await asyncio.sleep(SHOWCASE_POLL_INTERVAL_S)
             game = await asyncio.to_thread(sc.read_active_showcase_game, self.db_path)

@@ -221,14 +221,22 @@ class ShowcaseRunner:
         sc.write_heartbeat(self.db_path, os.getpid())
         last_sweep = time.monotonic()
         claimed_id = None
+        claimed_played = False  # play_match returned; only completion pending
         while not self._stop:
             try:
-                # a claimed-but-uncompleted entry (its complete/cancel write
-                # hit a locked DB below) blocks claim_next_match forever —
-                # finish it off before claiming anything new
+                # a claimed-but-uncompleted entry blocks claim_next_match
+                # forever — resolve it before claiming anything new. If the
+                # match actually played (only its completion write hit a
+                # locked DB), mark it done; if play_match itself died on a
+                # DB error, requeue for a clean replay instead of silently
+                # swallowing a never-played match (ADVICE r1).
                 if claimed_id is not None:
-                    sc.complete_queue_entry(self.db_path, claimed_id)
+                    if claimed_played:
+                        sc.complete_queue_entry(self.db_path, claimed_id)
+                    else:
+                        sc.requeue_entry(self.db_path, claimed_id)
                     claimed_id = None
+                    claimed_played = False
                 if time.monotonic() - last_sweep > 60.0:
                     # periodic orphan sweep (not just at startup): recovers
                     # 'running' rows stranded by any earlier failure
@@ -242,9 +250,12 @@ class ShowcaseRunner:
                     continue
                 self._last_activity = time.monotonic()
                 claimed_id = match["id"]
+                claimed_played = False
                 self.play_match(match)
+                claimed_played = True
                 sc.complete_queue_entry(self.db_path, claimed_id)
                 claimed_id = None
+                claimed_played = False
             except sqlite3.OperationalError as e:
                 # non-fatal telemetry policy (reference §5.3): the DB can be
                 # momentarily locked, re-initialized, or replaced by a fresh

@@ -166,8 +166,13 @@ class SelfPlayTrainer:
                     forward_fn=self._rollout_forward_fn(tc.rollout_forward),
                 )
             )
+        # donate the train state (params + Adam moments alias in place
+        # instead of allocating a second copy) and the trajectory (dead
+        # after the update; its ~500 MB of obs/masks at flagship shapes
+        # would otherwise be held across the whole update)
         self._update = jax.jit(
-            make_ppo_update(self.model, self.adapter, ap, self.optimizer)
+            make_ppo_update(self.model, self.adapter, ap, self.optimizer),
+            donate_argnums=(0, 1),
         )
         self.lr_sched = PlateauScheduler(
             factor=tc.lr_plateau_factor,
@@ -234,10 +239,17 @@ class SelfPlayTrainer:
                     self.store, lc, self.scheduler, self.scorer
                 )
 
-        # per-env learner colors, randomized (katago_loop.py:1129-1145)
+        # per-env learner colors (katago_loop.py:1129-1145). The compact
+        # parity-locked rollout REQUIRES its initial color assignment —
+        # a mismatch would hand actions to the wrong seat (the rollout's
+        # parity_mismatch counter catches violations at runtime).
+        from .league_rollout import compact_supported, parity_colors
+
         self.rng, k = jax.random.split(self.rng)
         n = self.config.training.num_games
-        if lc.color_randomization:
+        if compact_supported(self.T, self.K, lc.color_randomization):
+            self.learner_color = parity_colors(n)
+        elif lc.color_randomization:
             self.learner_color = jax.random.bernoulli(k, 0.5, (n,)).astype(jnp.int32)
         else:
             self.learner_color = jnp.zeros(n, jnp.int32)
@@ -472,6 +484,13 @@ class SelfPlayTrainer:
             env_states, obs, mask, self.learner_color, _ = carry
             league_stats = jax.device_get(stats)
             stats = jax.tree.map(int, league_stats.base)
+            pm = int(league_stats.parity_mismatch)
+            if pm:
+                logger.warning(
+                    "league parity invariant violated for %d env-steps this "
+                    "epoch — learner/opponent actions went to the wrong seat "
+                    "(stale learner_color state?)", pm,
+                )
         else:
             carry, traj, next_value, stats = self._rollout(
                 self._variables(), *self.env_carry, k_roll
@@ -574,6 +593,10 @@ class SelfPlayTrainer:
                     )
             self.store.carry_forward_elo(self.epoch)
             self.pool.maybe_review_frontier(self.epoch)
+            # retired/evicted entries release dynamic-trainer caches
+            self.dyn_trainer.retain_only(
+                {e.id for e in self.store.list_by_role(Role.DYNAMIC)}
+            )
             if self.historical.is_due_for_refresh(self.epoch):
                 self.historical.refresh(self.epoch)
             if self.gauntlet.is_due(self.epoch):

@@ -5,14 +5,28 @@
 #
 # Usage:
 #   ./run.sh [--config configs/katago-b40c256.toml] [--epochs N]
-#            [--port 8765] [--workers N] [--no-showcase] [--stop]
+#            [--port 8765 | --socket PATH] [--workers N] [--no-showcase]
+#            [--resume | --wipe] [--seed CHECKPOINT_DIR] [--stop]
+#
+# Existing-state handling (reference run.sh:199-230): if the observability
+# DB or checkpoint directory already exists, the launcher PROMPTS
+# resume/wipe/quit — the trainer's silent auto-resume never decides alone.
+# Non-interactive launches must pass --resume or --wipe explicitly.
+#
+# --seed copies a pre-trained checkpoint into the run's checkpoint dir as a
+# warm start (weights only, optimizer discarded, epoch reset — the same
+# phase=sl path SL->RL uses), e.g. seeding a league run from a self-play
+# checkpoint (reference run.sh --seed).
 set -euo pipefail
 
 CONFIG="configs/katago-b40c256.toml"
 EPOCHS=""
 PORT=8765
+SOCKET=""
 WORKERS=0
 SHOWCASE=1
+RESUME=""
+SEED_CKPT=""
 PIDFILE=".keisei-tpu.pids"
 LOGDIR="logs"
 
@@ -20,9 +34,13 @@ while [[ $# -gt 0 ]]; do
   case "$1" in
     --config) CONFIG="$2"; shift 2 ;;
     --epochs) EPOCHS="$2"; shift 2 ;;
-    --port) PORT="$2"; shift 2 ;;
+    --port) PORT="$2"; SOCKET=""; shift 2 ;;
+    --socket) SOCKET="$2"; shift 2 ;;
     --workers) WORKERS="$2"; shift 2 ;;
     --no-showcase) SHOWCASE=0; shift ;;
+    --resume) RESUME=1; shift ;;
+    --wipe) RESUME=0; shift ;;
+    --seed) SEED_CKPT="$2"; shift 2 ;;
     --stop)
       if [[ -f "$PIDFILE" ]]; then
         xargs -r kill < "$PIDFILE" 2>/dev/null || true
@@ -62,16 +80,75 @@ rewrite_pidfile() {
   } > "$PIDFILE"
 }
 
-# Pull db_path / league_dir out of the TOML (python is the TOML parser we have)
+# Pull db_path / league_dir / checkpoint_dir out of the TOML
 eval "$(python - "$CONFIG" <<'EOF'
 import sys, tomllib
 cfg = tomllib.load(open(sys.argv[1], "rb"))
 db = cfg.get("display", {}).get("db_path", "data/keisei-tpu.db")
 lg = cfg.get("league", {}).get("storage", {}).get("league_dir", "league/")
-print(f'DB_PATH="{db}"'); print(f'LEAGUE_DIR="{lg}"')
+ck = cfg.get("training", {}).get("checkpoint_dir", "checkpoints/")
+print(f'DB_PATH="{db}"'); print(f'LEAGUE_DIR="{lg}"'); print(f'CKPT_DIR="{ck}"')
 EOF
 )"
-mkdir -p "$(dirname "$DB_PATH")" "$LEAGUE_DIR"
+
+# ---- wipe-or-resume decision (reference run.sh:199-230) ----
+has_state=0
+[[ -f "$DB_PATH" ]] && has_state=1
+if [[ -d "$CKPT_DIR" ]] && compgen -G "$CKPT_DIR/*/keisei_meta.json" > /dev/null; then
+  has_state=1
+fi
+if [[ "$has_state" == 1 && -z "$RESUME" ]]; then
+  if [[ ! -t 0 ]]; then
+    echo "existing run state found ($DB_PATH / $CKPT_DIR) — pass --resume or --wipe" >&2
+    exit 1
+  fi
+  echo ""
+  echo "  Existing run state found:"
+  [[ -f "$DB_PATH" ]] && echo "    DB:          $DB_PATH"
+  [[ -d "$CKPT_DIR" ]] && echo "    checkpoints: $CKPT_DIR"
+  echo ""
+  echo "  [r] Resume from existing state"
+  echo "  [w] Wipe and start fresh"
+  echo "  [q] Quit"
+  echo ""
+  read -rp "  Choice [r/w/q]: " choice
+  case "$choice" in
+    r|R) RESUME=1 ;;
+    w|W) RESUME=0 ;;
+    *) echo "Aborted."; exit 0 ;;
+  esac
+fi
+if [[ "$RESUME" == 0 && "$has_state" == 1 ]]; then
+  echo "wiping DB: $DB_PATH"
+  rm -f "$DB_PATH" "${DB_PATH}-wal" "${DB_PATH}-shm"
+  echo "wiping checkpoints: $CKPT_DIR"
+  rm -rf "$CKPT_DIR"
+fi
+
+mkdir -p "$(dirname "$DB_PATH")" "$LEAGUE_DIR" "$CKPT_DIR"
+
+# ---- seed from a pre-trained checkpoint (warm start, weights only) ----
+if [[ -n "$SEED_CKPT" ]]; then
+  python - "$SEED_CKPT" "$CKPT_DIR" <<'EOF'
+import json, os, shutil, sys
+seed, ckpt_dir = sys.argv[1], sys.argv[2]
+meta_path = os.path.join(seed, "keisei_meta.json")
+if not os.path.isfile(meta_path):
+    sys.exit(f"--seed {seed}: not a keisei checkpoint (no keisei_meta.json)")
+dest = os.path.join(ckpt_dir, "seed_warmstart")
+if os.path.exists(dest):
+    shutil.rmtree(dest)
+shutil.copytree(seed, dest)
+meta = json.load(open(os.path.join(dest, "keisei_meta.json")))
+# phase=sl -> the trainer loads weights only, discards the optimizer and
+# resets the epoch counter (training/loop.py SL warm-start path); epoch 0
+# so any real checkpoint the run produces outranks the seed on resume
+meta["phase"] = "sl"
+meta["epoch"] = 0
+json.dump(meta, open(os.path.join(dest, "keisei_meta.json"), "w"))
+print(f"seeded warm start: {seed} -> {dest}")
+EOF
+fi
 
 start_trainer() {
   local args=(--config "$CONFIG")
@@ -84,12 +161,17 @@ start_trainer() {
 }
 
 start_dashboard() {
-  JAX_PLATFORMS=cpu python -m keisei_tpu.server.app --db "$DB_PATH" \
-    --host 0.0.0.0 --port "$PORT" --allow-host "$(hostname)" \
+  local args=(--db "$DB_PATH" --allow-host "$(hostname)")
+  if [[ -n "$SOCKET" ]]; then
+    args+=(--unix-socket "$SOCKET")
+  else
+    args+=(--host 0.0.0.0 --port "$PORT")
+  fi
+  JAX_PLATFORMS=cpu python -m keisei_tpu.server.app "${args[@]}" \
     >> "$LOGDIR/dashboard.log" 2>&1 &
   DASH_PID=$!
   rewrite_pidfile
-  echo "dashboard: pid $DASH_PID on :$PORT"
+  echo "dashboard: pid $DASH_PID on ${SOCKET:-:$PORT}"
 }
 
 start_showcase() {

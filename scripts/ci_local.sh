@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Local mirror of .github/workflows/ci.yml for environments without GitHub
+# runners (e.g. the TPU dev box). Runs the same stages and records a log
+# under docs/ci/ so green runs are auditable in-repo.
+#
+# Usage: scripts/ci_local.sh [fast|full]   (default: fast)
+set -uo pipefail
+
+MODE="${1:-fast}"
+ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+cd "$ROOT"
+mkdir -p docs/ci
+LOG="docs/ci/$(date -u +%Y-%m-%d)-${MODE}.log"
+: > "$LOG"
+
+note() { echo "== $*" | tee -a "$LOG"; }
+run() { note "$*"; "$@" 2>&1 | tail -40 >> "$LOG"; return "${PIPESTATUS[0]}"; }
+
+FAIL=0
+
+# -- stage 1: lint ------------------------------------------------------------
+if python -m ruff --version >/dev/null 2>&1; then
+    run python -m ruff check keisei_tpu/ tests/ scripts/ bench.py __graft_entry__.py \
+        || FAIL=1
+else
+    note "ruff unavailable — falling back to compileall"
+    run python -m compileall -q keisei_tpu/ tests/ scripts/ bench.py __graft_entry__.py \
+        || FAIL=1
+fi
+
+# -- stage 2: tests -----------------------------------------------------------
+NPROC="$(python - <<'EOF'
+import os
+print(max(2, min(8, (os.cpu_count() or 4) - 2)))
+EOF
+)"
+if [ "$MODE" = "full" ]; then
+    run python -m pytest --tb=short -q -n "$NPROC" -m "" || FAIL=1
+    run python -m pytest tests/test_perft.py --tb=short -q -m "" || FAIL=1
+else
+    run python -m pytest -x --tb=short -q -n "$NPROC" -m "not slow" || FAIL=1
+fi
+
+# -- stage 3: multi-chip dryrun -----------------------------------------------
+run env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python __graft_entry__.py || FAIL=1
+
+if [ "$FAIL" = 0 ]; then
+    note "CI ($MODE): GREEN"
+else
+    note "CI ($MODE): FAILED"
+fi
+exit "$FAIL"

@@ -53,6 +53,124 @@ class TestFeatureExtraction:
                 assert "loss" in results
 
 
+def synthetic_rollout(actions, dones, rewards, captured=None, movers=None,
+                      a_color=None):
+    """Hand-built MatchRollout for deterministic feature pins."""
+    from keisei_tpu.league.match import MatchRollout
+
+    actions = np.asarray(actions, np.int32)
+    T, N = actions.shape
+    if movers is None:  # strict alternation from black
+        movers = np.tile((np.arange(T) % 2)[:, None], (1, N)).astype(np.int32)
+    return MatchRollout(
+        obs=None,
+        actions=actions,
+        legal_masks=None,
+        rewards=np.asarray(rewards, np.float32),
+        dones=np.asarray(dones, bool),
+        captured=(np.asarray(captured, np.uint8) if captured is not None
+                  else np.full((T, N), 255, np.uint8)),
+        term_reason=np.zeros((T, N), np.uint8),
+        mover_color=np.asarray(movers, np.int32),
+        a_color=(np.asarray(a_color, np.int32) if a_color is not None
+                 else np.zeros(N, np.int32)),
+    )
+
+
+class TestFeatureClassification:
+    """Deterministic pins of the spatial-action classifiers
+    (game_feature_tracker.py:28-60 semantics on the 81x139 encoding)."""
+
+    SQ = 40  # arbitrary source square
+    SLIDE = SQ * 139 + 3          # plain slide, no promo
+    SLIDE_PROMO = SQ * 139 + 67   # slide with promotion (slot 64-127)
+    KNIGHT_PLAIN = SQ * 139 + 128
+    KNIGHT_PROMO = SQ * 139 + 129
+    DROP = SQ * 139 + 134         # drop slot (132-138)
+    ROOK_START_MOVE = (7 * 9 + 7) * 139 + 3
+    KING_START_MOVE = (8 * 9 + 4) * 139 + 3
+
+    def _extract(self, seq, **kw):
+        T = len(seq)
+        actions = np.asarray(seq, np.int32)[:, None]
+        dones = np.zeros((T, 1), bool)
+        dones[-1, 0] = True
+        rewards = np.zeros((T, 1), np.float32)
+        rewards[-1, 0] = kw.pop("final_reward", 1.0)
+        r = synthetic_rollout(actions, dones, rewards, **kw)
+        from keisei_tpu.league.features import extract_game_features
+
+        return extract_game_features(r, entry_a_id=1, entry_b_id=2, epoch=0)
+
+    def test_drop_and_promo_classification(self):
+        # black (entry a, color 0) moves at even plies
+        rows = self._extract([
+            self.DROP,          # black drop (ply 0, early)
+            self.SLIDE,         # white plain
+            self.SLIDE_PROMO,   # black promo
+            self.KNIGHT_PROMO,  # white knight promo
+            self.KNIGHT_PLAIN,  # black plain knight jump
+            self.SLIDE,         # white plain -> done
+        ])
+        a = next(r for r in rows if r["checkpoint_id"] == 1)
+        b = next(r for r in rows if r["checkpoint_id"] == 2)
+        assert a["num_drops"] == 1 and a["num_early_drops"] == 1
+        assert a["first_drop_ply"] == 0
+        assert a["num_promotions"] == 1  # the slide promo; plain knight isn't
+        assert b["num_drops"] == 0
+        assert b["num_promotions"] == 1  # knight promo slot 129
+
+    def test_capture_attribution(self):
+        seq = [self.SLIDE] * 4
+        captured = np.full((4, 1), 255, np.uint8)
+        captured[2, 0] = 0  # black captures a pawn at ply 2
+        rows = self._extract(seq, captured=captured)
+        a = next(r for r in rows if r["side"] == "black")
+        w = next(r for r in rows if r["side"] == "white")
+        assert a["num_captures"] == 1 and a["first_capture_ply"] == 2
+        assert w["num_captures"] == 0 and w["first_capture_ply"] is None
+
+    def test_rook_king_early_movement(self):
+        rows = self._extract([
+            self.ROOK_START_MOVE,  # black rook from start square
+            self.KING_START_MOVE,  # white king move
+            self.SLIDE,
+            self.SLIDE,
+        ])
+        a = next(r for r in rows if r["side"] == "black")
+        w = next(r for r in rows if r["side"] == "white")
+        assert a["rook_moved_ply"] == 0 and a["rook_moves_in_20"] == 1
+        assert w["king_moves_in_30"] == 1 and w["king_displacement_20"] == 1
+        assert a["king_moves_in_30"] == 0
+
+    def test_result_attribution_and_color_swap(self):
+        # entry a plays WHITE (a_color=1); black delivers the final +1
+        rows = self._extract([self.SLIDE] * 4, a_color=[1])
+        # final mover at ply 3 is white (movers alternate from black) and
+        # rewards[last] = +1 -> white wins -> entry a wins
+        a = next(r for r in rows if r["checkpoint_id"] == 1)
+        b = next(r for r in rows if r["checkpoint_id"] == 2)
+        assert a["side"] == "white" and a["result"] == "win"
+        assert b["side"] == "black" and b["result"] == "loss"
+
+    def test_draw_result(self):
+        rows = self._extract([self.SLIDE] * 4, final_reward=0.0)
+        assert {r["result"] for r in rows} == {"draw"}
+
+    def test_unfinished_game_skipped(self):
+        actions = np.full((4, 1), self.SLIDE, np.int32)
+        r = synthetic_rollout(actions, np.zeros((4, 1), bool),
+                              np.zeros((4, 1), np.float32))
+        assert extract_game_features(r, 1, 2, 0) == []
+
+    def test_opening_sequence_truncation(self):
+        seq = [self.SLIDE + i for i in range(10)]
+        rows = self._extract(seq)
+        a = next(r for r in rows if r["side"] == "black")
+        assert json.loads(a["opening_seq_3"]) == [seq[0], seq[2], seq[4]]
+        assert len(json.loads(a["opening_seq_6"])) == 5  # only 5 black plies
+
+
 class TestStyle:
     def _rows(self, n, length, caps, drops, fc):
         return [{

@@ -16,7 +16,9 @@ from keisei_tpu.env.vec_env import EnvCore
 from keisei_tpu.models.registry import build_model
 from keisei_tpu.training.gae import compute_gae, compute_gae_masked
 from keisei_tpu.training.league_rollout import (
+    compact_supported,
     make_league_rollout,
+    parity_colors,
     stack_opponent_variables,
 )
 from keisei_tpu.training.ppo import KataGoPPOParams, TrainState, make_optimizer, make_ppo_update
@@ -97,7 +99,7 @@ class TestMaskedGAE:
         assert float(adv[0, 0]) == pytest.approx(1.5)
 
 
-def build_league(n=4, k=2, t=24, max_ply=48):
+def build_league(n=4, k=2, t=24, max_ply=48, color_randomization=True):
     env_core = EnvCore(num_envs=n, max_ply=max_ply, num_channels=50)
     model, _ = build_model("mlp", {"hidden_sizes": [16]})
     adapter = get_value_adapter("scalar")
@@ -109,8 +111,18 @@ def build_league(n=4, k=2, t=24, max_ply=48):
                    train=False)
         for i in range(k)
     ]
-    rollout = jax.jit(make_league_rollout(env_core, model, adapter, t, k))
+    rollout = jax.jit(make_league_rollout(
+        env_core, model, adapter, t, k, color_randomization=color_randomization
+    ))
     return env_core, model, adapter, learner, stack_opponent_variables(opps), rollout
+
+
+def traj_rows(t, k, color_randomization=True):
+    """Expected trajectory row count: compact path emits one row per
+    double-ply plus the trailing-pending row; dynamic path one per ply."""
+    if compact_supported(t, k, color_randomization):
+        return t // 2 + 1
+    return t + 1
 
 
 @pytest.mark.integration
@@ -119,12 +131,12 @@ class TestLeagueRolloutProtocol:
         n, k, t = 4, 2, 24
         env_core, model, adapter, learner, opps, rollout = build_league(n, k, t)
         env_states, obs, mask = env_core.init()
-        color = jnp.asarray([0, 1, 0, 1], jnp.int32)
+        color = parity_colors(n)
         carry, traj, next_value, stats = rollout(
             learner, opps, env_states, obs, mask, color, jax.random.key(7)
         )
         valid = np.asarray(traj.valid)
-        assert valid.shape == (t + 1, n)
+        assert valid.shape == (traj_rows(t, k), n)
         assert valid.any(), "no learner transitions finalized in 24 plies"
 
         rewards = np.asarray(traj.rewards)
@@ -148,15 +160,19 @@ class TestLeagueRolloutProtocol:
         nonterm_valid = valid & ~terminated & ~dones
         assert (cats[nonterm_valid] == -1).all()
 
-        # roughly half the plies are learner moves; each gets finalized once
+        # the compact layout is nearly dense: every env finalizes one
+        # learner transition per double-ply; only the first row's second
+        # half (no pending yet) and the tail's first half are empty
         n_moves = valid.sum()
-        assert n_moves >= t * n * 0.25
+        assert n_moves == (t // 2) * n
 
         assert np.isfinite(np.asarray(next_value)).all()
         st = jax.tree.map(np.asarray, stats)
         assert int(st.opp_wins.sum() + st.opp_losses.sum() + st.opp_draws.sum()) == int(
             st.base.terminated
         )
+        # the parity-lock invariant held at every ply
+        assert int(st.parity_mismatch) == 0
 
     def test_conv_model_opponents(self):
         """Stacked-opponent dispatch must work for CONV models: vmapping
@@ -188,20 +204,21 @@ class TestLeagueRolloutProtocol:
         env_states, obs, mask = env_core.init()
         carry, traj, nv, stats = rollout(
             learner, opps, env_states, obs, mask,
-            jnp.zeros(n, jnp.int32), jax.random.key(5),
+            parity_colors(n), jax.random.key(5),
         )
         assert np.isfinite(np.asarray(nv)).all()
-        assert np.asarray(traj.valid).shape == (t + 1, n)
+        assert np.asarray(traj.valid).shape == (traj_rows(t, k), n)
+        assert int(np.asarray(stats.parity_mismatch)) == 0
 
     def test_update_trains_on_league_traj(self):
         n, k, t = 4, 2, 16
         env_core, model, adapter, learner, opps, rollout = build_league(n, k, t)
         env_states, obs, mask = env_core.init()
-        color = jnp.zeros(n, jnp.int32)
+        color = parity_colors(n)
         carry, traj, next_value, stats = rollout(
             learner, opps, env_states, obs, mask, color, jax.random.key(3)
         )
-        cfg = KataGoPPOParams(batch_size=(t + 1) * n // 2, epochs_per_batch=1)
+        cfg = KataGoPPOParams(batch_size=traj_rows(t, k) * n // 2, epochs_per_batch=1)
         opt = make_optimizer(cfg)
         state = TrainState(
             params=learner["params"], batch_stats=learner.get("batch_stats", {}),
@@ -237,7 +254,7 @@ class TestRewardAttribution:
         env_core, model, adapter, learner, opps, rollout = build_league(
             n, k, t, max_ply=2048)
         env_states, obs, mask = env_core.init()
-        color = jnp.asarray([0, 1] * (n // 2), jnp.int32)
+        color = parity_colors(n)
         carry, traj, next_value, stats = rollout(
             learner, opps, env_states, obs, mask, color, jax.random.key(11)
         )
@@ -256,3 +273,86 @@ class TestRewardAttribution:
         assert learner_wins == int(st.opp_wins.sum())
         assert learner_losses == int(st.opp_losses.sum())
         assert learner_draws == int(st.opp_draws.sum())
+        assert int(st.parity_mismatch) == 0
+
+
+class TestCompactSupport:
+    def test_support_matrix(self):
+        assert compact_supported(12, 2, True)
+        assert compact_supported(128, 4, True)
+        assert not compact_supported(12, 3, True)  # odd K
+        assert not compact_supported(11, 2, True)  # odd T
+        assert not compact_supported(12, 2, False)  # fixed colors
+
+    def test_parity_colors_balance(self):
+        c = np.asarray(parity_colors(8))
+        assert c.tolist() == [0, 0, 0, 0, 1, 1, 1, 1]
+
+
+@pytest.mark.integration
+class TestCompactParityLock:
+    def test_long_rollout_invariant_and_density(self):
+        """Many episode boundaries (small max_ply forces truncation resets):
+        the parity lock must survive every reset, every env must finalize
+        exactly one learner transition per double-ply, and truncated slots
+        must carry a finite -V(terminal) bootstrap override."""
+        n, k, t = 8, 2, 256
+        env_core, model, adapter, learner, opps, rollout = build_league(
+            n, k, t, max_ply=40)
+        env_states, obs, mask = env_core.init()
+        carry, traj, next_value, stats = rollout(
+            learner, opps, env_states, obs, mask, parity_colors(n),
+            jax.random.key(21),
+        )
+        st = jax.tree.map(np.asarray, stats)
+        assert int(st.parity_mismatch) == 0
+        assert int(st.base.truncated) > 0, "max_ply=40 never truncated?"
+
+        valid = np.asarray(traj.valid)
+        assert (valid.sum(axis=0) == t // 2).all()
+
+        # truncation slots: done without terminated -> finite override
+        dones = np.asarray(traj.dones)
+        terminated = np.asarray(traj.terminated)
+        override = np.asarray(traj.next_value_override)
+        trunc_slots = valid & dones & ~terminated
+        assert trunc_slots.any()
+        assert np.isfinite(override[trunc_slots]).all()
+        # non-truncated slots carry no override
+        assert np.isnan(override[valid & ~(dones & ~terminated)]).all()
+
+        # the lock also holds for the NEXT epoch: with T even the carry's
+        # (stm == color) pattern must again match parity 0 (first half moves)
+        env_states2, obs2, mask2, color2, _ = carry
+        stm = np.asarray(env_states2.stm).astype(np.int32)
+        col = np.asarray(color2)
+        learner_next_ply = stm == col
+        assert learner_next_ply[: n // 2].all()
+        assert not learner_next_ply[n // 2:].any()
+
+    def test_dynamic_fallback_odd_k(self):
+        """Odd cohort sizes fall back to the full-batch dynamic path."""
+        n, k, t = 6, 3, 8
+        env_core, model, adapter, learner, opps, rollout = build_league(n, k, t)
+        env_states, obs, mask = env_core.init()
+        color = jnp.asarray([0, 1] * 3, jnp.int32)
+        carry, traj, nv, stats = rollout(
+            learner, opps, env_states, obs, mask, color, jax.random.key(9)
+        )
+        assert np.asarray(traj.valid).shape == (t + 1, n)
+        assert np.isfinite(np.asarray(nv)).all()
+
+    def test_dynamic_fallback_fixed_colors(self):
+        """color_randomization=False keeps reference fixed-color semantics
+        on the dynamic path."""
+        n, k, t = 4, 2, 8
+        env_core, model, adapter, learner, opps, rollout = build_league(
+            n, k, t, color_randomization=False)
+        env_states, obs, mask = env_core.init()
+        color = jnp.zeros(n, jnp.int32)
+        carry, traj, nv, stats = rollout(
+            learner, opps, env_states, obs, mask, color, jax.random.key(9)
+        )
+        assert np.asarray(traj.valid).shape == (t + 1, n)
+        # fixed colors never change
+        assert (np.asarray(carry[3]) == 0).all()

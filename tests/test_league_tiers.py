@@ -270,3 +270,140 @@ class TestScheduler:
         s1 = scorer2.score(a, b)
         scorer2.record_result(a.id, b.id)
         assert scorer2.score(a, b) < s1
+
+
+class TestLifecycleEdges:
+    """Cooldowns, protection, hard caps — tier_managers.py:36-511 edges."""
+
+    def test_frontier_tenure_cooldown_blocks_retirement(self, store):
+        """All frontier seats under min_tenure -> review skips entirely
+        (no retirement AND no promotion past a full tier)."""
+        cfg = FrontierStaticConfig(
+            slots=2, min_games_for_promotion=1, streak_epochs=0, topk=2,
+            promotion_margin_elo=0.0, min_tenure_epochs=100,
+        )
+        mgr = FrontierManager(store, cfg)
+        f1 = add(store, Role.FRONTIER_STATIC, epoch=50, elo_frontier=1000)
+        f2 = add(store, Role.FRONTIER_STATIC, epoch=60, elo_frontier=1010)
+        d = add(store, Role.DYNAMIC, games=50, elo_frontier=1500)
+        mgr.promoter.evaluate([d], [f1, f2], epoch=70)  # start streak
+        assert mgr.review(epoch=80) is None
+        roles = {e.id: e.role for e in store.list_entries()}
+        assert roles[f1.id] == Role.FRONTIER_STATIC
+        assert roles[f2.id] == Role.FRONTIER_STATIC
+
+    def test_frontier_review_retires_one_seat_after_tenure(self, store):
+        cfg = FrontierStaticConfig(
+            slots=2, min_games_for_promotion=1, streak_epochs=0, topk=2,
+            promotion_margin_elo=0.0, min_tenure_epochs=5,
+            max_lineage_overlap=99,
+        )
+        mgr = FrontierManager(store, cfg)
+        add(store, Role.FRONTIER_STATIC, epoch=0, elo_frontier=900)
+        add(store, Role.FRONTIER_STATIC, epoch=0, elo_frontier=1100)
+        d = add(store, Role.DYNAMIC, games=50, elo_frontier=1500)
+        mgr.promoter.evaluate([d], mgr.get_active(), epoch=50)
+        promoted = mgr.review(epoch=50)
+        assert promoted is not None
+        frontier = store.list_by_role(Role.FRONTIER_STATIC)
+        assert len(frontier) == 2  # one in, one out
+
+    def test_streak_resets_when_dropping_out_of_topk(self, store):
+        cfg = FrontierStaticConfig(
+            min_games_for_promotion=1, streak_epochs=10, topk=1,
+            promotion_margin_elo=0.0,
+        )
+        p = FrontierPromoter(cfg)
+        f = add(store, Role.FRONTIER_STATIC, elo_frontier=1000)
+        d1 = add(store, Role.DYNAMIC, games=50, elo_frontier=1200)
+        d2 = add(store, Role.DYNAMIC, games=50, elo_frontier=1100)
+        assert p.evaluate([d1, d2], [f], epoch=0) is None  # d1 streak starts
+        # d2 overtakes: d1 drops out of top-1, its streak clock resets
+        import keisei_tpu.db.core as dbcore
+
+        dbcore.execute(store.db_path,
+                       "UPDATE league_entries SET elo_frontier = 1300 WHERE id = ?",
+                       (d2.id,))
+        d2 = store.get_entry(d2.id)
+        assert p.evaluate([d1, d2], [f], epoch=5) is None  # d2 streak starts
+        dbcore.execute(store.db_path,
+                       "UPDATE league_entries SET elo_frontier = 1400 WHERE id = ?",
+                       (d1.id,))
+        d1 = store.get_entry(d1.id)
+        # d1 re-enters top-1 at epoch 8: old streak (from 0) must NOT count
+        assert p.evaluate([d1, d2], [f], epoch=8) is None
+        assert p.evaluate([d1, d2], [f], epoch=17) is None  # 9 < 10
+        got = p.evaluate([d1, d2], [f], epoch=18)
+        assert got is not None and got.id == d1.id
+
+    def test_dynamic_protection_blocks_eviction(self, store):
+        from keisei_tpu.league.tiers import DynamicManager
+
+        cfg = DynamicConfig(slots=1, protection_matches=5,
+                            min_games_before_eviction=0)
+        mgr = DynamicManager(store, cfg)
+        src = add(store, Role.RECENT_FIXED, elo=1000)
+        first = mgr.admit(src, epoch=0)  # fills the tier, protected
+        assert first is not None and first.protection_remaining == 5
+        # second admit: the only occupant is protected -> nothing evictable
+        src2 = add(store, Role.RECENT_FIXED, elo=900)
+        assert mgr.admit(src2, epoch=1) is None
+        assert len(store.list_by_role(Role.DYNAMIC)) == 1
+
+    def test_dynamic_min_games_blocks_eviction(self, store):
+        from keisei_tpu.league.tiers import DynamicManager
+
+        cfg = DynamicConfig(slots=1, protection_matches=0,
+                            min_games_before_eviction=10)
+        mgr = DynamicManager(store, cfg)
+        src = add(store, Role.RECENT_FIXED)
+        occupant = mgr.admit(src, epoch=0)
+        assert occupant is not None
+        assert mgr.evict_weakest() is None  # 0 games < 10
+        import keisei_tpu.db.core as dbcore
+
+        dbcore.execute(store.db_path,
+                       "UPDATE league_entries SET games_played = 20 WHERE id = ?",
+                       (occupant.id,))
+        evicted = mgr.evict_weakest()
+        assert evicted is not None and evicted.id == occupant.id
+
+    def test_recent_hard_cap_forces_retirement(self, store):
+        """DELAY verdicts stop at the hard cap: slots + soft_overflow."""
+        lc = LeagueConfig(
+            recent=RecentFixedConfig(
+                slots=1, soft_overflow=1, min_games_for_review=100,
+                min_unique_opponents=99,
+            ),
+            dynamic=DynamicConfig(slots=10),
+            max_active_entries=50,
+        )
+        pool = TieredPool(store, lc)
+        for i in range(4):
+            pool.snapshot_learner(tiny_vars(), "mlp", {}, epoch=i)
+        # hard cap = slots + soft_overflow = 2 active recent entries
+        assert len(store.list_by_role(Role.RECENT_FIXED)) <= 2
+
+    def test_pool_hard_cap_retires_oldest_recent(self, store):
+        lc = LeagueConfig(
+            recent=RecentFixedConfig(slots=5, min_games_for_review=100,
+                                     min_unique_opponents=99,
+                                     soft_overflow=5),
+            max_active_entries=3,
+        )
+        pool = TieredPool(store, lc)
+        ids = [pool.snapshot_learner(tiny_vars(), "mlp", {}, epoch=i).id
+               for i in range(5)]
+        assert store.pool_size() <= 3
+        active = {e.id for e in store.list_entries()}
+        # the newest snapshots survive, the oldest were retired
+        assert ids[-1] in active and ids[0] not in active
+
+    def test_bootstrap_noop_without_unassigned(self, store):
+        lc = LeagueConfig()
+        pool = TieredPool(store, lc)
+        add(store, Role.DYNAMIC)
+        before = {(e.id, e.role) for e in store.list_entries()}
+        pool.bootstrap_from_flat_pool(epoch=0)
+        after = {(e.id, e.role) for e in store.list_entries()}
+        assert before == after

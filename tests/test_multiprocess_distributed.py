@@ -86,21 +86,38 @@ def test_two_process_training_replicas_identical(tmp_path):
     cfg.write_text(CONFIG.format(ckpt=str(tmp_path / "ckpt") + "/"))
     child = tmp_path / "child.py"
     child.write_text(CHILD)
-    port = _free_port()
 
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(child), str(pid), str(port), str(cfg)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-            cwd=str(REPO),
-        )
-        for pid in range(2)
-    ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
-        assert p.returncode == 0, f"child failed:\n{out[-3000:]}"
+    # Under xdist the ephemeral coordinator port can be sniped between
+    # _free_port()'s close and the children's bind (other workers' server
+    # tests race for ports too), and gloo rendezvous can time out on an
+    # oversubscribed CPU — retry once with a fresh port before failing.
+    last_failure = None
+    for _attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(child), str(pid), str(port), str(cfg)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=str(REPO),
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        failed = False
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                failed = True
+            outs.append(out)
+            failed = failed or p.returncode != 0
+        if not failed:
+            break
+        last_failure = "\n---\n".join(o[-3000:] for o in outs)
+    else:
+        raise AssertionError(f"children failed twice:\n{last_failure}")
 
     results = {}
     for out in outs:

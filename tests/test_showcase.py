@@ -67,6 +67,153 @@ class TestShowcaseRunner:
         assert sc.get_queue_status(db_path, qid) == "done"
 
 
+@pytest.fixture
+def pool2(tmp_path):
+    """DB + store with two mlp entries, zeroed move delays."""
+    import keisei_tpu.showcase.runner as runner_mod
+
+    db_path = str(tmp_path / "obs.db")
+    store = OpponentStore(db_path, str(tmp_path / "league"))
+    model, _ = build_model("mlp", {"hidden_sizes": [16]})
+    for seed in (0, 1):
+        v = model.init(jax.random.key(seed),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        store.add_entry(v, architecture="mlp",
+                        model_params={"hidden_sizes": [16]},
+                        created_epoch=0, role=Role.DYNAMIC)
+    runner_mod.SPEED_DELAYS = {"slow": 0, "normal": 0, "fast": 0}
+    return db_path, store
+
+
+@pytest.mark.integration
+class TestShowcaseControl:
+    """Cancellation, speed changes, bad entries, orphan sweeps — the
+    WS-command surface the soak exercised but the suite barely touched."""
+
+    def test_cancel_before_first_poll_abandons_game(self, pool2):
+        db_path, store = pool2
+        qid = sc.queue_match(db_path, "1", "2", "fast")
+        runner = ShowcaseRunner(db_path, str(store.league_dir),
+                                max_ply=64, auto_showcase=False, store=store)
+        match = sc.claim_next_match(db_path)
+        sc.cancel_match(db_path, qid)  # user cancels while claimed
+        runner.play_match(match)
+        game = sc.read_showcase_game(db_path, 1)
+        assert game["status"] == "abandoned"
+        assert game["abandon_reason"] == "cancelled by user"
+        # the cancellation sticks: complete_queue_entry must NOT overwrite
+        sc.complete_queue_entry(db_path, qid)
+        assert sc.get_queue_status(db_path, qid) == "cancelled"
+
+    def test_speed_change_mid_game_is_picked_up(self, pool2, monkeypatch):
+        import keisei_tpu.showcase.runner as runner_mod
+
+        db_path, store = pool2
+        qid = sc.queue_match(db_path, "1", "2", "fast")
+        monkeypatch.setattr(
+            runner_mod, "SPEED_DELAYS", {"slow": 111, "normal": 0, "fast": 0})
+        sleeps = []
+        monkeypatch.setattr(runner_mod.time, "sleep",
+                            lambda s: sleeps.append(s))
+        runner = ShowcaseRunner(db_path, str(store.league_dir),
+                                max_ply=12, auto_showcase=False, store=store)
+        match = sc.claim_next_match(db_path)
+        sc.update_queue_speed(db_path, qid, "slow")
+        runner.play_match(match)
+        assert 111 in sleeps, "speed change never reached the move loop"
+
+    def test_unknown_entries_cancel_queue_entry(self, pool2):
+        db_path, store = pool2
+        qid = sc.queue_match(db_path, "777", "888", "fast")
+        runner = ShowcaseRunner(db_path, str(store.league_dir),
+                                auto_showcase=False, store=store)
+        match = sc.claim_next_match(db_path)
+        runner.play_match(match)
+        assert sc.get_queue_status(db_path, qid) == "cancelled"
+        assert sc.read_showcase_game(db_path, 1) is None  # no game created
+
+    def test_play_db_failure_requeues_entry(self, pool2, monkeypatch):
+        """If play_match dies on a DB error, the queue entry is REQUEUED
+        and replayed — not silently marked done with no game (ADVICE r1)."""
+        import sqlite3
+        import threading
+        import time as _t
+
+        db_path, store = pool2
+        sc.queue_match(db_path, "1", "2", "fast")
+        runner = ShowcaseRunner(db_path, str(store.league_dir), max_ply=8,
+                                auto_showcase=False, store=store)
+        calls = {"n": 0}
+        real_play = runner.play_match
+
+        def flaky_play(row):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise sqlite3.OperationalError("database is locked")
+            real_play(row)
+
+        monkeypatch.setattr(runner, "play_match", flaky_play)
+        t = threading.Thread(target=runner.run, daemon=True)
+        t.start()
+        deadline = _t.monotonic() + 60
+        status = None
+        while _t.monotonic() < deadline:
+            status = sc.get_queue_status(db_path, 1)
+            if status == "done":
+                break
+            _t.sleep(0.2)
+        runner.request_stop()
+        t.join(timeout=15)
+        assert status == "done"
+        assert calls["n"] == 2, "entry was not replayed after the requeue"
+        game = sc.read_showcase_game(db_path, 1)
+        assert game is not None and game["status"] != "in_progress"
+
+    def test_orphan_cleanup_sweeps_stale_games(self, pool2):
+        from keisei_tpu.db import core as dbcore
+
+        db_path, _ = pool2
+        qid = sc.queue_match(db_path, "1", "2", "normal")
+        sc.claim_next_match(db_path)
+        sc.create_showcase_game(db_path, queue_id=qid,
+                                entry_id_black="1", entry_id_white="2")
+        # stale runner heartbeat -> the game is orphaned
+        dbcore.write_row(db_path, "showcase_heartbeat", {
+            "id": 1, "runner_pid": 99, "last_heartbeat": "2020-01-01T00:00:00Z",
+        }, replace=True)
+        swept = sc.cleanup_orphaned_games(db_path)
+        assert swept == 1
+        assert sc.read_showcase_game(db_path, 1)["status"] == "abandoned"
+        assert sc.get_queue_status(db_path, qid) == "cancelled"
+
+    def test_orphan_cleanup_noop_when_runner_alive(self, pool2):
+        db_path, _ = pool2
+        qid = sc.queue_match(db_path, "1", "2", "normal")
+        sc.claim_next_match(db_path)
+        sc.create_showcase_game(db_path, queue_id=qid,
+                                entry_id_black="1", entry_id_white="2")
+        sc.write_heartbeat(db_path, 123)  # fresh
+        assert sc.cleanup_orphaned_games(db_path) == 0
+        assert sc.read_showcase_game(db_path, 1)["status"] == "in_progress"
+
+    def test_auto_showcase_queues_match(self, pool2):
+        db_path, store = pool2
+        runner = ShowcaseRunner(db_path, str(store.league_dir),
+                                auto_showcase=True, store=store)
+        runner._last_activity = 0.0  # long idle
+        runner._maybe_auto_showcase()
+        q = sc.read_queue(db_path)
+        assert len(q) == 1 and q[0]["status"] == "pending"
+
+    def test_requeue_preserves_cancellation(self, pool2):
+        db_path, _ = pool2
+        qid = sc.queue_match(db_path, "1", "2", "fast")
+        sc.claim_next_match(db_path)
+        sc.cancel_match(db_path, qid)
+        sc.requeue_entry(db_path, qid)  # must not resurrect
+        assert sc.get_queue_status(db_path, qid) == "cancelled"
+
+
 class TestQueueWedgeRecovery:
     def test_claimed_entry_completes_after_transient_db_error(self, tmp_path, monkeypatch):
         """A failed complete_queue_entry must not wedge the queue: the

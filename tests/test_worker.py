@@ -80,3 +80,174 @@ class TestWorkerEndToEnd:
         assert worker.run_once() == 0  # stale pairing expired, none played
         status = dbq.get_round_status(store.db_path, 1)
         assert status == {"expired": 1}
+
+
+@pytest.mark.integration
+class TestWorkerLifecycle:
+    """SIGTERM/stop, stale-claim recovery, poison pairings, heartbeat loss
+    (reference tournament_runner.py:110-116, :383-401 semantics)."""
+
+    def _enqueue(self, store, n=3, epoch=1):
+        entries = store.list_entries()
+        pairs = [(entries[i % len(entries)].id,
+                  entries[(i + 1) % len(entries)].id, 2, float(n - i))
+                 for i in range(n)]
+        dbq.enqueue_pairings(store.db_path, 1, pairs, epoch=epoch)
+
+    def test_stop_mid_batch_returns_unplayed_claims(self, setup, monkeypatch):
+        """A stop request between pairings must release the remaining
+        claims back to 'pending' so another worker can pick them up."""
+        store = setup
+        self._enqueue(store, 3)
+        cfg = LeagueConfig(tournament_enabled=True, tournament_num_envs=2)
+        worker = TournamentWorker(
+            store.db_path, store.league_dir, config=cfg, worker_id="wstop",
+            parallel_matches=2, store=store,
+        )
+
+        played = []
+
+        def fake_play(a, b, epoch):
+            played.append((a.id, b.id))
+            worker.request_stop()
+            return {"games": 1, "plies": 10}
+
+        monkeypatch.setattr(worker._tourney, "_play_pairing", fake_play)
+        done = worker.run_once()
+        assert done == 1
+        status = dbq.get_round_status(store.db_path, 1)
+        assert status.get("done") == 1
+        assert status.get("pending") == 2  # released, not stuck 'playing'
+        assert "playing" not in status
+
+    def test_startup_sweep_resets_only_own_claims(self, setup):
+        """A restarted worker sweeps ITS stale claims; other workers'
+        in-flight claims are untouched."""
+        store = setup
+        self._enqueue(store, 4)
+        mine = dbq.claim_next_pairings_batch(store.db_path, "w-crash", 2)
+        theirs = dbq.claim_next_pairings_batch(store.db_path, "w-alive", 2)
+        assert len(mine) == 2 and len(theirs) == 2
+        swept = dbq.reset_stale_playing(store.db_path, "w-crash")
+        assert swept == 2
+        status = dbq.get_round_status(store.db_path, 1)
+        assert status == {"pending": 2, "playing": 2}
+
+    def test_poison_pairing_marked_done(self, setup, monkeypatch):
+        """A pairing that always crashes is marked done (not re-claimed
+        forever) and the rest of the batch still plays."""
+        store = setup
+        self._enqueue(store, 3)
+        cfg = LeagueConfig(tournament_enabled=True, tournament_num_envs=2)
+        worker = TournamentWorker(
+            store.db_path, store.league_dir, config=cfg, worker_id="wpoison",
+            parallel_matches=2, store=store,
+        )
+        calls = []
+
+        def fake_play(a, b, epoch):
+            calls.append(1)
+            if len(calls) == 1:
+                raise RuntimeError("boom")
+            return {"games": 1, "plies": 10}
+
+        monkeypatch.setattr(worker._tourney, "_play_pairing", fake_play)
+        while worker.run_once():
+            pass
+        status = dbq.get_round_status(store.db_path, 1)
+        assert status == {"done": 3}
+        assert worker.pairings_done == 2  # the poison one doesn't count
+
+    def test_run_loop_exits_on_stop(self, setup):
+        """run() with an empty queue polls until stop is requested."""
+        import threading
+
+        store = setup
+        cfg = LeagueConfig(tournament_enabled=True)
+        worker = TournamentWorker(
+            store.db_path, store.league_dir, config=cfg, worker_id="wloop",
+            poll_interval_s=0.05, store=store,
+        )
+        t = threading.Timer(0.3, worker.request_stop)
+        t.start()
+        worker.run()  # must return; a hang fails the test via timeout
+        t.join()
+        health = dbq.get_worker_health(store.db_path)
+        assert any(h["worker_id"] == "wloop" for h in health)
+
+    def test_claim_priority_order(self, setup):
+        store = setup
+        entries = store.list_entries()
+        dbq.enqueue_pairings(store.db_path, 1, [
+            (entries[0].id, entries[1].id, 2, 1.0),
+            (entries[1].id, entries[2].id, 2, 9.0),
+            (entries[0].id, entries[2].id, 2, 5.0),
+        ], epoch=1)
+        batch = dbq.claim_next_pairings_batch(store.db_path, "wprio", 2)
+        assert [p["priority"] for p in batch] == [9.0, 5.0]
+
+    def test_heartbeat_staleness(self, setup):
+        store = setup
+        from keisei_tpu.db import core as dbcore
+
+        dbq.write_worker_heartbeat(store.db_path, "fresh", 1, "cpu", 0)
+        dbcore.write_row(store.db_path, "tournament_worker_heartbeat", {
+            "worker_id": "stale", "pid": 2, "device": "cpu",
+            "last_seen": "2020-01-01T00:00:00Z", "pairings_done": 0,
+        }, replace=True)
+        dbcore.write_row(store.db_path, "tournament_worker_heartbeat", {
+            "worker_id": "garbled", "pid": 3, "device": "cpu",
+            "last_seen": "not-a-timestamp", "pairings_done": 0,
+        }, replace=True)
+        health = {h["worker_id"]: h["is_healthy"]
+                  for h in dbq.get_worker_health(store.db_path)}
+        assert health == {"fresh": True, "stale": False, "garbled": False}
+
+    def test_dynamic_update_lock_exclusive(self, setup):
+        """The cross-process dynamic-training lock is exclusive and only
+        its holder can release it (db/queue.py:170-191)."""
+        store = setup
+        eid = store.list_entries()[0].id
+        assert dbq.claim_dynamic_update(store.db_path, eid, "w1")
+        assert not dbq.claim_dynamic_update(store.db_path, eid, "w2")
+        dbq.release_dynamic_update(store.db_path, eid, "w2")  # not holder
+        assert not dbq.claim_dynamic_update(store.db_path, eid, "w2")
+        dbq.release_dynamic_update(store.db_path, eid, "w1")
+        assert dbq.claim_dynamic_update(store.db_path, eid, "w2")
+
+
+@pytest.mark.integration
+@pytest.mark.slow
+class TestWorkerProcessSignals:
+    def test_sigterm_clean_exit(self, setup, tmp_path):
+        """A real worker process exits cleanly on SIGTERM (reference
+        tournament_runner.py:383-401)."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        store = setup
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "keisei_tpu.league.worker",
+             "--db", store.db_path, "--league-dir", store.league_dir,
+             "--worker-id", "wsig"],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        try:
+            deadline = time.monotonic() + 60
+            while time.monotonic() < deadline:
+                health = dbq.get_worker_health(store.db_path)
+                if any(h["worker_id"] == "wsig" for h in health):
+                    break
+                time.sleep(0.5)
+            else:
+                raise AssertionError("worker never heartbeat")
+            proc.send_signal(signal.SIGTERM)
+            assert proc.wait(timeout=30) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
