@@ -163,10 +163,36 @@ function dispatch(msg) {
       renderShowcase();
       break;
     }
+    case "showcase_error":
+      toast(msg.error || "showcase error", "err");
+      break;
+    case "showcase_match_queued":
+      toast(`Match queued: #${msg.entry_id_1} vs #${msg.entry_id_2} (${msg.speed})`, "ok");
+      break;
+    case "showcase_speed_changed":
+      toast(`Queue #${msg.queue_id} speed → ${msg.speed}`, "ok");
+      break;
+    case "showcase_match_cancelled":
+      toast(`Queue #${msg.queue_id} cancelled`, "ok");
+      break;
     case "ping":
       send({ type: "pong" });
       break;
   }
+}
+
+// ---------------------------------------------------------------------------
+// toast notifications for command replies (the reference surfaces these in
+// MatchControls; here a shared transient banner keeps the SPA dependency-free)
+// ---------------------------------------------------------------------------
+function toast(text, kind) {
+  const host = document.getElementById("toasts");
+  const el = document.createElement("div");
+  el.className = `toast ${kind}`;
+  el.textContent = text;
+  host.appendChild(el);
+  setTimeout(() => el.classList.add("gone"), 3600);
+  setTimeout(() => el.remove(), 4100);
 }
 
 // ---------------------------------------------------------------------------
