@@ -50,3 +50,40 @@ class TestConcurrentPool:
                                    max_ply=16)
         with pytest.raises(ValueError, match="capacity"):
             pool.run_round([(v, v), (v, v)])
+
+    def test_empty_round_fast_path(self):
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        pool = ConcurrentMatchPool(model, parallel_matches=2, envs_per_match=2,
+                                   max_ply=16)
+        results, stats = pool.run_round([])
+        assert results == []
+        assert (stats.pairings, stats.games, stats.steps) == (0, 0, 0)
+
+    def test_same_seed_is_deterministic(self):
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        v0 = model.init(jax.random.key(0), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                        train=False)
+        v1 = model.init(jax.random.key(1), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                        train=False)
+        pool = ConcurrentMatchPool(model, parallel_matches=1, envs_per_match=4,
+                                   max_ply=48, chunk_steps=24)
+        a, _ = pool.run_round([(v0, v1)], seed=5)
+        b, _ = pool.run_round([(v0, v1)], seed=5)
+        assert a == b
+        # (seed-sensitivity is NOT asserted: with max_ply=48 every random-
+        # policy game truncates, so slot summaries legitimately coincide)
+
+    def test_self_play_symmetric_mirror(self):
+        """The SAME weights on both sides with mirrored colors: slot results
+        must net out to wins_a + wins_b == decided games (sanity on the
+        last-mover win-attribution sign, reference match_utils.py:261-272)."""
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        v = model.init(jax.random.key(3), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                       train=False)
+        pool = ConcurrentMatchPool(model, parallel_matches=1, envs_per_match=8,
+                                   max_ply=64, chunk_steps=32)
+        results, stats = pool.run_round([(v, v)], seed=11)
+        r = results[0]
+        assert r.games == 8
+        assert r.wins_a + r.wins_b + r.draws == 8
+        assert stats.total_plies == r.total_plies
