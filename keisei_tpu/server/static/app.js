@@ -9,8 +9,13 @@
  * MetricsChart/MetricsGrid, LeagueView (LeagueTable, EntryDetail,
  * MatchupMatrix, EloChart, event log), ShowcaseView (CommentaryPanel,
  * MatchControls, MatchQueue, heatmap overlay), AboutView (aboutLevel),
- * theme/audio/notation stores. */
+ * theme/audio/notation stores.
+ *
+ * Pure logic lives in lib.js (window.KT), unit-tested under node:test in
+ * CI (lib.test.mjs); this file owns DOM, WS, and canvas drawing only. */
 "use strict";
+
+const { usiToCell, moverOf, blackProb, fmt } = KT;
 
 // ---------------------------------------------------------------------------
 // state
@@ -38,6 +43,8 @@ const prefs = {
   set notation(v) { localStorage.setItem("ktpu-notation", v); },
   get sound() { return localStorage.getItem("ktpu-sound") === "on"; },
   set sound(v) { localStorage.setItem("ktpu-sound", v ? "on" : "off"); },
+  get smooth() { return localStorage.getItem("ktpu-smooth") !== "off"; },
+  set smooth(v) { localStorage.setItem("ktpu-smooth", v ? "on" : "off"); },
 };
 function applyTheme() {
   document.documentElement.dataset.theme = prefs.theme;
@@ -49,6 +56,9 @@ function applyNotationBtn() {
 }
 function applySoundBtn() {
   document.getElementById("toggle-sound").textContent = prefs.sound ? "🔊" : "🔇";
+}
+function applySmoothBtn() {
+  document.getElementById("toggle-smooth").classList.toggle("on", prefs.smooth);
 }
 
 // move click sound: tiny WebAudio blip, no assets needed
@@ -152,14 +162,8 @@ function dispatch(msg) {
         msg.game.id !== S.showcase.game.id);
       S.showcase.game = msg.game;
       if (isNewGame) { S.showcase.moves = []; S.reviewPly = null; }
-      if ((msg.new_moves || []).length) {
-        // dedup by ply: the server's init payload and poll task race at
-        // connect time, so a move may arrive twice
-        const seen = S.showcase.moves.length
-          ? S.showcase.moves[S.showcase.moves.length - 1].ply : 0;
-        const fresh = msg.new_moves.filter(m => m.ply > seen);
-        if (fresh.length) { S.showcase.moves.push(...fresh); moveSound(); }
-      }
+      const fresh = KT.freshMoves(S.showcase.moves, msg.new_moves);
+      if (fresh.length) { S.showcase.moves.push(...fresh); moveSound(); }
       renderShowcase();
       break;
     }
@@ -196,49 +200,103 @@ function toast(text, kind) {
 }
 
 // ---------------------------------------------------------------------------
-// tiny canvas line-chart helper
+// canvas line charts: nice ticks, min-max downsampling, optional EMA
+// smoothing (raw series kept as a ghost), hover crosshair + value tooltip —
+// the uPlot feature set the reference gets from its dependency, dependency-
+// free (reference webui/src/components/MetricsChart.svelte)
 // ---------------------------------------------------------------------------
 function css(name) {
   return getComputedStyle(document.documentElement).getPropertyValue(name).trim();
 }
+const chartState = new Map();   // canvasId -> geometry + data for hover redraw
+
 function drawChart(canvasId, series, opts = {}) {
   const cv = document.getElementById(canvasId);
   if (!cv) return;
-  const dpr = window.devicePixelRatio || 1;
   const w = cv.clientWidth, h = cv.clientHeight;
   if (!w || !h) return;
-  cv.width = w * dpr; cv.height = h * dpr;
-  const ctx = cv.getContext("2d");
-  ctx.scale(dpr, dpr);
-  ctx.clearRect(0, 0, w, h);
-  const pad = { l: 42, r: 6, t: 6, b: 16 };
-  const all = series.flatMap(s => s.points.map(p => p[1])).filter(Number.isFinite);
-  if (!all.length) { ctx.fillStyle = "#555"; ctx.fillText("no data", w / 2 - 18, h / 2); return; }
+
+  const smooth = opts.smooth && prefs.smooth;
+  const budget = Math.max(Math.floor(w * 2), 200);
+  const plotted = series.map(s => {
+    const pts = KT.downsample(s.points, budget);
+    return { ...s, raw: pts, points: smooth ? KT.ema(pts, 0.2) : pts };
+  });
+
+  const all = plotted.flatMap(s =>
+    s.points.concat(smooth ? s.raw : []).map(p => p[1])).filter(Number.isFinite);
+  if (!all.length) {
+    chartState.delete(canvasId);
+    const ctx = sizeCanvas(cv, w, h);
+    ctx.fillStyle = "#555"; ctx.font = "10px system-ui";
+    ctx.fillText("no data", w / 2 - 18, h / 2);
+    return;
+  }
   let lo = Math.min(...all), hi = Math.max(...all);
   if (opts.zero) lo = Math.min(lo, 0);
   if (opts.unit) { lo = Math.min(lo, opts.unit[0]); hi = Math.max(hi, opts.unit[1]); }
   if (lo === hi) { lo -= 1; hi += 1; }
-  const xs = series.flatMap(s => s.points.map(p => p[0]));
-  const x0 = Math.min(...xs), x1 = Math.max(...xs) || 1;
+  const xs = plotted.flatMap(s => s.points.map(p => p[0]));
+  const x0 = Math.min(...xs), x1 = Math.max(...xs);
+  const st = { series: plotted, lo, hi, x0, x1, w, h, opts,
+               pad: { l: 42, r: 6, t: 6, b: 16 } };
+  chartState.set(canvasId, st);
+  renderChartFrame(cv, st, null);
+  if (!cv.dataset.hover) {
+    cv.dataset.hover = "1";
+    cv.addEventListener("mousemove", ev => hoverChart(cv, ev));
+    cv.addEventListener("mouseleave", () => {
+      const s = chartState.get(cv.id);
+      if (s) renderChartFrame(cv, s, null);
+    });
+  }
+}
+
+function sizeCanvas(cv, w, h) {
+  const dpr = window.devicePixelRatio || 1;
+  cv.width = w * dpr; cv.height = h * dpr;
+  const ctx = cv.getContext("2d");
+  ctx.scale(dpr, dpr);
+  ctx.clearRect(0, 0, w, h);
+  return ctx;
+}
+
+function renderChartFrame(cv, st, hoverX) {
+  const { series, lo, hi, x0, x1, w, h, opts, pad } = st;
+  const ctx = sizeCanvas(cv, w, h);
   const X = x => pad.l + (x - x0) / Math.max(x1 - x0, 1) * (w - pad.l - pad.r);
   const Y = y => pad.t + (1 - (y - lo) / (hi - lo)) * (h - pad.t - pad.b);
-  // gridlines + labels
-  ctx.strokeStyle = css("--line"); ctx.fillStyle = css("--dim"); ctx.font = "10px system-ui";
-  for (let i = 0; i <= 3; i++) {
-    const y = lo + (hi - lo) * i / 3;
+  st.X = X; st.Y = Y;
+  ctx.font = "10px system-ui";
+
+  // y gridlines + labels at nice positions
+  ctx.strokeStyle = css("--line"); ctx.fillStyle = css("--dim");
+  for (const y of KT.niceTicks(lo, hi, 4)) {
     ctx.beginPath(); ctx.moveTo(pad.l, Y(y)); ctx.lineTo(w - pad.r, Y(y)); ctx.stroke();
     ctx.fillText(fmt(y), 2, Y(y) + 3);
   }
-  for (const s of series) {
-    ctx.strokeStyle = s.color; ctx.lineWidth = 1.4; ctx.beginPath();
+  // x ticks along the bottom edge
+  for (const x of KT.niceTicks(x0, x1, Math.max(2, Math.floor(w / 90)))) {
+    ctx.fillText(fmt(x), X(x) - 6, h - 4);
+  }
+
+  const drawLine = (pts, color, width, alpha) => {
+    ctx.save();
+    ctx.globalAlpha = alpha; ctx.strokeStyle = color; ctx.lineWidth = width;
+    ctx.beginPath();
     let started = false;
-    for (const [x, y] of s.points) {
-      if (!Number.isFinite(y)) continue;
+    for (const [x, y] of pts) {
+      if (!Number.isFinite(y)) { started = false; continue; }
       if (!started) { ctx.moveTo(X(x), Y(y)); started = true; }
       else ctx.lineTo(X(x), Y(y));
     }
-    ctx.stroke();
+    ctx.stroke(); ctx.restore();
+  };
+  for (const s of series) {
+    if (s.points !== s.raw) drawLine(s.raw, s.color, 1, 0.25);  // raw ghost
+    drawLine(s.points, s.color, 1.4, 1);
   }
+
   if (opts.marker != null) {
     ctx.strokeStyle = css("--accent"); ctx.lineWidth = 1;
     ctx.beginPath(); ctx.moveTo(X(opts.marker), pad.t);
@@ -252,12 +310,59 @@ function drawChart(canvasId, series, opts = {}) {
       lx += ctx.measureText(s.label || "").width + 14;
     }
   }
+
+  if (hoverX != null) drawCrosshair(ctx, st, hoverX);
 }
-function fmt(v) {
-  const a = Math.abs(v);
-  if (a >= 1000) return (v / 1000).toFixed(1) + "k";
-  if (a >= 10) return v.toFixed(1);
-  return v.toPrecision(3);
+
+function drawCrosshair(ctx, st, px) {
+  const { series, x0, x1, w, h, pad, X, Y } = st;
+  const dataX = x0 + (px - pad.l) / Math.max(w - pad.l - pad.r, 1) * (x1 - x0);
+  // snap to the nearest point of the longest series; report every series
+  const main = series.reduce((a, b) => (b.points.length > a.points.length ? b : a));
+  const i = KT.nearestIndex(main.points, dataX);
+  if (i < 0) return;
+  const snapX = main.points[i][0];
+
+  ctx.strokeStyle = css("--dim"); ctx.lineWidth = 0.7;
+  ctx.setLineDash([3, 3]);
+  ctx.beginPath(); ctx.moveTo(X(snapX), pad.t); ctx.lineTo(X(snapX), h - pad.b);
+  ctx.stroke(); ctx.setLineDash([]);
+
+  const rows = [];
+  for (const s of series) {
+    const j = KT.nearestIndex(s.points, snapX);
+    if (j < 0) continue;
+    const [x, y] = s.points[j];
+    if (x !== snapX || !Number.isFinite(y)) continue;
+    rows.push({ color: s.color, text: `${s.label ? s.label + " " : ""}${fmt(y)}` });
+    ctx.fillStyle = s.color;
+    ctx.beginPath(); ctx.arc(X(x), Y(y), 2.5, 0, Math.PI * 2); ctx.fill();
+  }
+  if (!rows.length) return;
+  ctx.font = "10px system-ui";
+  const head = `@ ${fmt(snapX)}`;
+  const tw = Math.max(ctx.measureText(head).width,
+    ...rows.map(r => ctx.measureText(r.text).width)) + 12;
+  const th = 13 * (rows.length + 1) + 6;
+  let bx = X(snapX) + 8;
+  if (bx + tw > w - 2) bx = X(snapX) - tw - 8;
+  const by = pad.t + 2;
+  ctx.fillStyle = css("--panel") || "rgba(20,24,30,0.92)";
+  ctx.strokeStyle = css("--line");
+  ctx.beginPath(); ctx.roundRect(bx, by, tw, th, 4); ctx.fill(); ctx.stroke();
+  ctx.fillStyle = css("--dim");
+  ctx.fillText(head, bx + 6, by + 12);
+  rows.forEach((r, k) => {
+    ctx.fillStyle = r.color;
+    ctx.fillText(r.text, bx + 6, by + 12 + 13 * (k + 1));
+  });
+}
+
+function hoverChart(cv, ev) {
+  const st = chartState.get(cv.id);
+  if (!st) return;
+  const rect = cv.getBoundingClientRect();
+  renderChartFrame(cv, st, ev.clientX - rect.left);
 }
 
 // ---------------------------------------------------------------------------
@@ -286,16 +391,16 @@ function seriesOf(field, color, label) {
   return { color, label, points: S.metrics.map(m => [m.epoch, m[field]]) };
 }
 function renderCharts() {
-  drawChart("c-policy", [seriesOf("policy_loss", "#5aa9e6")]);
-  drawChart("c-value", [seriesOf("value_loss", "#e6a95a")]);
-  drawChart("c-entropy", [seriesOf("entropy", "#b98ae6")]);
+  drawChart("c-policy", [seriesOf("policy_loss", "#5aa9e6")], { smooth: true });
+  drawChart("c-value", [seriesOf("value_loss", "#e6a95a")], { smooth: true });
+  drawChart("c-entropy", [seriesOf("entropy", "#b98ae6")], { smooth: true });
   drawChart("c-winrates", [
     seriesOf("black_win_rate", "#63c57f", "black"),
     seriesOf("white_win_rate", "#e06c75", "white"),
     seriesOf("draw_rate", "#8b96a5", "draw"),
   ], { zero: true });
   drawChart("c-eplen", [seriesOf("avg_episode_length", "#5ae6c8")], { zero: true });
-  drawChart("c-gnorm", [seriesOf("gradient_norm", "#e65a8f")]);
+  drawChart("c-gnorm", [seriesOf("gradient_norm", "#e65a8f")], { smooth: true });
   drawChart("c-wl", [
     seriesOf("win_rate", "#63c57f", "win"),
     seriesOf("loss_rate", "#e06c75", "loss"),
@@ -307,23 +412,7 @@ function renderCharts() {
 // ---------------------------------------------------------------------------
 // shogi board rendering (snapshot board_json = 81 cells of null | piece dict)
 // ---------------------------------------------------------------------------
-const KANJI = { pawn: "歩", lance: "香", knight: "桂", silver: "銀", gold: "金",
-                bishop: "角", rook: "飛", king: "玉" };
-const KANJI_P = { pawn: "と", lance: "杏", knight: "圭", silver: "全",
-                  bishop: "馬", rook: "龍" };
-const LETTER = { pawn: "P", lance: "L", knight: "N", silver: "S", gold: "G",
-                 bishop: "B", rook: "R", king: "K" };
-function pieceChar(c) {
-  if (prefs.notation === "kanji")
-    return c.promoted ? (KANJI_P[c.type] || KANJI[c.type]) : KANJI[c.type];
-  return (c.promoted ? "+" : "") + (LETTER[c.type] || "?");
-}
-// USI square ("7f") -> cell index (row-major, row 0 = rank a, col 0 = file 9)
-function usiToCell(usi) {
-  const file = usi.charCodeAt(0) - 48, rank = usi.charCodeAt(1) - 97;
-  if (file < 1 || file > 9 || rank < 0 || rank > 8) return -1;
-  return rank * 9 + (9 - file);
-}
+function pieceChar(c) { return KT.pieceChar(c, prefs.notation); }
 // heat: optional {cellIndex: alpha 0..1}; lastCell: optional index to outline
 function boardHTML(board, heat = null, lastCell = -1) {
   let html = '<div class="grid">';
@@ -342,7 +431,7 @@ function boardHTML(board, heat = null, lastCell = -1) {
   return html + "</div>";
 }
 function handsHTML(hands) {
-  const pc = (k) => prefs.notation === "kanji" ? KANJI[k] : LETTER[k];
+  const pc = (k) => prefs.notation === "kanji" ? KT.KANJI[k] : KT.LETTER[k];
   const fmtSide = (h) => Object.entries(h || {})
     .filter(([, n]) => n > 0).map(([k, n]) => `${pc(k)}×${n}`).join(" ");
   return `<div class="hands">☗ ${fmtSide(hands.black)} &nbsp; ☖ ${fmtSide(hands.white)}</div>`;
@@ -450,17 +539,7 @@ function renderTournamentPanel() {
     '<p style="color:var(--dim);font-size:12px">no tournament rounds yet</p>';
 }
 
-function h2hFor(id) {
-  // normalized (opponent, wins, losses, draws, games) list for entry `id`
-  const rows = [];
-  for (const r of S.league.h2h) {
-    if (r.entry_a_id === id)
-      rows.push({ opp: r.entry_b_id, w: r.wins_a, l: r.wins_b, d: r.draws, g: r.games });
-    else if (r.entry_b_id === id)
-      rows.push({ opp: r.entry_a_id, w: r.wins_b, l: r.wins_a, d: r.draws, g: r.games });
-  }
-  return rows;
-}
+function h2hFor(id) { return KT.h2hFor(S.league.h2h, id); }
 
 function styleCommentary(row) {
   try {
@@ -496,7 +575,55 @@ function renderEntryDetail() {
       ${styleRow ? kv("style", `${styleRow.primary_style || ""} — ${styleCommentary(styleRow)}`) : ""}
       ${h2h ? kv("head-to-head", h2h) : ""}
     </div>
-    ${flavour.length ? `<div class="flavour">${flavour.join(" · ")}</div>` : ""}`;
+    ${flavour.length ? `<div class="flavour">${flavour.join(" · ")}</div>` : ""}
+    <div class="chart-box"><h4>Elo trajectory</h4><canvas id="c-entry-elo"></canvas></div>
+    <h4>Recent matches</h4><ul class="entry-results">${recentResultsHTML(e.id, names)}</ul>`;
+  drawEntryEloChart(e.id);
+}
+
+// last matches involving the entry, newest first, from the entry's
+// perspective (reference EntryDetail.svelte match list)
+function recentResultsHTML(id, names) {
+  const rows = [];
+  for (const r of S.league.results) {
+    if (r.entry_a_id !== id && r.entry_b_id !== id) continue;
+    const mine = r.entry_a_id === id;
+    const opp = mine ? r.entry_b_id : r.entry_a_id;
+    const [w, l] = mine ? [r.wins_a, r.wins_b] : [r.wins_b, r.wins_a];
+    const after = mine ? r.elo_after_a : r.elo_after_b;
+    const before = mine ? r.elo_before_a : r.elo_before_b;
+    const delta = after != null && before != null ? after - before : null;
+    rows.push({ epoch: r.epoch, opp, w, l, d: r.draws,
+                type: r.match_type, delta, rid: r.id });
+  }
+  rows.sort((a, b) => b.rid - a.rid);
+  return rows.slice(0, 8).map(r => {
+    const cls = r.w > r.l ? "win" : r.w < r.l ? "loss" : "";
+    const dElo = r.delta != null
+      ? ` <span class="delta">${r.delta >= 0 ? "+" : ""}${r.delta.toFixed(1)}</span>` : "";
+    return `<li class="${cls}">ep ${r.epoch} · vs ${names[r.opp] || "#" + r.opp}
+      · <b>${r.w}-${r.l}-${r.d}</b> · ${r.type || ""}${dElo}</li>`;
+  }).join("") || '<li style="border:none;color:var(--dim)">no matches yet</li>';
+}
+
+function drawEntryEloChart(id) {
+  // composite Elo from the history table, plus the per-match post-Elo
+  // trail from league_results (elo_history only records the composite —
+  // schema parity with the reference)
+  const hist = S.league.eloHistory.filter(r => r.entry_id === id)
+    .map(r => [r.epoch, r.elo_rating]);
+  const after = [];
+  for (const r of S.league.results) {
+    if (r.entry_a_id === id && r.elo_after_a != null)
+      after.push([r.epoch, r.elo_after_a]);
+    else if (r.entry_b_id === id && r.elo_after_b != null)
+      after.push([r.epoch, r.elo_after_b]);
+  }
+  after.sort((a, b) => a[0] - b[0]);
+  const series = [];
+  if (hist.length) series.push({ color: "#5aa9e6", label: "epoch", points: hist });
+  if (after.length) series.push({ color: "#e6a95a", label: "post-match", points: after });
+  drawChart("c-entry-elo", series);
 }
 
 function renderMatchupMatrix() {
@@ -560,19 +687,6 @@ function renderQueue() {
       `<li>#${q.id} ${q.entry_id_1} vs ${q.entry_id_2} · ${q.speed} · ${q.status}</li>`
     ).join("") || '<li style="border:none">empty</li>';
 }
-// black-perspective win prob from a move row. value_estimate is from the
-// MOVER's perspective; current_player is the side to move AFTER the move
-// (the mover's opponent), so black's value needs the flip when
-// current_player is black.
-function blackProb(m) {
-  if (m.value_estimate == null) return null;
-  const mover = m.current_player === "black" ? "white" : "black";
-  const v = mover === "black" ? m.value_estimate : -m.value_estimate;
-  return (v + 1) / 2;
-}
-function moverOf(m) {
-  return m.current_player === "black" ? "white" : "black";
-}
 function displayedMove() {
   const moves = S.showcase.moves;
   if (!moves.length) return null;
@@ -593,20 +707,9 @@ function renderShowcase() {
   if (m) {
     // heatmap overlay: {usi: prob} of the policy over moves sharing the
     // chosen move's source square (runner.build_heatmap)
-    let heat = null;
-    if (document.getElementById("sc-heat").checked && m.move_heatmap_json) {
-      try {
-        const hm = JSON.parse(m.move_heatmap_json);
-        const mx = Math.max(...Object.values(hm), 1e-9);
-        heat = {};
-        for (const [usi, p] of Object.entries(hm)) {
-          const cell = usiToCell(usi.slice(2, 4));
-          if (cell >= 0) heat[cell] = Math.max(heat[cell] || 0, p / mx);
-        }
-      } catch { /* ignore bad json */ }
-    }
-    const usi = m.move_usi || m.usi_notation || "";
-    const dest = usi.length >= 4 ? usiToCell(usi.slice(2, 4)) : -1;
+    const heat = document.getElementById("sc-heat").checked && m.move_heatmap_json
+      ? KT.heatCells(m.move_heatmap_json) : null;
+    const dest = KT.usiDestCell(m.move_usi || m.usi_notation || "");
     boardEl.innerHTML =
       `<div class="meta">ply ${m.ply} · ${moverOf(m)} played ${m.usi_notation}` +
       `${m.in_check ? " · <b>check</b>" : ""}` +
@@ -748,6 +851,23 @@ document.getElementById("sc-live").onclick = () => {
   S.reviewPly = null; renderShowcase();
 };
 document.getElementById("sc-heat").onchange = () => renderShowcase();
+// keyboard move review: ←/→ step, Home = first, End = live (showcase view)
+window.addEventListener("keydown", (ev) => {
+  if (!views.showcase || !views.showcase.classList.contains("active")) return;
+  if (/^(INPUT|SELECT|TEXTAREA)$/.test(document.activeElement?.tagName || "")) return;
+  const n = S.showcase.moves.length;
+  if (!n) return;
+  const cur = S.reviewPly == null ? n - 1 : S.reviewPly;
+  let next = null;
+  if (ev.key === "ArrowLeft") next = Math.max(cur - 1, 0);
+  else if (ev.key === "ArrowRight") next = Math.min(cur + 1, n - 1);
+  else if (ev.key === "Home") next = 0;
+  else if (ev.key === "End") next = n - 1;
+  else return;
+  ev.preventDefault();
+  S.reviewPly = next >= n - 1 ? null : next;
+  renderShowcase();
+});
 document.getElementById("boards-count").onchange = () => renderBoards();
 document.getElementById("about-level").onchange = () => renderAbout();
 document.getElementById("toggle-theme").onclick = () => {
@@ -762,11 +882,15 @@ document.getElementById("toggle-sound").onclick = () => {
   prefs.sound = !prefs.sound;
   applySoundBtn();
 };
+document.getElementById("toggle-smooth").onclick = () => {
+  prefs.smooth = !prefs.smooth;
+  applySmoothBtn(); renderCharts();
+};
 
 function renderAll() {
   renderStatus(); renderCharts(); renderBoards(); renderLeague();
   fillShowcaseSelectors(); renderShowcase(); renderAbout();
 }
 window.addEventListener("resize", () => { renderCharts(); renderLeague(); });
-applyTheme(); applyNotationBtn(); applySoundBtn();
+applyTheme(); applyNotationBtn(); applySoundBtn(); applySmoothBtn();
 connect();

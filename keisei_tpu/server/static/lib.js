@@ -1,0 +1,189 @@
+/* keisei-tpu dashboard — pure helpers shared by app.js and the node:test
+ * unit suite (lib.test.mjs). Everything here is DOM-free so it runs
+ * identically in the browser and under `node --test` in CI (the analogue
+ * of the reference webui's colocated vitest files per lib/*.js).
+ *
+ * Dual export: browser gets `window.KT`; node gets `module.exports`. */
+"use strict";
+
+(function (root, factory) {
+  const api = factory();
+  if (typeof module === "object" && module.exports) module.exports = api;
+  else root.KT = api;
+})(typeof self !== "undefined" ? self : this, function () {
+
+  // -- shogi presentation ---------------------------------------------------
+  const KANJI = { pawn: "歩", lance: "香", knight: "桂", silver: "銀",
+                  gold: "金", bishop: "角", rook: "飛", king: "玉" };
+  const KANJI_P = { pawn: "と", lance: "杏", knight: "圭", silver: "全",
+                    bishop: "馬", rook: "龍" };
+  const LETTER = { pawn: "P", lance: "L", knight: "N", silver: "S",
+                   gold: "G", bishop: "B", rook: "R", king: "K" };
+
+  /** Display character for a piece cell {type, promoted} under a notation
+   *  preference ("kanji" | "letters"). */
+  function pieceChar(c, notation) {
+    if (notation === "kanji")
+      return c.promoted ? (KANJI_P[c.type] || KANJI[c.type]) : KANJI[c.type];
+    return (c.promoted ? "+" : "") + (LETTER[c.type] || "?");
+  }
+
+  /** USI square ("7f") -> row-major cell index (row 0 = rank a, col 0 =
+   *  file 9), or -1 for malformed input. */
+  function usiToCell(usi) {
+    if (typeof usi !== "string" || usi.length < 2) return -1;
+    const file = usi.charCodeAt(0) - 48, rank = usi.charCodeAt(1) - 97;
+    if (file < 1 || file > 9 || rank < 0 || rank > 8) return -1;
+    return rank * 9 + (9 - file);
+  }
+
+  /** Destination cell of a USI move string ("7g7f", "P*5e"), or -1. */
+  function usiDestCell(usi) {
+    return typeof usi === "string" && usi.length >= 4
+      ? usiToCell(usi.slice(2, 4)) : -1;
+  }
+
+  // -- showcase move semantics ---------------------------------------------
+  /** The side that PLAYED move row m: current_player is the side to move
+   *  AFTER the move, i.e. the mover's opponent. */
+  function moverOf(m) {
+    return m.current_player === "black" ? "white" : "black";
+  }
+
+  /** Black-perspective win probability in [0,1] from a move row, or null.
+   *  value_estimate is from the mover's perspective. */
+  function blackProb(m) {
+    if (m.value_estimate == null) return null;
+    const v = moverOf(m) === "black" ? m.value_estimate : -m.value_estimate;
+    return (v + 1) / 2;
+  }
+
+  /** Filter freshly-pushed move rows against the already-held list.
+   *  The server's init payload and poll task can race at connect time, so
+   *  a move may arrive twice; plies are strictly increasing within a game. */
+  function freshMoves(existing, incoming) {
+    const seen = existing.length ? existing[existing.length - 1].ply : 0;
+    return (incoming || []).filter((m) => m.ply > seen);
+  }
+
+  /** Parse a move_heatmap_json payload ({usi: prob}) into {cellIndex:
+   *  alpha 0..1} normalized by the max prob. Returns null on bad input. */
+  function heatCells(json) {
+    let hm;
+    try { hm = JSON.parse(json); } catch { return null; }
+    if (!hm || typeof hm !== "object") return null;
+    const vals = Object.values(hm).filter(Number.isFinite);
+    if (!vals.length) return null;
+    const mx = Math.max(...vals, 1e-9);
+    const heat = {};
+    for (const [usi, p] of Object.entries(hm)) {
+      const cell = usiDestCell(usi);
+      if (cell >= 0) heat[cell] = Math.max(heat[cell] || 0, p / mx);
+    }
+    return heat;
+  }
+
+  // -- league data shaping --------------------------------------------------
+  /** Normalize head_to_head rows to entry `id`'s perspective:
+   *  [{opp, w, l, d, g}] (reference EntryDetail.svelte semantics). */
+  function h2hFor(rows, id) {
+    const out = [];
+    for (const r of rows || []) {
+      if (r.entry_a_id === id)
+        out.push({ opp: r.entry_b_id, w: r.wins_a, l: r.wins_b,
+                   d: r.draws, g: r.games });
+      else if (r.entry_b_id === id)
+        out.push({ opp: r.entry_a_id, w: r.wins_b, l: r.wins_a,
+                   d: r.draws, g: r.games });
+    }
+    return out;
+  }
+
+  /** Win rate (draws = half) of a normalized h2h record; null if no games. */
+  function winRate(r) {
+    return r.g ? (r.w + 0.5 * r.d) / r.g : null;
+  }
+
+  // -- chart math -----------------------------------------------------------
+  /** "Nice" tick positions covering [lo, hi] with about n intervals. */
+  function niceTicks(lo, hi, n = 4) {
+    if (!Number.isFinite(lo) || !Number.isFinite(hi)) return [];
+    if (lo === hi) { lo -= 1; hi += 1; }
+    const span = hi - lo;
+    const step0 = span / Math.max(n, 1);
+    const mag = Math.pow(10, Math.floor(Math.log10(step0)));
+    const norm = step0 / mag;
+    const step = (norm >= 5 ? 5 : norm >= 2 ? 2 : 1) * mag;
+    const t0 = Math.ceil(lo / step) * step;
+    const ticks = [];
+    // epsilon guards float drift at the top edge
+    for (let t = t0; t <= hi + step * 1e-9; t += step)
+      ticks.push(Math.abs(t) < step * 1e-9 ? 0 : t);
+    return ticks;
+  }
+
+  /** Exponential moving average over [x,y] points (non-finite y passed
+   *  through untouched, EMA state unchanged). alpha in (0,1]: 1 = raw. */
+  function ema(points, alpha) {
+    if (!(alpha > 0) || alpha >= 1) return points;
+    let acc = null;
+    return points.map(([x, y]) => {
+      if (!Number.isFinite(y)) return [x, y];
+      acc = acc == null ? y : alpha * y + (1 - alpha) * acc;
+      return [x, acc];
+    });
+  }
+
+  /** Min-max bucket downsampling: keeps extremes so spikes survive.
+   *  Returns points unchanged when already within budget. */
+  function downsample(points, maxN) {
+    if (points.length <= maxN || maxN < 4) return points;
+    const buckets = Math.floor(maxN / 2);
+    const per = points.length / buckets;
+    const out = [];
+    for (let b = 0; b < buckets; b++) {
+      const s = Math.floor(b * per), e = Math.min(Math.floor((b + 1) * per),
+                                                  points.length);
+      let mn = null, mx = null;
+      for (let i = s; i < e; i++) {
+        const p = points[i];
+        if (!Number.isFinite(p[1])) continue;
+        if (!mn || p[1] < mn[1]) mn = p;
+        if (!mx || p[1] > mx[1]) mx = p;
+      }
+      if (!mn) continue;
+      // emit in x order to keep the polyline monotone in x
+      if (mn === mx) out.push(mn);
+      else if (mn[0] <= mx[0]) out.push(mn, mx);
+      else out.push(mx, mn);
+    }
+    return out;
+  }
+
+  /** Index of the point whose x is nearest to `x` (for hover tooltips);
+   *  -1 when the series is empty. Points must be sorted by x. */
+  function nearestIndex(points, x) {
+    if (!points.length) return -1;
+    let lo = 0, hi = points.length - 1;
+    while (hi - lo > 1) {
+      const mid = (lo + hi) >> 1;
+      if (points[mid][0] < x) lo = mid; else hi = mid;
+    }
+    return Math.abs(points[lo][0] - x) <= Math.abs(points[hi][0] - x) ? lo : hi;
+  }
+
+  /** Compact number formatting for axis labels / tooltips. */
+  function fmt(v) {
+    const a = Math.abs(v);
+    if (a >= 1e6) return (v / 1e6).toFixed(1) + "M";
+    if (a >= 1000) return (v / 1000).toFixed(1) + "k";
+    if (a >= 10) return v.toFixed(1);
+    if (a === 0) return "0";
+    if (a < 0.001) return v.toExponential(1);
+    return v.toPrecision(3);
+  }
+
+  return { pieceChar, usiToCell, usiDestCell, moverOf, blackProb,
+           freshMoves, heatCells, h2hFor, winRate, niceTicks, ema,
+           downsample, nearestIndex, fmt, KANJI, KANJI_P, LETTER };
+});

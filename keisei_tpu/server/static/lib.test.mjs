@@ -1,0 +1,142 @@
+/* Unit tests for the dashboard's pure helpers (lib.js), run with
+ * `node --test keisei_tpu/server/static/` in CI (ui-unit job) — the
+ * counterpart of the reference webui's colocated vitest files
+ * (webui/package.json:10-18). On a node-less dev box the wiring contract
+ * is pinned structurally by tests/test_server.py::TestStaticUI. */
+import { test } from "node:test";
+import assert from "node:assert/strict";
+import { createRequire } from "node:module";
+
+const require = createRequire(import.meta.url);
+const KT = require("./lib.js");
+
+test("usiToCell maps files/ranks row-major from 9a", () => {
+  assert.equal(KT.usiToCell("9a"), 0);
+  assert.equal(KT.usiToCell("1a"), 8);
+  assert.equal(KT.usiToCell("9i"), 72);
+  assert.equal(KT.usiToCell("1i"), 80);
+  assert.equal(KT.usiToCell("5e"), 4 * 9 + 4);
+  assert.equal(KT.usiToCell("0a"), -1);
+  assert.equal(KT.usiToCell("5j"), -1);
+  assert.equal(KT.usiToCell(""), -1);
+  assert.equal(KT.usiToCell(null), -1);
+});
+
+test("usiDestCell reads the destination square of board moves and drops", () => {
+  assert.equal(KT.usiDestCell("7g7f"), KT.usiToCell("7f"));
+  assert.equal(KT.usiDestCell("P*5e"), KT.usiToCell("5e"));
+  assert.equal(KT.usiDestCell("7g"), -1);
+  assert.equal(KT.usiDestCell(undefined), -1);
+});
+
+test("pieceChar honors notation and promotion", () => {
+  assert.equal(KT.pieceChar({ type: "pawn" }, "kanji"), "歩");
+  assert.equal(KT.pieceChar({ type: "pawn", promoted: true }, "kanji"), "と");
+  assert.equal(KT.pieceChar({ type: "gold", promoted: true }, "kanji"), "金");
+  assert.equal(KT.pieceChar({ type: "rook" }, "letters"), "R");
+  assert.equal(KT.pieceChar({ type: "rook", promoted: true }, "letters"), "+R");
+});
+
+test("moverOf is the opponent of current_player", () => {
+  assert.equal(KT.moverOf({ current_player: "black" }), "white");
+  assert.equal(KT.moverOf({ current_player: "white" }), "black");
+});
+
+test("blackProb flips mover-perspective values to black's view", () => {
+  // black just moved (white to move) with value 0.5 -> black prob 0.75
+  assert.equal(KT.blackProb({ current_player: "white", value_estimate: 0.5 }), 0.75);
+  // white just moved with value 0.5 (good for white) -> black prob 0.25
+  assert.equal(KT.blackProb({ current_player: "black", value_estimate: 0.5 }), 0.25);
+  assert.equal(KT.blackProb({ current_player: "black", value_estimate: null }), null);
+  assert.equal(KT.blackProb({ current_player: "black" }), null);
+});
+
+test("freshMoves drops rows already held (init/poll race dedup)", () => {
+  const held = [{ ply: 1 }, { ply: 2 }];
+  assert.deepEqual(KT.freshMoves(held, [{ ply: 2 }, { ply: 3 }]),
+                   [{ ply: 3 }]);
+  assert.deepEqual(KT.freshMoves([], [{ ply: 1 }]), [{ ply: 1 }]);
+  assert.deepEqual(KT.freshMoves(held, null), []);
+});
+
+test("heatCells normalizes by max prob and keys by destination cell", () => {
+  const heat = KT.heatCells(JSON.stringify({ "7g7f": 0.2, "P*5e": 0.4 }));
+  assert.equal(heat[KT.usiToCell("5e")], 1);
+  assert.equal(heat[KT.usiToCell("7f")], 0.5);
+  assert.equal(KT.heatCells("not json"), null);
+  assert.equal(KT.heatCells("{}"), null);
+  assert.equal(KT.heatCells('{"x":"y"}'), null);
+});
+
+test("heatCells keeps the max when two moves share a destination", () => {
+  const heat = KT.heatCells(JSON.stringify({ "7g7f": 0.1, "P*7f": 0.4 }));
+  assert.equal(heat[KT.usiToCell("7f")], 1);
+});
+
+test("h2hFor normalizes both row orientations to the entry's view", () => {
+  const rows = [
+    { entry_a_id: 1, entry_b_id: 2, wins_a: 3, wins_b: 1, draws: 2, games: 6 },
+    { entry_a_id: 3, entry_b_id: 1, wins_a: 4, wins_b: 0, draws: 0, games: 4 },
+    { entry_a_id: 2, entry_b_id: 3, wins_a: 9, wins_b: 9, draws: 9, games: 27 },
+  ];
+  const mine = KT.h2hFor(rows, 1);
+  assert.deepEqual(mine, [
+    { opp: 2, w: 3, l: 1, d: 2, g: 6 },
+    { opp: 3, w: 0, l: 4, d: 0, g: 4 },
+  ]);
+  assert.equal(KT.winRate(mine[0]), (3 + 1) / 6);
+  assert.equal(KT.winRate(mine[1]), 0);
+  assert.equal(KT.winRate({ w: 0, l: 0, d: 0, g: 0 }), null);
+});
+
+test("niceTicks picks 1/2/5 steps spanning the range", () => {
+  assert.deepEqual(KT.niceTicks(0, 10, 4), [0, 2, 4, 6, 8, 10]);
+  const t = KT.niceTicks(0, 1, 4);
+  assert.ok(t.includes(0) && t.includes(1));
+  assert.ok(t.every((x) => x >= 0 && x <= 1));
+  const neg = KT.niceTicks(-3, 3, 4);
+  assert.ok(neg.includes(0));
+  assert.deepEqual(KT.niceTicks(5, 5), KT.niceTicks(4, 6));
+  assert.deepEqual(KT.niceTicks(NaN, 1), []);
+});
+
+test("ema smooths but passes gaps through", () => {
+  const raw = [[0, 0], [1, 10], [2, NaN], [3, 10]];
+  const sm = KT.ema(raw, 0.5);
+  assert.equal(sm[0][1], 0);
+  assert.equal(sm[1][1], 5);
+  assert.ok(Number.isNaN(sm[2][1]));
+  assert.equal(sm[3][1], 7.5);       // EMA state skipped the gap
+  assert.equal(KT.ema(raw, 1), raw); // alpha 1 = identity
+});
+
+test("downsample keeps extremes and stays within budget", () => {
+  const pts = [];
+  for (let i = 0; i < 10000; i++) pts.push([i, Math.sin(i / 50)]);
+  pts[5000] = [5000, 99];  // spike must survive
+  const ds = KT.downsample(pts, 500);
+  assert.ok(ds.length <= 500);
+  assert.ok(ds.some(([, y]) => y === 99));
+  // x stays sorted so the polyline doesn't zigzag
+  for (let i = 1; i < ds.length; i++) assert.ok(ds[i][0] >= ds[i - 1][0]);
+  const short = pts.slice(0, 10);  // short input returned as-is
+  assert.equal(KT.downsample(short, 500), short);
+});
+
+test("nearestIndex binary-searches the closest x", () => {
+  const pts = [[0, 0], [10, 0], [20, 0], [35, 0]];
+  assert.equal(KT.nearestIndex(pts, -5), 0);
+  assert.equal(KT.nearestIndex(pts, 14), 1);
+  assert.equal(KT.nearestIndex(pts, 16), 2);
+  assert.equal(KT.nearestIndex(pts, 100), 3);
+  assert.equal(KT.nearestIndex([], 5), -1);
+});
+
+test("fmt is compact across magnitudes", () => {
+  assert.equal(KT.fmt(0), "0");
+  assert.equal(KT.fmt(1234567), "1.2M");
+  assert.equal(KT.fmt(2500), "2.5k");
+  assert.equal(KT.fmt(12.34), "12.3");
+  assert.equal(KT.fmt(0.5), "0.500");
+  assert.equal(KT.fmt(0.0001), "1.0e-4");
+});

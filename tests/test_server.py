@@ -215,3 +215,58 @@ class TestStaticUI:
         sent |= set(re.findall(r'send\(\{\s*type:\s*"([^"]+)"', js.replace("\n", " ")))
         for cmd in sent - {"pong"}:
             assert f'"{cmd}"' in server_src, f"UI sends unhandled command {cmd!r}"
+
+    # -- lib.js wiring (the pure-helper module unit-tested under node in CI;
+    # no JS runtime in this image, so pin the contract structurally) --------
+
+    def _lib_exports(self):
+        import re
+        src = (self._static_dir() / "lib.js").read_text()
+        ret = re.search(r"return \{([^}]+)\};", src, flags=re.S)
+        assert ret, "lib.js must end with a `return {...}` export object"
+        return {n.strip() for n in ret.group(1).split(",") if n.strip()}, src
+
+    def test_app_js_only_uses_exported_kt_members(self):
+        import re
+        exports, _ = self._lib_exports()
+        app = (self._static_dir() / "app.js").read_text()
+        used = set(re.findall(r"\bKT\.(\w+)", app))
+        destructured = re.search(r"const \{([^}]+)\} = KT;", app)
+        if destructured:
+            used |= {n.strip() for n in destructured.group(1).split(",") if n.strip()}
+        missing = used - exports
+        assert not missing, f"app.js uses KT members lib.js does not export: {missing}"
+
+    def test_lib_js_is_dom_free(self):
+        """lib.js must stay pure so node --test can import it headlessly."""
+        _, src = self._lib_exports()
+        for banned in ("document.", "getElementById", "localStorage",
+                       "WebSocket", "requestAnimationFrame", "canvas"):
+            assert banned not in src, f"lib.js references DOM/browser API: {banned}"
+
+    def test_lib_js_loaded_before_app_js(self):
+        html = (self._static_dir() / "index.html").read_text()
+        i_lib = html.find('src="lib.js"')
+        i_app = html.find('src="app.js"')
+        assert 0 <= i_lib < i_app, "index.html must load lib.js before app.js"
+
+    def test_every_lib_export_is_unit_tested(self):
+        """Mirror of the reference's vitest-per-lib discipline
+        (webui/package.json:10-18): each exported helper appears in the
+        node:test suite."""
+        exports, _ = self._lib_exports()
+        tests = (self._static_dir() / "lib.test.mjs").read_text()
+        untested = {n for n in exports
+                    if n not in ("KANJI", "KANJI_P", "LETTER") and n not in tests}
+        assert not untested, f"lib.js exports lack node:test coverage: {untested}"
+
+    def test_lib_js_braces_balanced(self):
+        import re
+        src = (self._static_dir() / "lib.js").read_text()
+        src = re.sub(r"/\*.*?\*/", "", src, flags=re.S)
+        src = re.sub(r"(^|[^:])//[^\n]*", r"\1", src)
+        src = re.sub(r"`(?:[^`\\]|\\.)*`", "``", src, flags=re.S)
+        src = re.sub(r'"(?:[^"\\]|\\.)*"', '""', src)
+        src = re.sub(r"'(?:[^'\\]|\\.)*'", "''", src)
+        for o, c in ("{}", "()", "[]"):
+            assert src.count(o) == src.count(c), f"unbalanced {o}{c}"
