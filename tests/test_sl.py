@@ -196,8 +196,65 @@ class TestShardsAndTraining:
         em = rl.run_epoch()
         assert np.isfinite(em.policy_loss)
 
+    # -- error paths (reference test_sl_to_rl_error_paths.py semantics) -----
 
-class TestStartPositionAndOutcomes:
+    def _rl_cfg(self, tmp_path, params=None, keep=5):
+        from keisei_tpu.training.config import config_from_dict
+
+        return config_from_dict({
+            "model": {"architecture": "mlp",
+                      "params": params or {"hidden_sizes": [16]}},
+            "training": {
+                "num_games": 2, "max_ply": 16, "steps_per_epoch": 4,
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "checkpoint_keep": keep,
+                "algorithm_params": {"batch_size": 8, "epochs_per_batch": 1},
+            },
+        })
+
+    def test_sl_to_rl_rejects_bad_model_params_before_training(self, tmp_path):
+        """Param validation must fire BEFORE the expensive SL run
+        (reference transition.py:67-85): with a bogus param, no shard is
+        ever opened and no checkpoint dir is created."""
+        from keisei_tpu.training.transition import sl_to_rl
+
+        with pytest.raises(ValueError, match="unknown model params"):
+            sl_to_rl(
+                sl_data_dir=str(tmp_path / "nonexistent"),
+                sl_epochs=1,
+                rl_config=self._rl_cfg(tmp_path,
+                                       params={"hidden_sizes": [16],
+                                               "bogus_knob": 3}),
+            )
+        assert not (tmp_path / "ckpt").exists()
+
+    def test_sl_to_rl_rejects_empty_dataset(self, tmp_path):
+        from keisei_tpu.training.transition import sl_to_rl
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        write_meta(empty, [], placeholder=False)
+        with pytest.raises(ValueError, match="no SL positions"):
+            sl_to_rl(sl_data_dir=str(empty), sl_epochs=1,
+                     rl_config=self._rl_cfg(tmp_path))
+
+    def test_sl_checkpoint_never_pruned_by_retention(self, tmp_path):
+        """The sl_final warm-start must survive checkpoint retention
+        pruning (run.sh --seed relies on the same rule)."""
+        out, _ = self._prepare(tmp_path)
+        from keisei_tpu.training.transition import sl_to_rl
+
+        cfg = self._rl_cfg(tmp_path, keep=1)
+        rl = sl_to_rl(sl_data_dir=str(out), sl_epochs=1, rl_config=cfg,
+                      sl_batch_size=4)
+        for _ in range(3):
+            rl.run_epoch()
+            rl.save()
+        ckpts = sorted((tmp_path / "ckpt").iterdir())
+        assert (tmp_path / "ckpt" / "sl_final") in ckpts
+        # retention actually fired: only 1 epoch checkpoint + sl_final remain
+        epoch_ckpts = [p for p in ckpts if p.name != "sl_final"]
+        assert len(epoch_ckpts) == 1
     def test_sfen_seeded_game_encodes_from_its_position(self, tmp_path):
         """A game starting from a custom SFEN must replay from THAT
         position: its moves are illegal from startpos, so a startpos
