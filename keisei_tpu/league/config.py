@@ -77,6 +77,11 @@ class DynamicConfig:
     global_error_threshold: int = 5
     global_error_window_seconds: float = 300.0
     gpu_memory_backpressure: float = 0.9  # accepted for file compat (HBM)
+    # park Adam moments on the host between updates: at 10 slots the
+    # device-resident moments alone are ~10 x 2 x params (≈4 GB for
+    # b40c256) — the HBM-exhaustion vector in long league runs. Costs one
+    # moments round trip per (infrequent) dynamic update.
+    offload_optimizer: bool = True
 
     def __post_init__(self):
         if self.slots < 1:

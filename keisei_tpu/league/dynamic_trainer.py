@@ -351,8 +351,15 @@ class DynamicTrainer:
         if not np.isfinite(pl):
             raise RuntimeError(f"non-finite dynamic policy loss: {pl}")
 
-        self._opt_states[entry.id] = opt_state
-        self.store.update_weights(entry.id, jax.device_get(new_vars))
+        # moments parked on host unless configured device-resident; the
+        # jitted update re-uploads them transparently on the next call
+        self._opt_states[entry.id] = (
+            jax.device_get(opt_state) if self.config.offload_optimizer
+            else opt_state
+        )
+        # device tree handed over directly: the store seeds its LRU with it
+        # (no D2H + disk round trip) and flushes to Orbax in the background
+        self.store.update_weights(entry.id, new_vars, flush="async")
         self._updates_since_flush[entry.id] = (
             self._updates_since_flush.get(entry.id, 0) + 1
         )

@@ -176,8 +176,9 @@ class HistoricalGauntlet:
             try:
                 runner = self._runner(learner_entry, hist)
                 result = runner(
-                    self.store.load_variables_cached(learner_entry),
-                    self.store.load_variables_cached(hist),
+                    self.store.load_variables_cached(
+                        learner_entry, dtype="bfloat16"),
+                    self.store.load_variables_cached(hist, dtype="bfloat16"),
                     seed=epoch * 131 + slot["slot_index"],
                 )
             except Exception:

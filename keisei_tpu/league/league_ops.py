@@ -17,20 +17,35 @@ from .store import OpponentEntry, OpponentStore, Role
 logger = logging.getLogger(__name__)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _stack_k(k: int, *leaves_lists):
+@functools.partial(jax.jit, static_argnames=("k", "dtype"))
+def _stack_k(k: int, dtype, *leaves_lists):
     del k  # only keys the jit cache per cohort size
-    return [jnp.stack(xs) for xs in leaves_lists]
+
+    def stack(xs):
+        out = jnp.stack(xs)
+        if dtype is not None and jnp.issubdtype(out.dtype, jnp.floating):
+            out = out.astype(dtype)
+        return out
+
+    return [stack(xs) for xs in leaves_lists]
 
 
 def stack_cohort_variables(
-    store: OpponentStore, cohort: list[OpponentEntry], template: dict
+    store: OpponentStore, cohort: list[OpponentEntry], template: dict,
+    dtype=None,
 ):
     """Load each cohort entry's variables (LRU-cached, device-resident)
     and stack along K — inside one jitted program so the stack is a single
     dispatch of device-to-device concats, not hundreds of eager host ops.
+
+    dtype=jnp.bfloat16 halves the stacked tree's HBM footprint. It is
+    action-identical for league opponents: the rollout discards opponent
+    value/score outputs, and the whole policy path computes in bf16
+    (se_resnet.py dtype policy), so flax casts every float leaf to bf16 at
+    apply time anyway — pre-casting just stores what compute already sees.
     """
-    loaded = [store.load_variables_cached(e, template=template) for e in cohort]
+    loaded = [store.load_variables_cached(e, template=template, dtype=dtype)
+              for e in cohort]
     # normalize batch_stats presence across entries
     def norm(v):
         if "batch_stats" in template and "batch_stats" not in v:
@@ -40,7 +55,8 @@ def stack_cohort_variables(
     loaded = [norm(v) for v in loaded]
     treedef = jax.tree.structure(loaded[0])
     leaves = [jax.tree.leaves(v) for v in loaded]
-    stacked = _stack_k(len(loaded), *[list(xs) for xs in zip(*leaves)])
+    stacked = _stack_k(len(loaded), dtype,
+                       *[list(xs) for xs in zip(*leaves)])
     return jax.tree.unflatten(treedef, stacked)
 
 

@@ -35,6 +35,24 @@ from ..db.league_tables import bump_head_to_head
 logger = logging.getLogger(__name__)
 
 
+def _cast_tree(tree, dtype_name: str):
+    """Device-side cast of all float leaves (jitted: one dispatch, and the
+    result lives on device without a host round trip)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("dn",))
+    def cast(t, dn):
+        nd = jnp.dtype(dn)
+        return jax.tree.map(
+            lambda x: x.astype(nd)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
+    return cast(tree, dtype_name)
+
+
 class Role:
     """Entry roles (reference opponent_store.py:27-31)."""
 
@@ -185,7 +203,12 @@ class OpponentEntry:
 class OpponentStore:
     """Thread-safe snapshot pool over the shared observability DB."""
 
-    def __init__(self, db_path: str, league_dir: str, cache_size: int = 4):
+    def __init__(self, db_path: str, league_dir: str, cache_size: int = 8):
+        # default 8: covers a K=4 cohort plus an in-process tournament
+        # round's working set without thrash-evicting the cohort between
+        # epochs (each eviction costs an Orbax restore + tunnel upload);
+        # inference entries are bf16 (~half params size), so 8 slots for
+        # b40c256 is ~0.9 GB HBM
         self.db_path = db_path
         self.league_dir = os.path.abspath(league_dir)
         os.makedirs(self.league_dir, exist_ok=True)
@@ -193,6 +216,11 @@ class OpponentStore:
         self._lock = threading.RLock()
         self._cache: OrderedDict[tuple[int, int], Any] = OrderedDict()
         self._cache_size = cache_size
+        # single-worker pool serializes async weight flushes in FIFO order
+        # (last writer wins per path); created lazily so stores that never
+        # flush asynchronously spawn no thread
+        self._flush_pool = None
+        self._flush_errors: list[Exception] = []
 
     # -- weights io ------------------------------------------------------------
 
@@ -217,25 +245,51 @@ class OpponentStore:
         ckptr = ocp.PyTreeCheckpointer()
         return ckptr.restore(entry.checkpoint_path, item=template)
 
-    def load_variables_cached(self, entry: OpponentEntry, template: dict | None = None):
-        """LRU-cached variables keyed by (id, update_count) so retrained
-        Dynamic entries are re-read (opponent_store.py:909-930).
+    def load_variables_cached(self, entry: OpponentEntry,
+                              template: dict | None = None, *, dtype=None):
+        """LRU-cached variables keyed by (id, update_count, dtype) so
+        retrained Dynamic entries are re-read (opponent_store.py:909-930).
 
         Cached trees are device-resident (jax.device_put), mirroring the
         reference's GPU-side model LRU: repeated cohort sampling then
         stacks on-device instead of re-uploading host arrays every epoch
         (on the axon tunnel that upload dominated league rollout time).
+
+        dtype=jnp.bfloat16 serves a half-size tree for inference-only
+        consumers (cohort stack, in-process tournament): the model computes
+        in bf16 regardless (se_resnet.py dtype policy), so the pre-cast is
+        action-identical while halving both HBM residency and upload bytes.
+        Training consumers must use the default native (fp32 master) tree.
+        A bf16 request is satisfied by an on-device cast of the native
+        cache entry when present — cheaper than a disk restore.
         """
         import jax
+        import jax.numpy as jnp
 
-        key = (entry.id, entry.update_count)
+        tag = jnp.dtype(dtype).name if dtype is not None else "native"
+        key = (entry.id, entry.update_count, tag)
         with self._lock:
             if key in self._cache:
                 self._cache.move_to_end(key)
                 return self._cache[key]
-        variables = jax.device_put(self.load_variables(entry, template))
+            native = self._cache.get((entry.id, entry.update_count, "native"))
+        if dtype is not None and native is not None:
+            variables = _cast_tree(native, jnp.dtype(dtype).name)
+        else:
+            host = self.load_variables(entry, template)
+            if dtype is not None:
+                # cast on host: halves the bytes that cross the tunnel
+                import numpy as np
+                nd = jnp.dtype(dtype)
+                host = jax.tree.map(
+                    lambda x: x.astype(nd)
+                    if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+                    host,
+                )
+            variables = jax.device_put(host)
         with self._lock:
             self._cache[key] = variables
+            self._cache.move_to_end(key)
             while len(self._cache) > self._cache_size:
                 self._cache.popitem(last=False)
         return variables
@@ -443,17 +497,100 @@ class OpponentStore:
             (_now(), entry_id),
         )
 
-    def update_weights(self, entry_id: int, variables: dict) -> None:
-        """Overwrite a Dynamic entry's weights after online training."""
+    def update_weights(self, entry_id: int, variables: dict, *,
+                       flush: str = "sync") -> None:
+        """Overwrite a Dynamic entry's weights after online training.
+
+        The new tree is installed into the device-resident LRU under the
+        bumped (id, update_count) key, so the next cohort stack and the
+        next dynamic update reuse it directly — no Orbax restore + re-upload
+        round trip for weights that never left the device (the reference
+        keeps dynamic models GPU-resident between updates for the same
+        reason, opponent_store.py:909-930).
+
+        The disk write is crash-safe for concurrent readers: the new tree
+        is saved into a fresh versioned directory (weights-v<count>) and
+        only then does the DB checkpoint_path pointer swing to it, so a
+        sidecar process reads either the old or the new committed tree —
+        never a deleted-mid-rewrite path (Orbax force=True deletes the
+        target before rewriting, so saving in place is NOT atomic). The
+        superseded directory is removed after the swap.
+
+        flush="async" moves that write onto a background thread: the
+        update_count bump is immediate (in-process readers are served from
+        the seeded cache), while sidecars keep reading the previous
+        committed weights until the pointer swap lands a couple of seconds
+        later. A failed async flush is logged and re-raised on the NEXT
+        update_weights call (matching the trainer's circuit-breaker
+        granularity); the pointer then still names the old consistent tree.
+        """
+        import jax
+
         entry = self.get_entry(entry_id)
-        self._save_variables(entry.checkpoint_path, variables, meta={
+        meta = {
             "architecture": entry.architecture,
             "model_params": entry.model_params,
             "epoch": entry.created_epoch,
             "league_entry_id": entry.id,
             "format_version": 1,
-        })
+        }
         self.bump_update_count(entry_id)
+        new_count = self.get_entry(entry_id).update_count
+        new_path = os.path.join(self._entry_dir(entry_id),
+                                f"weights-v{new_count}")
+        if flush == "async":
+            with self._lock:
+                if self._flush_errors:
+                    err = self._flush_errors[:]
+                    self._flush_errors.clear()
+                    raise RuntimeError(
+                        f"previous async weight flush failed: {err[0]}"
+                    ) from err[0]
+                if self._flush_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._flush_pool = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="league-flush")
+            self._flush_pool.submit(
+                self._flush_job, entry_id, entry.checkpoint_path,
+                new_path, variables, meta)
+        else:
+            self._flush_job(entry_id, entry.checkpoint_path, new_path,
+                            variables, meta, reraise=True)
+        device_vars = jax.device_put(variables)
+        seed_key = (entry_id, new_count, "native")
+        with self._lock:
+            self._cache[seed_key] = device_vars
+            self._cache.move_to_end(seed_key)
+            while len(self._cache) > self._cache_size:
+                self._cache.popitem(last=False)
+
+    def _flush_job(self, entry_id: int, old_path: str, new_path: str,
+                   variables: dict, meta: dict, reraise: bool = False) -> None:
+        """Write weights to new_path, swing checkpoint_path, drop old_path."""
+        try:
+            self._save_variables(new_path, variables, meta=meta)
+            dbcore.execute(
+                self.db_path,
+                "UPDATE league_entries SET checkpoint_path = ? WHERE id = ?",
+                (new_path, entry_id),
+            )
+            if old_path and old_path != new_path:
+                shutil.rmtree(old_path, ignore_errors=True)
+        except Exception as e:  # surfaced on the next update_weights call
+            if reraise:
+                raise
+            logger.exception("async weight flush to %s failed", new_path)
+            with self._lock:
+                self._flush_errors.append(e)
+
+    def wait_for_flushes(self) -> None:
+        """Block until all queued async weight flushes have completed
+        (call before shutdown / before handing the league dir to another
+        process that must see the newest weights)."""
+        pool = self._flush_pool
+        if pool is not None:
+            # a no-op job flushes the FIFO queue
+            pool.submit(lambda: None).result()
 
     # -- results + Elo -----------------------------------------------------------
 

@@ -200,7 +200,9 @@ class LeagueTournament:
             )
         pool = self._runners[pool_key]
         pairs_vars = [
-            (self.store.load_variables_cached(a), self.store.load_variables_cached(b))
+            # inference-only match play: half-size bf16 trees (store LRU)
+            (self.store.load_variables_cached(a, dtype="bfloat16"),
+             self.store.load_variables_cached(b, dtype="bfloat16"))
             for a, b in pooled
         ]
         results, stats = pool.run_round(pairs_vars, seed=epoch * 77)
@@ -224,8 +226,9 @@ class LeagueTournament:
 
     def _play_pairing(self, a: OpponentEntry, b: OpponentEntry, epoch: int) -> dict:
         runner = self._runner_for(a, b)
-        vars_a = self.store.load_variables_cached(a)
-        vars_b = self.store.load_variables_cached(b)
+        # inference-only match play: half-size bf16 trees (store LRU)
+        vars_a = self.store.load_variables_cached(a, dtype="bfloat16")
+        vars_b = self.store.load_variables_cached(b, dtype="bfloat16")
         training = is_training_match(a, b) and self.dynamic_trainer is not None
 
         # training matches collect the full record (the dynamic trainer

@@ -15,7 +15,7 @@
  * CI (lib.test.mjs); this file owns DOM, WS, and canvas drawing only. */
 "use strict";
 
-const { usiToCell, moverOf, blackProb, fmt } = KT;
+const { usiToCell, moverOf, blackProb, stmBlackProb, fmt } = KT;
 
 // ---------------------------------------------------------------------------
 // state
@@ -29,6 +29,7 @@ const S = {
   showcase: { game: null, moves: [], queue: [], alive: false },
   reviewPly: null,      // null = follow live; else index into showcase.moves
   selectedEntry: null,  // league entry id for the detail panel
+  leagueSort: { key: "elo", dir: -1 },
 };
 const MAX_POINTS = 10000;
 
@@ -430,6 +431,27 @@ function boardHTML(board, heat = null, lastCell = -1) {
   }
   return html + "</div>";
 }
+// board coordinate labels (reference Board.svelte coords): files 9→1
+// across the top, ranks down the right in the active notation
+function coordWrap(gridHTML) {
+  const files = [];
+  for (let f = 9; f >= 1; f--) files.push(`<span>${f}</span>`);
+  const RANKS = prefs.notation === "kanji"
+    ? ["一", "二", "三", "四", "五", "六", "七", "八", "九"]
+    : ["a", "b", "c", "d", "e", "f", "g", "h", "i"];
+  const ranks = RANKS.map(r => `<span>${r}</span>`).join("");
+  return `<div class="board-wrap"><div class="files">${files.join("")}</div>` +
+         `${gridHTML}<div class="ranks">${ranks}</div></div>`;
+}
+
+// tiny black-win-probability strip under a live board (black share filled)
+function evalStripHTML(p) {
+  if (p == null) return "";
+  const pct = Math.round(p * 100);
+  return `<div class="evalstrip" title="black ${pct}%">` +
+         `<span style="width:${pct}%"></span></div>`;
+}
+
 function handsHTML(hands) {
   const pc = (k) => prefs.notation === "kanji" ? KT.KANJI[k] : KT.LETTER[k];
   const fmtSide = (h) => Object.entries(h || {})
@@ -447,7 +469,7 @@ function renderBoards() {
     return `<div class="board-card">
       <div class="meta">game ${g.game_id} · ply ${g.ply} · ${g.current_player} to move
         ${g.in_check ? "· <b>check</b>" : ""} ${g.game_type === "demo" ? "· demo" : ""}</div>
-      ${boardHTML(board)}${handsHTML(hands)}</div>`;
+      ${boardHTML(board)}${evalStripHTML(stmBlackProb(g))}${handsHTML(hands)}</div>`;
   }).join("") || '<p style="color:var(--dim)">no live games yet</p>';
 }
 
@@ -460,7 +482,20 @@ function renderLeague() {
   const tbody = document.querySelector("#league-table tbody");
   const learnerId = S.training && S.training.learner_entry_id;
   const styleOf = Object.fromEntries(S.league.styles.map(s => [s.checkpoint_id, s.primary_style]));
-  tbody.innerHTML = S.league.entries.map(e =>
+  const { key: sortKey, dir: sortDir } = S.leagueSort;
+  for (const th of document.querySelectorAll("#league-table thead th")) {
+    th.classList.toggle("sorted", th.dataset.key === sortKey);
+    th.dataset.dir = th.dataset.key === sortKey ? (sortDir === 1 ? "▲" : "▼") : "";
+    if (!th.onclick) th.onclick = () => {
+      const k = th.dataset.key;
+      S.leagueSort = S.leagueSort.key === k
+        ? { key: k, dir: -S.leagueSort.dir }
+        : { key: k, dir: k === "name" || k === "role" ? 1 : -1 };
+      renderLeague();
+    };
+  }
+  const sorted = KT.sortEntries(S.league.entries, sortKey, sortDir, styleOf);
+  tbody.innerHTML = sorted.map(e =>
     `<tr data-entry="${e.id}" class="${e.id === learnerId ? "learner" : ""}${e.id === S.selectedEntry ? " selected" : ""}">
       <td>${e.display_name || "entry " + e.id}${e.id === learnerId ? " ◀" : ""}</td>
       <td>${(e.role || "").replace("_static", "").replace("_fixed", "")}</td>
@@ -714,7 +749,7 @@ function renderShowcase() {
       `<div class="meta">ply ${m.ply} · ${moverOf(m)} played ${m.usi_notation}` +
       `${m.in_check ? " · <b>check</b>" : ""}` +
       `${S.reviewPly != null ? " · <i>review</i>" : ""}</div>` +
-      boardHTML(JSON.parse(m.board_json), heat, dest) +
+      coordWrap(boardHTML(JSON.parse(m.board_json), heat, dest)) +
       handsHTML(JSON.parse(m.hands_json));
     const p = blackProb(m);
     if (p != null) {

@@ -58,6 +58,16 @@
     return (v + 1) / 2;
   }
 
+  /** Black-perspective win probability for a LIVE board snapshot, where
+   *  value_estimate is from the side-to-move's (current_player's)
+   *  perspective — unlike showcase move rows, where it is the mover's
+   *  (see blackProb). Returns null when no estimate is present. */
+  function stmBlackProb(g) {
+    if (g.value_estimate == null) return null;
+    const v = g.current_player === "black" ? g.value_estimate : -g.value_estimate;
+    return (v + 1) / 2;
+  }
+
   /** Filter freshly-pushed move rows against the already-held list.
    *  The server's init payload and poll task can race at connect time, so
    *  a move may arrive twice; plies are strictly increasing within a game. */
@@ -102,6 +112,30 @@
   /** Win rate (draws = half) of a normalized h2h record; null if no games. */
   function winRate(r) {
     return r.g ? (r.w + 0.5 * r.d) / r.g : null;
+  }
+
+  /** Stable-sorted copy of league entries for the table. key: "name" |
+   *  "role" | "elo" | "games" | "style"; dir: 1 asc, -1 desc. styleOf
+   *  maps entry id -> style label (used only for key "style"). Unknown
+   *  keys fall back to Elo descending. */
+  function sortEntries(entries, key, dir, styleOf) {
+    const val = (e) => {
+      switch (key) {
+        case "name": return (e.display_name || "entry " + e.id).toLowerCase();
+        case "role": return e.role || "";
+        case "games": return e.games_played || 0;
+        case "style": return (styleOf && styleOf[e.id]) || "";
+        case "elo": return e.elo_rating || 0;
+        default: return -(e.elo_rating || 0);
+      }
+    };
+    const d = dir === 1 ? 1 : -1;
+    return entries.map((e, i) => [e, i]).sort((a, b) => {
+      const va = val(a[0]), vb = val(b[0]);
+      if (va < vb) return -d;
+      if (va > vb) return d;
+      return a[1] - b[1];   // stable
+    }).map(([e]) => e);
   }
 
   // -- chart math -----------------------------------------------------------
@@ -184,6 +218,7 @@
   }
 
   return { pieceChar, usiToCell, usiDestCell, moverOf, blackProb,
-           freshMoves, heatCells, h2hFor, winRate, niceTicks, ema,
-           downsample, nearestIndex, fmt, KANJI, KANJI_P, LETTER };
+           stmBlackProb, freshMoves, heatCells, h2hFor, winRate,
+           sortEntries, niceTicks, ema, downsample, nearestIndex, fmt,
+           KANJI, KANJI_P, LETTER };
 });

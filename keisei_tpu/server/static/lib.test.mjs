@@ -51,6 +51,35 @@ test("blackProb flips mover-perspective values to black's view", () => {
   assert.equal(KT.blackProb({ current_player: "black" }), null);
 });
 
+test("stmBlackProb treats value as side-to-move perspective (live boards)", () => {
+  // black to move, value 0.5 (good for black) -> black prob 0.75
+  assert.equal(KT.stmBlackProb({ current_player: "black", value_estimate: 0.5 }), 0.75);
+  // white to move, value 0.5 (good for white) -> black prob 0.25
+  assert.equal(KT.stmBlackProb({ current_player: "white", value_estimate: 0.5 }), 0.25);
+  assert.equal(KT.stmBlackProb({ current_player: "black", value_estimate: null }), null);
+  assert.equal(KT.stmBlackProb({ current_player: "black" }), null);
+});
+
+test("sortEntries sorts by key/dir, stable, with style lookup", () => {
+  const entries = [
+    { id: 1, display_name: "b", role: "frontier", elo_rating: 1500, games_played: 10 },
+    { id: 2, display_name: "a", role: "dynamic", elo_rating: 1600, games_played: 5 },
+    { id: 3, display_name: "c", role: "frontier", elo_rating: 1500, games_played: 20 },
+  ];
+  assert.deepEqual(KT.sortEntries(entries, "elo", -1).map(e => e.id), [2, 1, 3]);
+  assert.deepEqual(KT.sortEntries(entries, "name", 1).map(e => e.id), [2, 1, 3]);
+  assert.deepEqual(KT.sortEntries(entries, "games", -1).map(e => e.id), [3, 1, 2]);
+  // ties keep input order (stable): 1 before 3 at equal elo ascending
+  assert.deepEqual(KT.sortEntries(entries, "elo", 1).map(e => e.id), [1, 3, 2]);
+  const styleOf = { 1: "sharp", 2: "calm", 3: "balanced" };
+  assert.deepEqual(KT.sortEntries(entries, "style", 1, styleOf).map(e => e.id),
+                   [3, 2, 1]);
+  // unknown key falls back to elo descending
+  assert.deepEqual(KT.sortEntries(entries, "nope", 1).map(e => e.id), [2, 1, 3]);
+  // input is not mutated
+  assert.deepEqual(entries.map(e => e.id), [1, 2, 3]);
+});
+
 test("freshMoves drops rows already held (init/poll race dedup)", () => {
   const held = [{ ply: 1 }, { ply: 2 }];
   assert.deepEqual(KT.freshMoves(held, [{ ply: 2 }, { ply: 3 }]),

@@ -174,6 +174,17 @@ class SelfPlayTrainer:
             make_ppo_update(self.model, self.adapter, ap, self.optimizer),
             donate_argnums=(0, 1),
         )
+        # tiny eval forward for live-board value estimates (stm perspective;
+        # the reference writes one per snapshot, katago_loop.py:1911-1952)
+        _C = self.env_core.num_channels
+
+        def _snap_values(variables, obs_k):
+            out = self.model.apply(
+                variables, obs_k.reshape(-1, _C, 9, 9), train=False
+            )
+            return self.adapter.scalar_value_blended(out)
+
+        self._snap_values = jax.jit(_snap_values)
         self.lr_sched = PlateauScheduler(
             factor=tc.lr_plateau_factor,
             patience=tc.lr_plateau_patience,
@@ -474,7 +485,8 @@ class SelfPlayTrainer:
                 opp_vars = self._cohort_vars
             else:
                 opp_vars = stack_cohort_variables(
-                    self.store, self._cohort, self._variables()
+                    self.store, self._cohort, self._variables(),
+                    dtype=jnp.bfloat16,  # halves opponent HBM; action-identical
                 )
                 self._cohort_key, self._cohort_vars = ck, opp_vars
             carry, traj, next_value, stats = self._rollout(
@@ -549,7 +561,10 @@ class SelfPlayTrainer:
         if self.epoch % tc.checkpoint_interval == 0:
             ckpt = self.save()
         self.observer.on_epoch(em.as_dict(), self.epoch * self.T, ckpt)
-        self.observer.snapshot_envs(env_states)
+        if self.observer.enabled:
+            k = min(self.observer.max_snapshot_games, obs.shape[0])
+            values = np.asarray(self._snap_values(self._variables(), obs[:k]))
+            self.observer.snapshot_envs(env_states, values=values)
         return em
 
     def _league_epoch_end(self, league_stats) -> None:
@@ -622,13 +637,34 @@ class SelfPlayTrainer:
             sps = steps / max(em.rollout_time, 1e-9)
             logger.info(
                 "epoch %d: policy=%.4f value=%.4f entropy=%.3f eps=%d "
-                "(B%d/W%d/D%d) rollout=%.2fs (%.0f steps/s) update=%.2fs",
+                "(B%d/W%d/D%d) rollout=%.2fs (%.0f steps/s) update=%.2fs%s",
                 em.epoch, em.policy_loss, em.value_loss, em.entropy,
                 em.episodes, em.wins_black, em.wins_white, em.draws,
-                em.rollout_time, sps, em.update_time,
+                em.rollout_time, sps, em.update_time, _hbm_suffix(),
             )
         self.save()
+        if self.league_enabled:
+            # drain queued async weight flushes so sidecar processes see
+            # the final dynamic-entry weights before this process exits
+            self.store.wait_for_flushes()
         self.observer.on_stop("stopped")
+
+
+def _hbm_suffix() -> str:
+    """' hbm=used/peakGB' for the epoch log line, or '' where the backend
+    exposes no memory stats (CPU tests). Device-resident league caches can
+    creep (opponent LRU + dynamic Adam moments); this line is the first
+    diagnostic for HBM exhaustion in long league runs."""
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        used = ms.get("bytes_in_use")
+        peak = ms.get("peak_bytes_in_use")
+        if used is None:
+            return ""
+        gb = 1024 ** 3
+        return f" hbm={used / gb:.2f}/{(peak or used) / gb:.2f}GB"
+    except Exception:
+        return ""
 
 
 def main(argv=None):

@@ -46,6 +46,8 @@ class TestDynamicTrainer:
         before = jax.tree.leaves(store.load_variables(entry))[0]
         ok = trainer.maybe_update(entry, seed=1)
         assert ok
+        # weight flushes are async by design: drain before reading the disk
+        store.wait_for_flushes()
         e2 = store.get_entry(entry.id)
         assert e2.update_count == 1
         after = jax.tree.leaves(store.load_variables(e2))[0]

@@ -85,6 +85,91 @@ class TestOpponentStore:
         v2 = store.load_variables_cached(e2, template=variables)
         assert v2 is not v1
 
+    def test_update_weights_seeds_device_cache(self, store, monkeypatch):
+        """The post-update (id, count+1) load must be served from the seeded
+        LRU — no Orbax restore round trip for weights that never left the
+        device."""
+        _, variables = tiny_model()
+        e = store.add_entry(
+            variables, architecture="mlp", model_params={}, created_epoch=0,
+        )
+        new_vars = jax.tree.map(lambda x: x + 1, variables)
+        store.update_weights(e.id, new_vars)
+        def boom(*a, **k):
+            raise AssertionError("disk restore after update_weights")
+        monkeypatch.setattr(store, "load_variables", boom)
+        got = store.load_variables_cached(store.get_entry(e.id),
+                                          template=variables)
+        for x, y in zip(jax.tree.leaves(new_vars), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_update_weights_async_flush_lands_on_disk(self, store):
+        _, variables = tiny_model()
+        e = store.add_entry(
+            variables, architecture="mlp", model_params={}, created_epoch=0,
+        )
+        new_vars = jax.tree.map(lambda x: x + 2, variables)
+        store.update_weights(e.id, new_vars, flush="async")
+        store.wait_for_flushes()
+        # fresh store (cold cache) must read the flushed tree from disk
+        from keisei_tpu.league.store import OpponentStore
+        cold = OpponentStore(store.db_path, store.league_dir)
+        got = cold.load_variables(cold.get_entry(e.id), template=variables)
+        for x, y in zip(jax.tree.leaves(new_vars), jax.tree.leaves(got)):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_async_flush_error_surfaces_on_next_update(self, store, monkeypatch):
+        _, variables = tiny_model()
+        e = store.add_entry(
+            variables, architecture="mlp", model_params={}, created_epoch=0,
+        )
+        def boom(*a, **k):
+            raise OSError("disk full")
+        monkeypatch.setattr(store, "_save_variables", boom)
+        store.update_weights(e.id, variables, flush="async")  # queued, fails
+        store.wait_for_flushes()
+        monkeypatch.undo()
+        with pytest.raises(RuntimeError, match="async weight flush"):
+            store.update_weights(e.id, variables, flush="async")
+        # the error is consumed: the retry itself succeeded
+        store.wait_for_flushes()
+        store.update_weights(e.id, variables, flush="async")
+        store.wait_for_flushes()
+
+    def test_bf16_cached_load_serves_half_size_inference_tree(self, store, monkeypatch):
+        import jax.numpy as jnp
+        _, variables = tiny_model()
+        e = store.add_entry(
+            variables, architecture="mlp", model_params={}, created_epoch=0,
+        )
+        v16 = store.load_variables_cached(e, template=variables,
+                                          dtype="bfloat16")
+        for leaf in jax.tree.leaves(v16):
+            if jnp.issubdtype(leaf.dtype, jnp.floating):
+                assert leaf.dtype == jnp.bfloat16
+        # cache hit: identity
+        assert store.load_variables_cached(e, dtype="bfloat16") is v16
+        # native and bf16 coexist under distinct keys
+        v32 = store.load_variables_cached(e, template=variables)
+        assert jax.tree.leaves(v32)[0].dtype == jnp.float32
+
+    def test_bf16_request_cast_from_native_cache_without_disk(self, store, monkeypatch):
+        _, variables = tiny_model()
+        e = store.add_entry(
+            variables, architecture="mlp", model_params={}, created_epoch=0,
+        )
+        import jax.numpy as jnp
+        new_vars = jax.tree.map(lambda x: x + 3, variables)
+        store.update_weights(e.id, new_vars)  # seeds native cache
+        def boom(*a, **k):
+            raise AssertionError("disk restore despite native cache")
+        monkeypatch.setattr(store, "load_variables", boom)
+        v16 = store.load_variables_cached(store.get_entry(e.id),
+                                          dtype="bfloat16")
+        for x, y in zip(jax.tree.leaves(new_vars), jax.tree.leaves(v16)):
+            np.testing.assert_array_equal(
+                np.asarray(x, dtype=jnp.bfloat16), np.asarray(y))
+
     def test_clone_preserves_lineage(self, store):
         _, variables = tiny_model()
         src = store.add_entry(

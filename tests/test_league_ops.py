@@ -70,6 +70,22 @@ class TestStackCohort:
         assert first.shape[0] == 4
         np.testing.assert_array_equal(np.asarray(first[0]), np.asarray(first[3]))
 
+    def test_bf16_stack_halves_dtype_and_preserves_values(self, store):
+        """Production stacks opponents in bf16 (loop.py): every float leaf
+        lands bf16 and equals the fp32 source rounded to bf16."""
+        entries = [add(store, s) for s in range(2)]
+        template = tiny_variables()
+        s32 = stack_cohort_variables(store, entries, template)
+        s16 = stack_cohort_variables(store, entries, template,
+                                     dtype=jnp.bfloat16)
+        for l32, l16 in zip(jax.tree.leaves(s32), jax.tree.leaves(s16)):
+            if jnp.issubdtype(l32.dtype, jnp.floating):
+                assert l16.dtype == jnp.bfloat16
+                np.testing.assert_array_equal(
+                    np.asarray(l32, dtype=jnp.bfloat16), np.asarray(l16))
+            else:
+                assert l16.dtype == l32.dtype
+
     def test_batch_stats_normalized_from_template(self, store, monkeypatch):
         """An entry whose checkpoint predates batch_stats (e.g. written by
         an older save path) must still stack against a BN template: the
@@ -77,7 +93,7 @@ class TestStackCohort:
         e = add(store, 1)
         bare = tiny_variables(1)  # params only, no batch_stats
         monkeypatch.setattr(store, "load_variables_cached",
-                            lambda entry, template=None: bare)
+                            lambda entry, template=None, dtype=None: bare)
         template = dict(tiny_variables())
         template["batch_stats"] = {"bn": {"mean": jnp.zeros((4,))}}
         stacked = stack_cohort_variables(store, [e, e], template)
