@@ -532,6 +532,21 @@ function renderLeague() {
       `${t.from_status ? t.from_status + "→" + t.to_status : ""} — ${t.reason || ""}</li>`
     ).join("");
   renderTournamentPanel();
+  renderRecentMatches();
+}
+
+// league-wide recent-matches feed (reference RecentMatches.svelte): who
+// played whom, result from A's perspective, and how often the pair clashed
+function renderRecentMatches() {
+  const el = document.getElementById("recent-matches");
+  if (!el) return;
+  const rows = KT.recentMatches(S.league.results, S.league.entries, 20);
+  el.innerHTML = rows.map(r => {
+    const cls = r.winner === "a" ? "win" : r.winner === "b" ? "loss" : "";
+    return `<li class="${cls}">ep ${r.epoch} · ` +
+      `<b>${r.aName}</b> ${r.wa}-${r.wb}${r.d ? "-" + r.d : ""} ${r.bName}` +
+      ` · ${r.type}${r.clashes > 1 ? ` · <span class="hint">×${r.clashes}</span>` : ""}</li>`;
+  }).join("") || '<li style="border:none;color:var(--dim)">no matches yet</li>';
 }
 
 function renderTournamentPanel() {
@@ -729,11 +744,41 @@ function displayedMove() {
     : Math.min(S.reviewPly, moves.length - 1);
   return moves[i];
 }
+// player card for one side of the scorecard (reference PlayerCard.svelte)
+function playerCardHTML(p, color) {
+  const role = (p.role || "").replace("_static", "").replace("_fixed", "");
+  return `<div class="player-card ${color}">
+    <span class="stone"></span>
+    <span class="pname">${p.name}</span>
+    <span class="pmeta">${p.elo != null ? Math.round(p.elo) + " Elo" : ""}` +
+    `${role ? " · " + role : ""}${p.architecture ? " · " + p.architecture : ""}</span>
+  </div>`;
+}
+
+// match scorecard above the board: both players + game progress
+// (reference MatchScorecard.svelte)
+function renderScorecard(m) {
+  const el = document.getElementById("sc-scorecard");
+  if (!el) return;
+  const sc = KT.scorecard(S.showcase.game, S.league.entries,
+                          m ? m.ply : null);
+  if (!sc) { el.innerHTML = ""; return; }
+  el.innerHTML = `<div class="scorecard">
+    ${playerCardHTML(sc.black, "black")}
+    <span class="vs">vs</span>
+    ${playerCardHTML(sc.white, "white")}
+    <div class="progress" title="game progress (vs typical length)">
+      <span style="width:${Math.round(sc.progress * 100)}%"></span>
+    </div>
+  </div>`;
+}
+
 function renderShowcase() {
   renderShowcaseStatus(); renderQueue();
   if (!views.showcase.classList.contains("active")) return;
   const moves = S.showcase.moves;
   const m = displayedMove();
+  renderScorecard(m);
   const boardEl = document.getElementById("sc-board");
   const slider = document.getElementById("sc-slider");
   slider.max = Math.max(moves.length - 1, 0);
@@ -844,6 +889,44 @@ const ABOUT = {
 function renderAbout() {
   const lvl = document.getElementById("about-level").value;
   document.getElementById("about-body").innerHTML = ABOUT[lvl];
+  renderLegend();
+}
+
+// piece-movement legend (reference ShogiLegend + MoveDots): one card per
+// piece, base movement on the left, promoted (if any) on the right
+function moveDotsHTML(grid) {
+  if (!grid) return "";
+  // arrows point outward from the center for slides; knight leap gets ↑↑
+  const SLIDE = [["↖", "↑", "↗"], ["←", "", "→"], ["↙", "↓", "↘"]];
+  let html = '<div class="movedots">';
+  for (let r = 0; r < 3; r++)
+    for (let c = 0; c < 3; c++) {
+      const v = grid[r][c];
+      const glyph = r === 1 && c === 1 ? "·"
+        : v === "step" ? "■" : v === "slide" ? SLIDE[r][c]
+        : v === "jump" ? "↟" : "";
+      html += `<span class="${v || "none"}">${glyph}</span>`;
+    }
+  return html + "</div>";
+}
+function renderLegend() {
+  const el = document.getElementById("shogi-legend");
+  if (!el) return;
+  const kinds = ["pawn", "lance", "knight", "silver", "gold",
+                 "bishop", "rook", "king"];
+  el.innerHTML = kinds.map(k => {
+    const base = KT.movePattern(k, false);
+    const promo = KT.movePattern(k, true);
+    const name = k[0].toUpperCase() + k.slice(1);
+    const ch = (p) => KT.pieceChar({ type: k, promoted: p }, prefs.notation);
+    return `<div class="legend-card">
+      <div class="legend-name">${name}</div>
+      <div class="legend-row">
+        <div><div class="legend-piece">${ch(false)}</div>${moveDotsHTML(base)}</div>
+        ${promo ? `<div><div class="legend-piece promoted">${ch(true)}</div>${moveDotsHTML(promo)}</div>` : ""}
+      </div>
+    </div>`;
+  }).join("");
 }
 
 // ---------------------------------------------------------------------------

@@ -138,6 +138,94 @@
     }).map(([e]) => e);
   }
 
+  /** League-wide recent-matches feed (reference RecentMatches.svelte):
+   *  newest-first render rows with both players resolved and the pair's
+   *  total clash count across ALL results (not just the shown window). */
+  function recentMatches(results, entries, max = 30) {
+    const byId = new Map((entries || []).map((e) => [e.id, e]));
+    const clash = new Map();
+    for (const r of results || []) {
+      const k = [r.entry_a_id, r.entry_b_id].sort((x, y) => x - y).join("-");
+      clash.set(k, (clash.get(k) || 0) + 1);
+    }
+    const name = (id) => {
+      const e = byId.get(id);
+      return e ? (e.display_name || "entry " + id) : "#" + id;
+    };
+    return (results || [])
+      .slice()
+      .sort((a, b) => b.id - a.id)
+      .slice(0, max)
+      .map((r) => ({
+        rid: r.id, epoch: r.epoch, type: r.match_type || "",
+        aId: r.entry_a_id, bId: r.entry_b_id,
+        aName: name(r.entry_a_id), bName: name(r.entry_b_id),
+        wa: r.wins_a, wb: r.wins_b, d: r.draws,
+        winner: r.wins_a > r.wins_b ? "a" : r.wins_a < r.wins_b ? "b" : "draw",
+        clashes: clash.get(
+          [r.entry_a_id, r.entry_b_id].sort((x, y) => x - y).join("-")) || 0,
+      }));
+  }
+
+  /** Showcase scorecard (reference MatchScorecard.svelte): both players
+   *  resolved from league entries (showcase entry ids are TEXT in the DB,
+   *  so match by string coercion) plus a [0,1] game-progress fraction
+   *  against an estimated typical game length. */
+  function scorecard(game, entries, displayedPly, estTotalPly = 140) {
+    if (!game) return null;
+    const find = (id) =>
+      (entries || []).find((e) => String(e.id) === String(id)) || null;
+    const side = (id, fallbackName, fallbackElo) => {
+      const e = find(id);
+      return {
+        id, name: (e && e.display_name) || fallbackName || "#" + id,
+        elo: e != null && e.elo_rating != null ? e.elo_rating
+          : fallbackElo != null ? fallbackElo : null,
+        role: (e && e.role) || null,
+        architecture: (e && e.architecture) || null,
+      };
+    };
+    const ply = displayedPly != null ? displayedPly : game.total_ply || 0;
+    return {
+      black: side(game.entry_id_black, game.name_black, game.elo_black),
+      white: side(game.entry_id_white, game.name_white, game.elo_white),
+      progress: Math.max(0, Math.min(1, ply / Math.max(estTotalPly, 1))),
+      status: game.status || "in_progress",
+    };
+  }
+
+  // -- piece-movement legend (reference ShogiLegend + MoveDots) -------------
+  // 3x3 grids from the mover's perspective (up = toward the opponent).
+  // "step" = one square, "slide" = any distance, "jump" = knight leap
+  // (over the adjacent square). Center cell is the piece itself.
+  const S_ = "step", L_ = "slide", J_ = "jump";
+  const GOLD_GRID = [[S_, S_, S_], [S_, null, S_], [null, S_, null]];
+  const MOVE_PATTERNS = {
+    pawn: [[null, S_, null], [null, null, null], [null, null, null]],
+    lance: [[null, L_, null], [null, null, null], [null, null, null]],
+    knight: [[J_, null, J_], [null, null, null], [null, null, null]],
+    silver: [[S_, S_, S_], [null, null, null], [S_, null, S_]],
+    gold: GOLD_GRID,
+    bishop: [[L_, null, L_], [null, null, null], [L_, null, L_]],
+    rook: [[null, L_, null], [L_, null, L_], [null, L_, null]],
+    king: [[S_, S_, S_], [S_, null, S_], [S_, S_, S_]],
+  };
+  const PROMOTED_PATTERNS = {
+    // promoted pawn/lance/knight/silver all move as gold
+    pawn: GOLD_GRID, lance: GOLD_GRID, knight: GOLD_GRID, silver: GOLD_GRID,
+    // horse: bishop slides + orthogonal steps; dragon: rook slides +
+    // diagonal steps
+    bishop: [[L_, S_, L_], [S_, null, S_], [L_, S_, L_]],
+    rook: [[S_, L_, S_], [L_, null, L_], [S_, L_, S_]],
+  };
+
+  /** 3x3 movement grid for a piece kind ("pawn".."king"), or null for
+   *  unknown kinds / unpromotable promotions (gold, king). */
+  function movePattern(kind, promoted) {
+    if (promoted) return PROMOTED_PATTERNS[kind] || null;
+    return MOVE_PATTERNS[kind] || null;
+  }
+
   // -- chart math -----------------------------------------------------------
   /** "Nice" tick positions covering [lo, hi] with about n intervals. */
   function niceTicks(lo, hi, n = 4) {
@@ -219,6 +307,7 @@
 
   return { pieceChar, usiToCell, usiDestCell, moverOf, blackProb,
            stmBlackProb, freshMoves, heatCells, h2hFor, winRate,
-           sortEntries, niceTicks, ema, downsample, nearestIndex, fmt,
+           sortEntries, recentMatches, scorecard, movePattern,
+           niceTicks, ema, downsample, nearestIndex, fmt,
            KANJI, KANJI_P, LETTER };
 });

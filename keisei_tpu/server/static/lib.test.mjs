@@ -80,6 +80,80 @@ test("sortEntries sorts by key/dir, stable, with style lookup", () => {
   assert.deepEqual(entries.map(e => e.id), [1, 2, 3]);
 });
 
+test("recentMatches resolves names, winners, and pair clash counts", () => {
+  const entries = [
+    { id: 1, display_name: "Alpha" }, { id: 2, display_name: "Beta" },
+  ];
+  const results = [
+    { id: 10, epoch: 5, entry_a_id: 1, entry_b_id: 2, wins_a: 3, wins_b: 1,
+      draws: 0, match_type: "ladder" },
+    { id: 11, epoch: 6, entry_a_id: 2, entry_b_id: 1, wins_a: 2, wins_b: 2,
+      draws: 1, match_type: "ladder" },
+    { id: 12, epoch: 7, entry_a_id: 1, entry_b_id: 9, wins_a: 0, wins_b: 4,
+      draws: 0, match_type: "gauntlet" },
+  ];
+  const rows = KT.recentMatches(results, entries, 2);
+  // newest first, capped at max
+  assert.deepEqual(rows.map(r => r.rid), [12, 11]);
+  // unknown entry falls back to #id; winner side computed
+  assert.equal(rows[0].bName, "#9");
+  assert.equal(rows[0].winner, "b");
+  assert.equal(rows[1].winner, "draw");
+  // clash count spans ALL results for the pair, regardless of a/b order
+  assert.equal(rows[1].clashes, 2);
+  assert.equal(rows[0].clashes, 1);
+  assert.equal(rows[1].aName, "Beta");
+});
+
+test("scorecard matches TEXT showcase ids to integer entries", () => {
+  const entries = [
+    { id: 3, display_name: "Kuro", elo_rating: 1612.4, role: "frontier_static",
+      architecture: "se_resnet" },
+  ];
+  const game = { entry_id_black: "3", entry_id_white: "8",
+                 name_white: "Shiro", elo_white: 1500.5,
+                 status: "in_progress", total_ply: 70 };
+  const sc = KT.scorecard(game, entries, null);
+  assert.equal(sc.black.name, "Kuro");
+  assert.equal(sc.black.elo, 1612.4);
+  assert.equal(sc.black.role, "frontier_static");
+  // white missing from league -> game-row fallbacks
+  assert.equal(sc.white.name, "Shiro");
+  assert.equal(sc.white.elo, 1500.5);
+  assert.equal(sc.white.role, null);
+  assert.equal(sc.progress, 0.5);          // 70 / 140 default estimate
+  // displayed (scrubbed) ply overrides the live total; clamped to [0,1]
+  assert.equal(KT.scorecard(game, entries, 35).progress, 0.25);
+  assert.equal(KT.scorecard(game, entries, 1000).progress, 1);
+  assert.equal(KT.scorecard(null, entries, null), null);
+});
+
+test("movePattern encodes shogi movement (promotions = gold except B/R)", () => {
+  // promoted pawn/lance/knight/silver all move as gold
+  for (const k of ["pawn", "lance", "knight", "silver"])
+    assert.deepEqual(KT.movePattern(k, true), KT.movePattern("gold", false));
+  // lance slides forward only; pawn steps
+  assert.equal(KT.movePattern("lance", false)[0][1], "slide");
+  assert.equal(KT.movePattern("pawn", false)[0][1], "step");
+  // knight leaps to the two forward-diagonal files
+  assert.deepEqual(KT.movePattern("knight", false)[0], ["jump", null, "jump"]);
+  // king steps all 8; center always empty
+  const king = KT.movePattern("king", false);
+  assert.equal(king.flat().filter(v => v === "step").length, 8);
+  assert.equal(king[1][1], null);
+  // horse = bishop slides + orthogonal steps (8 non-null cells)
+  const horse = KT.movePattern("bishop", true);
+  assert.equal(horse[0][0], "slide");
+  assert.equal(horse[0][1], "step");
+  // dragon = rook slides + diagonal steps
+  const dragon = KT.movePattern("rook", true);
+  assert.equal(dragon[0][1], "slide");
+  assert.equal(dragon[0][0], "step");
+  // gold/king have no promotion; unknown kinds are null
+  assert.equal(KT.movePattern("gold", true), null);
+  assert.equal(KT.movePattern("dog", false), null);
+});
+
 test("freshMoves drops rows already held (init/poll race dedup)", () => {
   const held = [{ ply: 1 }, { ply: 2 }];
   assert.deepEqual(KT.freshMoves(held, [{ ply: 2 }, { ply: 3 }]),

@@ -222,9 +222,11 @@ class TestStaticUI:
     def _lib_exports(self):
         import re
         src = (self._static_dir() / "lib.js").read_text()
-        ret = re.search(r"return \{([^}]+)\};", src, flags=re.S)
-        assert ret, "lib.js must end with a `return {...}` export object"
-        return {n.strip() for n in ret.group(1).split(",") if n.strip()}, src
+        # helpers may themselves `return {...}` objects; the module export
+        # is the LAST return-object in the factory
+        rets = re.findall(r"return \{([^}]+)\};", src, flags=re.S)
+        assert rets, "lib.js must end with a `return {...}` export object"
+        return {n.strip() for n in rets[-1].split(",") if n.strip()}, src
 
     def test_app_js_only_uses_exported_kt_members(self):
         import re
