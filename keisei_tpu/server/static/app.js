@@ -527,9 +527,10 @@ function renderLeague() {
   drawChart("c-elo", series);
 
   document.getElementById("league-events").innerHTML =
-    S.league.transitions.slice(0, 25).map(t =>
+    KT.collapseEvents(S.league.transitions, 25).map(t =>
       `<li>#${t.entry_id} ${t.from_role || ""}${t.to_role ? "→" + t.to_role : ""} ` +
-      `${t.from_status ? t.from_status + "→" + t.to_status : ""} — ${t.reason || ""}</li>`
+      `${t.from_status ? t.from_status + "→" + t.to_status : ""} — ${t.reason || ""}` +
+      `${t.count > 1 ? ` <span class="evt-count">×${t.count}</span>` : ""}</li>`
     ).join("");
   renderTournamentPanel();
   renderRecentMatches();
@@ -826,10 +827,28 @@ function renderShowcase() {
       : '<span style="color:var(--dim)">no candidate data</span>')
     : "";
 
+  // per-side match stats banner (reference ShowcaseStatsBanner)
+  const stats = KT.showcaseStats(moves);
+  const statCell = (side) =>
+    `<span class="side-${side}">${side === "black" ? "●" : "○"} ` +
+    `${stats[side].captures}x · ${stats[side].drops}* · ` +
+    `+${stats[side].promotions} · ${stats[side].checks}✓</span>`;
+  const banner = document.getElementById("sc-stats");
+  if (banner) {
+    banner.innerHTML = moves.length
+      ? `${statCell("black")} ${statCell("white")}` +
+        '<span class="hint"> captures · drops · promotions · checks</span>'
+      : "";
+  }
+
+  // per-move quality dots from win-prob swings (reference MoveDots)
+  const dots = KT.moveDots(moves);
   const idx = m ? moves.indexOf(m) : -1;
   document.getElementById("sc-moves").innerHTML =
     moves.map((x, i) =>
-      `<li data-i="${i}" class="${i === idx ? "current" : ""}">${x.usi_notation}</li>`
+      `<li data-i="${i}" class="${i === idx ? "current" : ""}">` +
+      `${dots[i] ? `<span class="dot ${dots[i]}" title="${dots[i]}"></span>` : ""}` +
+      `${x.usi_notation}</li>`
     ).join("");
   for (const li of document.querySelectorAll("#sc-moves li")) {
     li.onclick = () => {

@@ -93,6 +93,68 @@
     return heat;
   }
 
+  /** Per-move quality classification from the win-probability swing in the
+   *  MOVER's perspective (reference MoveDots.svelte): "blunder" (lost >=25
+   *  points), "mistake" (>=10), "strong" (gained >=10), "brilliant" (>=25),
+   *  "normal" otherwise, null when either estimate is missing. */
+  function moveDots(moves) {
+    const out = [];
+    let prev = null;
+    for (const m of moves || []) {
+      const p = blackProb(m);
+      if (p == null || prev == null) {
+        out.push(p == null ? null : "normal");
+        prev = p;
+        continue;
+      }
+      const delta = p - prev; // black-perspective swing across this move
+      const gain = moverOf(m) === "black" ? delta : -delta;
+      out.push(gain <= -0.25 ? "blunder" : gain <= -0.10 ? "mistake"
+             : gain >= 0.25 ? "brilliant" : gain >= 0.10 ? "strong"
+             : "normal");
+      prev = p;
+    }
+    return out;
+  }
+
+  /** Aggregate match stats per side from showcase move rows (reference
+   *  ShowcaseStatsBanner.svelte). Hodges strings carry the classifier:
+   *  "x" = capture, "*" = drop, TRAILING "+" = promotion (a leading "+"
+   *  is a promoted-piece prefix, not a promotion). `in_check` marks the
+   *  mover's opponent in check after the move. */
+  function showcaseStats(moves) {
+    const mk = () => ({ captures: 0, drops: 0, promotions: 0, checks: 0 });
+    const s = { black: mk(), white: mk(), plies: (moves || []).length };
+    for (const m of moves || []) {
+      const side = s[moverOf(m)];
+      const n = m.usi_notation || "";
+      if (n.includes("x")) side.captures += 1;
+      if (n.includes("*")) side.drops += 1;
+      if (n.endsWith("+")) side.promotions += 1;
+      if (m.in_check) side.checks += 1;
+    }
+    return s;
+  }
+
+  /** Collapse consecutive league-event rows that say the same thing about
+   *  the same entry into one row with a count (reference collapseEvents.js).
+   *  Rows keep their first-seen order; each gets {..., count}. */
+  function collapseEvents(transitions, max = 25) {
+    const out = [];
+    for (const t of transitions || []) {
+      const label = `${t.from_role || ""}>${t.to_role || ""}|` +
+                    `${t.from_status || ""}>${t.to_status || ""}`;
+      const last = out[out.length - 1];
+      if (last && last.entry_id === t.entry_id && last._label === label) {
+        last.count += 1;
+      } else {
+        out.push({ ...t, count: 1, _label: label });
+        if (out.length > max) break;
+      }
+    }
+    return out.slice(0, max);
+  }
+
   // -- league data shaping --------------------------------------------------
   /** Normalize head_to_head rows to entry `id`'s perspective:
    *  [{opp, w, l, d, g}] (reference EntryDetail.svelte semantics). */
@@ -306,7 +368,8 @@
   }
 
   return { pieceChar, usiToCell, usiDestCell, moverOf, blackProb,
-           stmBlackProb, freshMoves, heatCells, h2hFor, winRate,
+           stmBlackProb, freshMoves, heatCells, moveDots, showcaseStats,
+           collapseEvents, h2hFor, winRate,
            sortEntries, recentMatches, scorecard, movePattern,
            niceTicks, ema, downsample, nearestIndex, fmt,
            KANJI, KANJI_P, LETTER };

@@ -243,3 +243,72 @@ test("fmt is compact across magnitudes", () => {
   assert.equal(KT.fmt(0.5), "0.500");
   assert.equal(KT.fmt(0.0001), "1.0e-4");
 });
+
+test("moveDots classifies win-prob swings from the mover's perspective", () => {
+  // value_estimate is mover-perspective; current_player is the NEXT mover
+  const moves = [
+    { current_player: "white", value_estimate: 0.0 },    // black, p=0.50
+    { current_player: "black", value_estimate: -0.6 },   // white, p=0.80
+    { current_player: "white", value_estimate: 0.84 },   // black, p=0.92
+    { current_player: "black", value_estimate: -0.2 },   // white, p=0.60
+    { current_player: "white", value_estimate: null },   // missing
+    { current_player: "black", value_estimate: 0.0 },    // prev null
+  ];
+  assert.deepEqual(KT.moveDots(moves),
+    ["normal", "blunder", "strong", "brilliant", null, "normal"]);
+  assert.deepEqual(KT.moveDots([]), []);
+  assert.deepEqual(KT.moveDots(null), []);
+});
+
+test("moveDots thresholds: 10 and 25 points, sign by mover", () => {
+  const mk = (cp, v) => ({ current_player: cp, value_estimate: v });
+  // black then black-mover gain of exactly +0.10 -> strong
+  const dots = KT.moveDots([
+    mk("white", 0.0),          // black, p=0.5
+    mk("black", -(2 * 0.6 - 1)), // white, p=0.60 -> white gain -0.10 = mistake
+  ]);
+  assert.deepEqual(dots, ["normal", "mistake"]);
+});
+
+test("showcaseStats tallies captures/drops/promotions/checks per side", () => {
+  const mk = (cp, n, chk = 0) => ({ current_player: cp, usi_notation: n, in_check: chk });
+  const s = KT.showcaseStats([
+    mk("white", "Px7f"),      // black capture
+    mk("black", "B*4e"),      // white drop
+    mk("white", "Bx3c+", 1),  // black capture + promotion + check
+    mk("black", "S-4c="),     // white declined promotion: nothing
+    mk("white", "+P-5b"),     // black tokin move: leading + is NOT a promotion
+  ]);
+  assert.equal(s.plies, 5);
+  assert.deepEqual(s.black, { captures: 2, drops: 0, promotions: 1, checks: 1 });
+  assert.deepEqual(s.white, { captures: 0, drops: 1, promotions: 0, checks: 0 });
+  assert.equal(KT.showcaseStats([]).plies, 0);
+  assert.equal(KT.showcaseStats(null).plies, 0);
+});
+
+test("collapseEvents merges consecutive same-entry same-kind rows", () => {
+  const t = (entry_id, from_role, to_role) => ({ entry_id, from_role, to_role });
+  const rows = [
+    t(1, "dynamic", "frontier_static"),
+    t(1, "dynamic", "frontier_static"),
+    t(1, "dynamic", "frontier_static"),
+    t(2, "dynamic", "frontier_static"),
+    t(1, "dynamic", "frontier_static"),  // non-consecutive: new row
+  ];
+  const out = KT.collapseEvents(rows);
+  assert.equal(out.length, 3);
+  assert.equal(out[0].count, 3);
+  assert.equal(out[1].entry_id, 2);
+  assert.equal(out[2].count, 1);
+});
+
+test("collapseEvents distinguishes role vs status transitions and caps", () => {
+  const rows = [
+    { entry_id: 1, from_role: "dynamic", to_role: "recent_fixed" },
+    { entry_id: 1, from_status: "active", to_status: "retired" },
+  ];
+  const out = KT.collapseEvents(rows);
+  assert.equal(out.length, 2);  // different kinds never merge
+  const many = Array.from({ length: 60 }, (_, i) => ({ entry_id: i }));
+  assert.equal(KT.collapseEvents(many, 25).length, 25);
+});

@@ -180,7 +180,11 @@ def main() -> None:
             "game_id": gid, "ply": ply, "action_index": 100 + ply,
             "usi_notation": usi, "move_usi": usi,
             "board_json": json.dumps(board), "hands_json": json.dumps(hands),
-            "current_player": mover, "in_check": int(ply == 7),
+            # production rows store the side to move AFTER the move (the
+            # runner writes the post-step spectator dict's current_player);
+            # lib.js moverOf() derives the mover as its opposite
+            "current_player": "white" if mover == "black" else "black",
+            "in_check": int(ply == 7),
             "value_estimate": v if mover == "black" else -v,
             "top_candidates": json.dumps(sorted(heat.items(), key=lambda kv: -kv[1])),
             "move_heatmap_json": json.dumps(heat),
