@@ -213,6 +213,19 @@ class ConcurrencyConfig:
 @dataclass(frozen=True)
 class StorageConfig:
     league_dir: str = "league/"
+    # device-resident weight LRU bounds (OpponentStore): count cap plus an
+    # HBM byte budget — the byte budget is the binding limit at flagship
+    # scale (fp32 native trees from dynamic updates are ~2x the bf16
+    # inference trees; an unbounded mix exhausted the chip in the round-2
+    # flagship soak once the pool reached ~8 entries)
+    cache_entries: int = 8
+    cache_bytes_gb: float = 1.5
+
+    def __post_init__(self):
+        if self.cache_entries < 1:
+            raise ValueError("storage.cache_entries must be >= 1")
+        if self.cache_bytes_gb <= 0:
+            raise ValueError("storage.cache_bytes_gb must be > 0")
 
 
 @dataclass(frozen=True)

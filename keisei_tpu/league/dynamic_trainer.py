@@ -37,7 +37,7 @@ logger = logging.getLogger(__name__)
 
 
 def _make_update_fn(model, cfg: DynamicConfig, optimizer, clip_epsilon: float = 0.2,
-                    contract: str = "katago"):
+                    contract: str = "katago", step_batch: int = 1024):
     """Jitted: (variables, opt_state, batch, rng) -> (params', opt', metrics)."""
 
     def old_logp(variables, obs, masks, actions):
@@ -92,19 +92,30 @@ def _make_update_fn(model, cfg: DynamicConfig, optimizer, clip_epsilon: float = 
     def update(variables, opt_state, batch, rng):
         old_lp = old_logp(variables, batch["obs"], batch["masks"], batch["actions"])
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
+        cap = batch["obs"].shape[0]
+        # fwd+bwd over the whole padded batch in one shot does not fit HBM
+        # at flagship depth (b40c256 x 4096 needs ~4x the main update's
+        # bs=1024 working set — the round-2 soak's first dynamic update
+        # OOMed exactly here); scan minibatch steps like the main PPO update
+        chunks = max(1, cap // step_batch) if cap % step_batch == 0 else 1
+        chunk = cap // chunks
 
-        def one_epoch(carry, key):
+        def one_step(carry, ix):
             params, batch_stats, opt_state = carry
-            perm = jax.random.permutation(key, batch["obs"].shape[0])
-            mb = {k: v[perm] for k, v in batch.items()}
+            mb = {k: v[ix] for k, v in batch.items()}
             (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, batch_stats, mb, old_lp[perm]
+                params, batch_stats, mb, old_lp[ix]
             )
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, aux["batch_stats"], opt_state), {
                 "policy_loss": aux["policy_loss"], "value_loss": aux["value_loss"],
             }
+
+        def one_epoch(carry, key):
+            idx = jax.random.permutation(key, cap).reshape(chunks, chunk)
+            carry, m = jax.lax.scan(one_step, carry, idx)
+            return carry, jax.tree.map(lambda x: x.mean(), m)
 
         keys = jax.random.split(rng, cfg.update_epochs_per_batch)
         (params, batch_stats, opt_state), metrics = jax.lax.scan(
@@ -127,6 +138,7 @@ class DynamicTrainer:
         learner_lr: float = 2e-4,
         batch_cap: int = 4096,
         contract: str = "katago",
+        step_batch: int = 1024,
     ):
         self.store = store
         self.model = model
@@ -134,6 +146,7 @@ class DynamicTrainer:
         self.config = config
         self.learner_lr = learner_lr
         self.batch_cap = batch_cap
+        self.step_batch = min(step_batch, batch_cap)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(config.grad_clip),
             optax.adam(learner_lr * config.lr_scale),
@@ -342,7 +355,8 @@ class DynamicTrainer:
         key = id(self.model)
         if key not in self._update_fns:
             self._update_fns[key] = _make_update_fn(
-                self.model, self.config, self.optimizer, contract=self.contract
+                self.model, self.config, self.optimizer,
+                contract=self.contract, step_batch=self.step_batch,
             )
         new_vars, opt_state, metrics = self._update_fns[key](
             variables, opt_state, batch, jax.random.key(seed)

@@ -35,22 +35,32 @@ from ..db.league_tables import bump_head_to_head
 logger = logging.getLogger(__name__)
 
 
+_CAST_FN = None
+
+
 def _cast_tree(tree, dtype_name: str):
     """Device-side cast of all float leaves (jitted: one dispatch, and the
-    result lives on device without a host round trip)."""
-    import functools
+    result lives on device without a host round trip).
 
-    import jax
-    import jax.numpy as jnp
+    The jitted cast is a MODULE-LEVEL singleton: defining it per call would
+    defeat jax's jit cache and retrace + recompile the full tree cast on
+    every bf16 materialization (once per entry per update generation)."""
+    global _CAST_FN
+    if _CAST_FN is None:
+        import functools
 
-    @functools.partial(jax.jit, static_argnames=("dn",))
-    def cast(t, dn):
-        nd = jnp.dtype(dn)
-        return jax.tree.map(
-            lambda x: x.astype(nd)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+        import jax
+        import jax.numpy as jnp
 
-    return cast(tree, dtype_name)
+        @functools.partial(jax.jit, static_argnames=("dn",))
+        def cast(t, dn):
+            nd = jnp.dtype(dn)
+            return jax.tree.map(
+                lambda x: x.astype(nd)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+
+        _CAST_FN = cast
+    return _CAST_FN(tree, dtype_name)
 
 
 class Role:
@@ -203,12 +213,18 @@ class OpponentEntry:
 class OpponentStore:
     """Thread-safe snapshot pool over the shared observability DB."""
 
-    def __init__(self, db_path: str, league_dir: str, cache_size: int = 8):
-        # default 8: covers a K=4 cohort plus an in-process tournament
+    def __init__(self, db_path: str, league_dir: str, cache_size: int = 8,
+                 cache_bytes: float | None = 1.5e9):
+        # count default 8: covers a K=4 cohort plus an in-process tournament
         # round's working set without thrash-evicting the cohort between
-        # epochs (each eviction costs an Orbax restore + tunnel upload);
-        # inference entries are bf16 (~half params size), so 8 slots for
-        # b40c256 is ~0.9 GB HBM
+        # epochs (each eviction costs an Orbax restore + tunnel upload).
+        # The BYTE budget is the binding limit at flagship scale: dynamic
+        # updates seed fp32 native trees (~385 MB each for b40c256), so a
+        # count-only LRU grows past 3 GB as the pool fills and tips the
+        # chip into RESOURCE_EXHAUSTED once the learner update's working
+        # set peaks (observed in the round-2 flagship soak at ~8 entries;
+        # the axon backend exposes no memory_stats, so the budget must be
+        # enforced a priori rather than by backpressure).
         self.db_path = db_path
         self.league_dir = os.path.abspath(league_dir)
         os.makedirs(self.league_dir, exist_ok=True)
@@ -216,11 +232,18 @@ class OpponentStore:
         self._lock = threading.RLock()
         self._cache: OrderedDict[tuple[int, int], Any] = OrderedDict()
         self._cache_size = cache_size
+        self._cache_bytes = cache_bytes
+        self._tree_bytes: dict[tuple, int] = {}
         # single-worker pool serializes async weight flushes in FIFO order
         # (last writer wins per path); created lazily so stores that never
         # flush asynchronously spawn no thread
         self._flush_pool = None
         self._flush_errors: list[Exception] = []
+        # entry_id -> (update_count, variables) for updates whose async
+        # disk flush has not landed yet: cache misses MUST be served from
+        # here, never from the (still-old) checkpoint_path, or an evicted
+        # seed would silently re-cache stale weights under the new key
+        self._pending_trees: dict[int, tuple[int, Any]] = {}
 
     # -- weights io ------------------------------------------------------------
 
@@ -273,8 +296,15 @@ class OpponentStore:
                 self._cache.move_to_end(key)
                 return self._cache[key]
             native = self._cache.get((entry.id, entry.update_count, "native"))
-        if dtype is not None and native is not None:
-            variables = _cast_tree(native, jnp.dtype(dtype).name)
+            if native is None:
+                # an async flush for this generation may not have swung the
+                # checkpoint_path pointer yet — disk would serve the OLD tree
+                pend = self._pending_trees.get(entry.id)
+                if pend is not None and pend[0] == entry.update_count:
+                    native = pend[1]
+        if native is not None:
+            variables = (_cast_tree(native, jnp.dtype(dtype).name)
+                         if dtype is not None else jax.device_put(native))
         else:
             host = self.load_variables(entry, template)
             if dtype is not None:
@@ -287,12 +317,32 @@ class OpponentStore:
                     host,
                 )
             variables = jax.device_put(host)
+        self._cache_put(key, variables)
+        return variables
+
+    @staticmethod
+    def _tree_nbytes(tree) -> int:
+        import jax
+
+        return sum(getattr(x, "nbytes", 0) for x in jax.tree.leaves(tree))
+
+    def _cache_put(self, key: tuple, variables) -> None:
+        """Insert into the device LRU, evicting past BOTH the entry-count
+        cap and the byte budget (HBM is the scarce resource; see __init__)."""
+        nbytes = self._tree_nbytes(variables)
         with self._lock:
             self._cache[key] = variables
             self._cache.move_to_end(key)
-            while len(self._cache) > self._cache_size:
-                self._cache.popitem(last=False)
-        return variables
+            self._tree_bytes[key] = nbytes
+            def total():
+                return sum(self._tree_bytes.get(k, 0) for k in self._cache)
+            while len(self._cache) > 1 and (
+                len(self._cache) > self._cache_size
+                or (self._cache_bytes is not None
+                    and total() > self._cache_bytes)
+            ):
+                old_key, _ = self._cache.popitem(last=False)
+                self._tree_bytes.pop(old_key, None)
 
     def save_optimizer(self, entry_id: int, opt_state) -> str:
         path = os.path.join(self._entry_dir(entry_id), "optimizer")
@@ -534,11 +584,10 @@ class OpponentStore:
             "league_entry_id": entry.id,
             "format_version": 1,
         }
-        self.bump_update_count(entry_id)
-        new_count = self.get_entry(entry_id).update_count
-        new_path = os.path.join(self._entry_dir(entry_id),
-                                f"weights-v{new_count}")
         if flush == "async":
+            # surface a prior failed flush BEFORE bumping: bump-then-raise
+            # would mint a generation that exists nowhere (every reader
+            # cache-misses and re-restores old weights under the new key)
             with self._lock:
                 if self._flush_errors:
                     err = self._flush_errors[:]
@@ -546,29 +595,50 @@ class OpponentStore:
                     raise RuntimeError(
                         f"previous async weight flush failed: {err[0]}"
                     ) from err[0]
+        self.bump_update_count(entry_id)
+        new_count = self.get_entry(entry_id).update_count
+        new_path = os.path.join(self._entry_dir(entry_id),
+                                f"weights-v{new_count}")
+        if flush == "async":
+            with self._lock:
                 if self._flush_pool is None:
                     from concurrent.futures import ThreadPoolExecutor
                     self._flush_pool = ThreadPoolExecutor(
                         max_workers=1, thread_name_prefix="league-flush")
+                # pin the new tree until its flush lands so cache misses
+                # never fall back to the stale checkpoint_path
+                self._pending_trees[entry_id] = (new_count, variables)
             self._flush_pool.submit(
-                self._flush_job, entry_id, entry.checkpoint_path,
-                new_path, variables, meta)
+                self._flush_job, entry_id, new_count, new_path, variables,
+                meta)
         else:
-            self._flush_job(entry_id, entry.checkpoint_path, new_path,
-                            variables, meta, reraise=True)
+            # pin for sync too: if the save raises AFTER the bump, readers
+            # of the new generation must still get the new tree instead of
+            # silently re-caching the stale disk weights under the new key
+            with self._lock:
+                self._pending_trees[entry_id] = (new_count, variables)
+            self._flush_job(entry_id, new_count, new_path, variables, meta,
+                            reraise=True)
         device_vars = jax.device_put(variables)
-        seed_key = (entry_id, new_count, "native")
-        with self._lock:
-            self._cache[seed_key] = device_vars
-            self._cache.move_to_end(seed_key)
-            while len(self._cache) > self._cache_size:
-                self._cache.popitem(last=False)
+        self._cache_put((entry_id, new_count, "native"), device_vars)
 
-    def _flush_job(self, entry_id: int, old_path: str, new_path: str,
+    def _flush_job(self, entry_id: int, count: int, new_path: str,
                    variables: dict, meta: dict, reraise: bool = False) -> None:
-        """Write weights to new_path, swing checkpoint_path, drop old_path."""
+        """Write weights to new_path, swing checkpoint_path, drop the
+        superseded directory.
+
+        The superseded path is read from the DB pointer HERE, not captured
+        at submit time: with back-to-back async updates, a submit-time
+        snapshot would make both jobs name the same old path and leak the
+        intermediate weights-v<N> directory forever."""
         try:
             self._save_variables(new_path, variables, meta=meta)
+            row = dbcore.fetch_one(
+                self.db_path,
+                "SELECT checkpoint_path FROM league_entries WHERE id = ?",
+                (entry_id,),
+            )
+            old_path = row["checkpoint_path"] if row else None
             dbcore.execute(
                 self.db_path,
                 "UPDATE league_entries SET checkpoint_path = ? WHERE id = ?",
@@ -576,21 +646,38 @@ class OpponentStore:
             )
             if old_path and old_path != new_path:
                 shutil.rmtree(old_path, ignore_errors=True)
+            with self._lock:
+                pend = self._pending_trees.get(entry_id)
+                if pend is not None and pend[0] <= count:
+                    del self._pending_trees[entry_id]
         except Exception as e:  # surfaced on the next update_weights call
             if reraise:
                 raise
+            # keep the pending tree: readers of this generation still get
+            # the new weights even though the disk pointer lags
             logger.exception("async weight flush to %s failed", new_path)
             with self._lock:
                 self._flush_errors.append(e)
 
     def wait_for_flushes(self) -> None:
-        """Block until all queued async weight flushes have completed
-        (call before shutdown / before handing the league dir to another
-        process that must see the newest weights)."""
+        """Block until all queued async weight flushes have completed, then
+        raise if any of them failed (call before shutdown / before handing
+        the league dir to another process that must see the newest
+        weights — exiting cleanly on a failed final flush would leave the
+        DB pointer naming the previous generation while update_count claims
+        newer weights exist)."""
         pool = self._flush_pool
         if pool is not None:
             # a no-op job flushes the FIFO queue
             pool.submit(lambda: None).result()
+        with self._lock:
+            if self._flush_errors:
+                err = self._flush_errors[:]
+                self._flush_errors.clear()
+                raise RuntimeError(
+                    f"{len(err)} async weight flush(es) failed; the on-disk "
+                    f"weights lag the recorded update_count: {err[0]}"
+                ) from err[0]
 
     # -- results + Elo -----------------------------------------------------------
 

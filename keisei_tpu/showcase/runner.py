@@ -40,6 +40,7 @@ logger = logging.getLogger(__name__)
 SPEED_DELAYS = {"slow": 4.0, "normal": 2.0, "fast": 0.5}
 SPEED_POLL_INTERVAL = 5  # re-read speed from DB every N plies
 AUTO_SHOWCASE_INTERVAL_S = 1800.0
+MAX_MATCH_REPLAYS = 2  # replay a failed match at most this often, then cancel
 TEMPERATURE = 0.5
 
 
@@ -222,6 +223,7 @@ class ShowcaseRunner:
         last_sweep = time.monotonic()
         claimed_id = None
         claimed_played = False  # play_match returned; only completion pending
+        requeues: dict[int, int] = {}  # queue id -> replay attempts
         while not self._stop:
             try:
                 # a claimed-but-uncompleted entry blocks claim_next_match
@@ -229,11 +231,21 @@ class ShowcaseRunner:
                 # match actually played (only its completion write hit a
                 # locked DB), mark it done; if play_match itself died on a
                 # DB error, requeue for a clean replay instead of silently
-                # swallowing a never-played match (ADVICE r1).
+                # swallowing a never-played match (ADVICE r1). Replays are
+                # capped: a persistently-failing match (schema mismatch,
+                # wedged writer) must not starve the rest of the queue by
+                # being re-claimed as the oldest pending entry forever.
                 if claimed_id is not None:
                     if claimed_played:
                         sc.complete_queue_entry(self.db_path, claimed_id)
+                    elif requeues.get(claimed_id, 0) >= MAX_MATCH_REPLAYS:
+                        logger.error(
+                            "showcase match %s failed %d replays — cancelling",
+                            claimed_id, requeues[claimed_id])
+                        sc.cancel_match(self.db_path, claimed_id)
+                        requeues.pop(claimed_id, None)
                     else:
+                        requeues[claimed_id] = requeues.get(claimed_id, 0) + 1
                         sc.requeue_entry(self.db_path, claimed_id)
                     claimed_id = None
                     claimed_played = False

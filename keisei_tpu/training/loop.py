@@ -222,7 +222,11 @@ class SelfPlayTrainer:
         db_path = self.config.display.db_path or os.path.join(
             lc.storage.league_dir, "league.db"
         )
-        self.store = OpponentStore(db_path, lc.storage.league_dir)
+        self.store = OpponentStore(
+            db_path, lc.storage.league_dir,
+            cache_size=lc.storage.cache_entries,
+            cache_bytes=lc.storage.cache_bytes_gb * 1e9,
+        )
         self.pool = TieredPool(self.store, lc)
         self.scorer = PriorityScorer(
             lc.priority, build_match_class_weights(lc.scheduler))
@@ -562,9 +566,17 @@ class SelfPlayTrainer:
             ckpt = self.save()
         self.observer.on_epoch(em.as_dict(), self.epoch * self.T, ckpt)
         if self.observer.enabled:
-            k = min(self.observer.max_snapshot_games, obs.shape[0])
-            values = np.asarray(self._snap_values(self._variables(), obs[:k]))
-            self.observer.snapshot_envs(env_states, values=values)
+            # non-fatal telemetry policy (reference katago_loop.py:1731-1736):
+            # live-board snapshots must never kill training — this was the
+            # line a transient HBM spike turned into a fatal crash in the
+            # round-2 flagship soak
+            try:
+                k = min(self.observer.max_snapshot_games, obs.shape[0])
+                values = np.asarray(
+                    self._snap_values(self._variables(), obs[:k]))
+                self.observer.snapshot_envs(env_states, values=values)
+            except Exception:
+                logger.exception("board snapshot failed — continuing")
         return em
 
     def _league_epoch_end(self, league_stats) -> None:
@@ -645,8 +657,14 @@ class SelfPlayTrainer:
         self.save()
         if self.league_enabled:
             # drain queued async weight flushes so sidecar processes see
-            # the final dynamic-entry weights before this process exits
-            self.store.wait_for_flushes()
+            # the final dynamic-entry weights before this process exits;
+            # a failed final flush must not abort the rest of the teardown
+            # (checkpoint + observer state are already durable) but must be
+            # loud — the on-disk weights lag the recorded update_count
+            try:
+                self.store.wait_for_flushes()
+            except RuntimeError:
+                logger.exception("final league weight flush failed")
         self.observer.on_stop("stopped")
 
 

@@ -239,6 +239,16 @@ def make_ppo_update(model, adapter, cfg: KataGoPPOParams, optimizer):
             data["weights"] = weights
 
         n_mb = S // cfg.batch_size
+        if n_mb == 0:
+            # fail loudly: zero minibatches would run zero update steps and
+            # emit NaN metrics while epochs keep logging (a silent-dead run).
+            # Reachable via configs whose batch_size exceeds the trajectory —
+            # the compact league rollout halves S to (T/2+1)*N.
+            raise ValueError(
+                f"batch_size {cfg.batch_size} exceeds the {S}-sample "
+                f"trajectory; no minibatch would run — lower "
+                f"algorithm_params.batch_size or raise steps/num_games"
+            )
         carry = (state.params, state.batch_stats, state.opt_state)
         all_metrics = []
         for _ in range(cfg.epochs_per_batch):

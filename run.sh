@@ -123,6 +123,10 @@ if [[ "$RESUME" == 0 && "$has_state" == 1 ]]; then
   rm -f "$DB_PATH" "${DB_PATH}-wal" "${DB_PATH}-shm"
   echo "wiping checkpoints: $CKPT_DIR"
   rm -rf "$CKPT_DIR"
+  # league entry weights too: the fresh DB re-issues entry ids 1,2,3..., and
+  # stale league/<id>/ dirs from the wiped run would collide with them
+  echo "wiping league dir: $LEAGUE_DIR"
+  rm -rf "$LEAGUE_DIR"
 fi
 
 mkdir -p "$(dirname "$DB_PATH")" "$LEAGUE_DIR" "$CKPT_DIR"

@@ -1,0 +1,314 @@
+"""Async weight-flush integrity (round-2 review findings).
+
+Pins four failure modes of the league store's background weight flush:
+1. a cache miss during the flush window must serve the NEW generation from
+   the pending-tree pin, never re-cache stale disk weights under the new key
+2. back-to-back async updates must not leak intermediate weights-v<N> dirs
+3. a failed flush surfaces on the NEXT update_weights call BEFORE the
+   update_count bump (no phantom generation)
+4. wait_for_flushes raises on a failed flush instead of exiting clean
+Plus: the PPO update rejects batch_size > trajectory (silent n_mb=0), and
+the showcase runner caps failed-match replays instead of starving the queue.
+"""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from keisei_tpu.league.store import OpponentStore, Role
+from keisei_tpu.models.registry import build_model
+
+
+@pytest.fixture
+def store(tmp_path):
+    return OpponentStore(str(tmp_path / "obs.db"), str(tmp_path / "league"),
+                         cache_size=2)
+
+
+@pytest.fixture
+def entry(store):
+    model, _ = build_model("mlp", {"hidden_sizes": [8]})
+    v = model.init(jax.random.key(0),
+                   jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+    return store.add_entry(v, architecture="mlp",
+                           model_params={"hidden_sizes": [8]},
+                           created_epoch=0, role=Role.DYNAMIC)
+
+
+def leaf0(tree):
+    return np.asarray(jax.tree.leaves(tree)[0])
+
+
+class TestPendingTreePin:
+    def test_cache_miss_during_flush_serves_new_weights(self, store, entry,
+                                                        monkeypatch):
+        """Evict the seeded cache entry while the flush is still in flight:
+        the read must come from the pending pin, not the stale disk path."""
+        gate = threading.Event()
+        real_save = store._save_variables
+
+        def slow_save(path, variables, meta=None):
+            gate.wait(timeout=30)  # hold the flush until the read happens
+            real_save(path, variables, meta)
+
+        monkeypatch.setattr(store, "_save_variables", slow_save)
+        old = store.load_variables(store.get_entry(entry.id))
+        new_vars = jax.tree.map(lambda x: x + 7.0, old)
+        store.update_weights(entry.id, new_vars, flush="async")
+        # evict everything (cache_size=2): the seed for the new generation
+        # is gone, and checkpoint_path still names the OLD weights
+        with store._lock:
+            store._cache.clear()
+        e2 = store.get_entry(entry.id)
+        assert e2.update_count == 1
+        got = store.load_variables_cached(e2)
+        np.testing.assert_allclose(leaf0(got), leaf0(new_vars))
+        # bf16 consumers served from the pin too
+        got16 = store.load_variables_cached(e2, dtype=jnp.bfloat16)
+        np.testing.assert_allclose(leaf0(got16).astype(np.float32),
+                                   leaf0(new_vars), rtol=0.01, atol=0.05)
+        gate.set()
+        store.wait_for_flushes()
+        # after the flush lands the pin is dropped and disk serves the new tree
+        assert entry.id not in store._pending_trees
+        cold = OpponentStore(store.db_path, store.league_dir)
+        np.testing.assert_allclose(
+            leaf0(cold.load_variables(cold.get_entry(entry.id))),
+            leaf0(new_vars))
+
+    def test_back_to_back_updates_leak_no_directories(self, store, entry):
+        old = store.load_variables(store.get_entry(entry.id))
+        v1 = jax.tree.map(lambda x: x + 1.0, old)
+        v2 = jax.tree.map(lambda x: x + 2.0, old)
+        store.update_weights(entry.id, v1, flush="async")
+        store.update_weights(entry.id, v2, flush="async")
+        store.wait_for_flushes()
+        e2 = store.get_entry(entry.id)
+        assert e2.update_count == 2
+        assert e2.checkpoint_path.endswith("weights-v2")
+        dirs = sorted(d for d in os.listdir(store._entry_dir(entry.id))
+                      if d.startswith("weights"))
+        assert dirs == ["weights-v2"], f"leaked checkpoint dirs: {dirs}"
+        np.testing.assert_allclose(
+            leaf0(store.load_variables(e2)), leaf0(v2))
+
+
+class TestFlushFailureSurfacing:
+    def _arm_failure(self, store, monkeypatch, fail_times=1):
+        calls = {"n": 0}
+        real = store._save_variables
+
+        def flaky(path, variables, meta=None):
+            calls["n"] += 1
+            if calls["n"] <= fail_times:
+                raise OSError("disk full")
+            real(path, variables, meta)
+
+        monkeypatch.setattr(store, "_save_variables", flaky)
+        return calls
+
+    def test_next_update_raises_before_bump(self, store, entry, monkeypatch):
+        self._arm_failure(store, monkeypatch)
+        old = store.load_variables(store.get_entry(entry.id))
+        new_vars = jax.tree.map(lambda x: x + 1.0, old)
+        store.update_weights(entry.id, new_vars, flush="async")
+        # drain the pool without consuming the error
+        store._flush_pool.submit(lambda: None).result()
+        count_before = store.get_entry(entry.id).update_count
+        with pytest.raises(RuntimeError, match="previous async weight flush"):
+            store.update_weights(entry.id, new_vars, flush="async")
+        # the failed call must NOT have minted a phantom generation
+        assert store.get_entry(entry.id).update_count == count_before
+
+    def test_pending_pin_survives_failed_flush(self, store, entry,
+                                               monkeypatch):
+        self._arm_failure(store, monkeypatch)
+        old = store.load_variables(store.get_entry(entry.id))
+        new_vars = jax.tree.map(lambda x: x + 3.0, old)
+        store.update_weights(entry.id, new_vars, flush="async")
+        store._flush_pool.submit(lambda: None).result()
+        with store._lock:
+            store._cache.clear()
+        got = store.load_variables_cached(store.get_entry(entry.id))
+        np.testing.assert_allclose(leaf0(got), leaf0(new_vars))
+
+    def test_wait_for_flushes_raises_on_failure(self, store, entry,
+                                                monkeypatch):
+        self._arm_failure(store, monkeypatch)
+        old = store.load_variables(store.get_entry(entry.id))
+        store.update_weights(entry.id, jax.tree.map(lambda x: x + 1.0, old),
+                             flush="async")
+        with pytest.raises(RuntimeError, match="flush"):
+            store.wait_for_flushes()
+
+    def test_sync_flush_raises_inline(self, store, entry, monkeypatch):
+        self._arm_failure(store, monkeypatch)
+        old = store.load_variables(store.get_entry(entry.id))
+        with pytest.raises(OSError, match="disk full"):
+            store.update_weights(entry.id,
+                                 jax.tree.map(lambda x: x + 1.0, old),
+                                 flush="sync")
+
+
+class TestPPOBatchSizeGuard:
+    def test_oversized_batch_size_raises_not_silent(self):
+        from keisei_tpu.training.ppo import (
+            KataGoPPOParams,
+            TrainState,
+            Trajectory,
+            make_optimizer,
+            make_ppo_update,
+        )
+        from keisei_tpu.training.value_adapter import get_value_adapter
+
+        model, _ = build_model("mlp", {"hidden_sizes": (16,)})
+        adapter = get_value_adapter("scalar")
+        cfg = KataGoPPOParams(batch_size=4096, epochs_per_batch=1)
+        T, N = 2, 4  # 12 samples << 4096 -> zero minibatches
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((2, 50, 9, 9)), train=False)
+        opt = make_optimizer(cfg)
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_state=opt.init(variables["params"]),
+                           step=jnp.int32(0))
+        update = make_ppo_update(model, adapter, cfg, opt)
+
+        S = (T, N)
+        traj = Trajectory(
+            obs=jnp.zeros(S + (50, 81), jnp.float32),
+            actions=jnp.zeros(S, jnp.int32),
+            log_probs=jnp.zeros(S, jnp.float32),
+            values=jnp.zeros(S, jnp.float32),
+            rewards=jnp.zeros(S, jnp.float32),
+            dones=jnp.zeros(S, bool),
+            terminated=jnp.zeros(S, bool),
+            legal_masks=jnp.ones(S + (11259,), bool),
+            value_cats=jnp.zeros(S, jnp.int32),
+            score_targets=jnp.zeros(S, jnp.float32),
+            next_value_override=jnp.full(S, jnp.nan, jnp.float32),
+        )
+        with pytest.raises(ValueError, match="exceeds the .*-sample"):
+            update(state, traj, jnp.zeros((N,), jnp.float32),
+                   jax.random.key(1), jnp.float32(0.01))
+
+
+@pytest.mark.integration
+class TestShowcaseReplayCap:
+    def test_persistently_failing_match_is_cancelled_not_starving(
+            self, tmp_path, monkeypatch):
+        """A match whose play fails on every replay must be cancelled after
+        MAX_MATCH_REPLAYS, freeing the queue for the next entry."""
+        import sqlite3
+        import time as _t
+
+        from keisei_tpu.db import showcase as sc
+        from keisei_tpu.showcase.runner import MAX_MATCH_REPLAYS, ShowcaseRunner
+
+        db_path = str(tmp_path / "obs.db")
+        store = OpponentStore(db_path, str(tmp_path / "league"))
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        for seed in (0, 1):
+            v = model.init(jax.random.key(seed),
+                           jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+            store.add_entry(v, architecture="mlp",
+                            model_params={"hidden_sizes": [16]},
+                            created_epoch=0, role=Role.DYNAMIC)
+        poison = sc.queue_match(db_path, "1", "2", "fast")
+        healthy = sc.queue_match(db_path, "1", "2", "fast")
+        runner = ShowcaseRunner(db_path, str(tmp_path / "league"), max_ply=6,
+                                auto_showcase=False, store=store)
+        calls = {"n": 0}
+        real_play = runner.play_match
+
+        def play(row):
+            if row["id"] == poison:
+                calls["n"] += 1
+                raise sqlite3.OperationalError("wedged")
+            real_play(row)
+
+        monkeypatch.setattr(runner, "play_match", play)
+        import threading
+
+        t = threading.Thread(target=runner.run, daemon=True)
+        t.start()
+        deadline = _t.monotonic() + 90
+        while _t.monotonic() < deadline:
+            if (sc.get_queue_status(db_path, poison) == "cancelled"
+                    and sc.get_queue_status(db_path, healthy) == "done"):
+                break
+            _t.sleep(0.2)
+        runner.request_stop()
+        t.join(timeout=15)
+        assert sc.get_queue_status(db_path, poison) == "cancelled"
+        assert sc.get_queue_status(db_path, healthy) == "done"
+        assert calls["n"] == MAX_MATCH_REPLAYS + 1  # first try + capped replays
+
+
+class TestCacheByteBudget:
+    def test_byte_budget_evicts_lru_first(self, tmp_path):
+        """The device LRU enforces an HBM byte budget, not just a count cap
+        (flagship fp32 trees would otherwise exhaust the chip as the league
+        pool grows — round-2 soak finding)."""
+        store = OpponentStore(str(tmp_path / "obs.db"),
+                              str(tmp_path / "league"),
+                              cache_size=64, cache_bytes=None)
+        model, _ = build_model("mlp", {"hidden_sizes": [64]})
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        entries = [store.add_entry(v, architecture="mlp",
+                                   model_params={"hidden_sizes": [64]},
+                                   created_epoch=0, role=Role.DYNAMIC)
+                   for _ in range(4)]
+        one_tree = store._tree_nbytes(
+            store.load_variables_cached(entries[0]))
+        assert one_tree > 0
+        # budget for ~2 trees
+        store._cache_bytes = int(one_tree * 2.5)
+        with store._lock:
+            store._cache.clear()
+            store._tree_bytes.clear()
+        for e in entries:
+            store.load_variables_cached(e)
+        with store._lock:
+            held = list(store._cache)
+            total = sum(store._tree_bytes[k] for k in held)
+        assert len(held) == 2, held
+        assert total <= store._cache_bytes
+        # most-recently-used entries survive
+        assert {k[0] for k in held} == {entries[2].id, entries[3].id}
+
+    def test_count_cap_still_enforced(self, tmp_path):
+        store = OpponentStore(str(tmp_path / "obs.db"),
+                              str(tmp_path / "league"),
+                              cache_size=2, cache_bytes=None)
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        entries = [store.add_entry(v, architecture="mlp",
+                                   model_params={"hidden_sizes": [8]},
+                                   created_epoch=0, role=Role.DYNAMIC)
+                   for _ in range(3)]
+        for e in entries:
+            store.load_variables_cached(e)
+        assert len(store._cache) == 2
+
+    def test_single_oversized_tree_still_cached(self, tmp_path):
+        # a tree bigger than the whole budget must not evict itself into
+        # a thrash loop: keep at least one entry
+        store = OpponentStore(str(tmp_path / "obs.db"),
+                              str(tmp_path / "league"),
+                              cache_size=8, cache_bytes=16)  # 16 BYTES
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        e = store.add_entry(v, architecture="mlp",
+                            model_params={"hidden_sizes": [8]},
+                            created_epoch=0, role=Role.DYNAMIC)
+        store.load_variables_cached(e)
+        assert len(store._cache) == 1

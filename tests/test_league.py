@@ -127,12 +127,12 @@ class TestOpponentStore:
             raise OSError("disk full")
         monkeypatch.setattr(store, "_save_variables", boom)
         store.update_weights(e.id, variables, flush="async")  # queued, fails
-        store.wait_for_flushes()
+        # drain WITHOUT consuming the error (wait_for_flushes would raise it)
+        store._flush_pool.submit(lambda: None).result()
         monkeypatch.undo()
         with pytest.raises(RuntimeError, match="async weight flush"):
             store.update_weights(e.id, variables, flush="async")
-        # the error is consumed: the retry itself succeeded
-        store.wait_for_flushes()
+        # the error is consumed: the retry itself succeeds
         store.update_weights(e.id, variables, flush="async")
         store.wait_for_flushes()
 
