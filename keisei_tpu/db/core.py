@@ -32,6 +32,15 @@ def init_db(db_path: str) -> None:
     os.makedirs(parent, exist_ok=True)
     conn = connect(db_path)
     try:
+        # fast path: a current-version DB needs no DDL — running the
+        # CREATE TABLE script anyway takes write locks, which makes a
+        # read-mostly attacher (the dashboard) queue behind a busy trainer
+        try:
+            row = conn.execute("SELECT version FROM schema_version").fetchone()
+            if row and row[0] == SCHEMA_VERSION:
+                return
+        except Exception:
+            pass  # missing table: fresh/partial db — run the full DDL
         conn.executescript(DDL)
         row = conn.execute("SELECT version FROM schema_version").fetchone()
         version = row[0] if row else 0

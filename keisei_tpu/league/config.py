@@ -68,7 +68,10 @@ class DynamicConfig:
     lr_scale: float = 0.25
     grad_clip: float = 1.0
     update_every_matches: int = 4
-    max_updates_per_minute: int = 20
+    # each update's async weight flush is a full checkpoint through the
+    # device tunnel (~1 min at b40c256); 20/min could never drain and the
+    # queued D2H traffic starves the training step's dispatch
+    max_updates_per_minute: int = 6
     checkpoint_flush_every: int = 8
     disable_on_error: bool = True
     max_buffer_depth: int = 8
@@ -218,8 +221,8 @@ class StorageConfig:
     # scale (fp32 native trees from dynamic updates are ~2x the bf16
     # inference trees; an unbounded mix exhausted the chip in the round-2
     # flagship soak once the pool reached ~8 entries)
-    cache_entries: int = 8
-    cache_bytes_gb: float = 1.5
+    cache_entries: int = 16
+    cache_bytes_gb: float = 3.0
 
     def __post_init__(self):
         if self.cache_entries < 1:

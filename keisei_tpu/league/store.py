@@ -213,18 +213,22 @@ class OpponentEntry:
 class OpponentStore:
     """Thread-safe snapshot pool over the shared observability DB."""
 
-    def __init__(self, db_path: str, league_dir: str, cache_size: int = 8,
-                 cache_bytes: float | None = 1.5e9):
-        # count default 8: covers a K=4 cohort plus an in-process tournament
-        # round's working set without thrash-evicting the cohort between
-        # epochs (each eviction costs an Orbax restore + tunnel upload).
+    def __init__(self, db_path: str, league_dir: str, cache_size: int = 16,
+                 cache_bytes: float | None = 3e9):
         # The BYTE budget is the binding limit at flagship scale: dynamic
         # updates seed fp32 native trees (~385 MB each for b40c256), so a
-        # count-only LRU grows past 3 GB as the pool fills and tips the
-        # chip into RESOURCE_EXHAUSTED once the learner update's working
-        # set peaks (observed in the round-2 flagship soak at ~8 entries;
-        # the axon backend exposes no memory_stats, so the budget must be
-        # enforced a priori rather than by backpressure).
+        # count-only LRU grows without bound as the pool fills and tips
+        # the chip into RESOURCE_EXHAUSTED (the axon backend exposes no
+        # memory_stats, so the budget must be a priori, not backpressure).
+        # The budget must be sized to hold the POOL's bf16 inference trees
+        # (~192 MB each at b40c256; 10-entry pool ≈ 1.9 GB) plus a couple
+        # of fp32 natives: an evicted cohort member costs an Orbax restore
+        # PLUS a ~740-leaf device upload through the tunnel — measured at
+        # minutes per epoch when a too-small budget thrash-evicted the
+        # cohort (the exact regression the round-1 device-resident LRU
+        # fixed). Natives are evicted before bf16 trees for the same
+        # reason: bf16 is the hot inference set, natives are only touched
+        # by (rate-limited) dynamic updates.
         self.db_path = db_path
         self.league_dir = os.path.abspath(league_dir)
         os.makedirs(self.league_dir, exist_ok=True)
@@ -328,21 +332,32 @@ class OpponentStore:
 
     def _cache_put(self, key: tuple, variables) -> None:
         """Insert into the device LRU, evicting past BOTH the entry-count
-        cap and the byte budget (HBM is the scarce resource; see __init__)."""
+        cap and the byte budget (HBM is the scarce resource; see __init__).
+        Eviction order: LRU natives first, then LRU overall — the bf16
+        inference set must survive (evicting it costs tunnel re-uploads)."""
         nbytes = self._tree_nbytes(variables)
         with self._lock:
             self._cache[key] = variables
             self._cache.move_to_end(key)
             self._tree_bytes[key] = nbytes
+
             def total():
                 return sum(self._tree_bytes.get(k, 0) for k in self._cache)
-            while len(self._cache) > 1 and (
-                len(self._cache) > self._cache_size
-                or (self._cache_bytes is not None
-                    and total() > self._cache_bytes)
-            ):
-                old_key, _ = self._cache.popitem(last=False)
-                self._tree_bytes.pop(old_key, None)
+
+            def over():
+                return len(self._cache) > self._cache_size or (
+                    self._cache_bytes is not None
+                    and total() > self._cache_bytes
+                )
+
+            while len(self._cache) > 1 and over():
+                victim = next(
+                    (k for k in self._cache
+                     if k[2] == "native" and k != key), None)
+                if victim is None:
+                    victim = next(k for k in self._cache if k != key)
+                del self._cache[victim]
+                self._tree_bytes.pop(victim, None)
 
     def save_optimizer(self, entry_id: int, opt_state) -> str:
         path = os.path.join(self._entry_dir(entry_id), "optimizer")

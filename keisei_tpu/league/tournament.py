@@ -41,6 +41,7 @@ class LeagueTournament:
         max_pairings_per_round: int = 8,
         min_pool: int = 3,
         min_epoch: int = 5,
+        heartbeat=None,
     ):
         self.store = store
         self.config = config
@@ -51,6 +52,10 @@ class LeagueTournament:
         self.max_pairings_per_round = max_pairings_per_round
         self.min_pool = min_pool
         self.min_epoch = min_epoch
+        # zero-arg callback invoked between pairings: a flagship round can
+        # run for minutes (match play + dynamic-update compiles), and
+        # without beats /healthz flags the trainer dead at 30 s staleness
+        self.heartbeat = heartbeat or (lambda: None)
         self.rounds_played = 0
         self._runners: dict[tuple, object] = {}
         self._models: dict[str, object] = {}
@@ -118,6 +123,7 @@ class LeagueTournament:
                     (a, b) for a, b in pooled if (a.id, b.id) not in recorded
                 ] + sequential
         for a, b in sequential:
+            self.heartbeat()
             try:
                 stats = self._play_pairing(a, b, epoch)
             except Exception:
@@ -126,6 +132,7 @@ class LeagueTournament:
             completed += 1
             total_games += stats["games"]
             total_plies += stats["plies"]
+        self.heartbeat()
         self.scorer.advance_round()
         self.rounds_played += 1
 

@@ -385,9 +385,30 @@ function renderStatus() {
     card("episodes", t.episodes ?? "—") +
     card("draw rate", last.draw_rate != null ? (last.draw_rate * 100).toFixed(1) + "%" : "—") +
     card("ep length", last.avg_episode_length != null ? last.avg_episode_length.toFixed(0) : "—") +
+    card("uptime", uptimeOf(t)) +
     card("cpu", sys.cpu_percent != null ? sys.cpu_percent + "%" : "—") +
     card("ram", sys.ram_used_gb != null ? `${sys.ram_used_gb}/${sys.ram_total_gb} GB` : "—");
 }
+
+// run age from training_state.started_at (ISO) vs heartbeat_at (unix sec)
+function uptimeOf(t) {
+  if (!t.started_at) return "—";
+  const start = Date.parse(t.started_at);
+  if (!Number.isFinite(start)) return "—";
+  const end = t.heartbeat_at ? t.heartbeat_at * 1000 : Date.now();
+  return KT.timeFormat((end - start) / 1000);
+}
+
+// hover explanations on every chart title (reference configTooltip)
+function applyMetricHelp() {
+  for (const [id, help] of Object.entries(KT.METRIC_HELP)) {
+    const cv = document.getElementById(id);
+    if (!cv) continue;
+    const h3 = cv.closest(".chart-box")?.querySelector("h3");
+    if (h3) h3.title = help;
+  }
+}
+applyMetricHelp();
 function seriesOf(field, color, label) {
   return { color, label, points: S.metrics.map(m => [m.epoch, m[field]]) };
 }
@@ -464,8 +485,8 @@ function renderBoards() {
   const count = parseInt(document.getElementById("boards-count").value, 10) || 12;
   const games = [...S.games.values()].sort((a, b) => a.game_id - b.game_id).slice(0, count);
   el.innerHTML = games.map(g => {
-    const board = JSON.parse(g.board_json || "[]");
-    const hands = JSON.parse(g.hands_json || "{}");
+    const board = KT.safeParse(g.board_json, []);
+    const hands = KT.safeParse(g.hands_json, {});
     return `<div class="board-card">
       <div class="meta">game ${g.game_id} · ply ${g.ply} · ${g.current_player} to move
         ${g.in_check ? "· <b>check</b>" : ""} ${g.game_type === "demo" ? "· demo" : ""}</div>
@@ -594,7 +615,7 @@ function h2hFor(id) { return KT.h2hFor(S.league.h2h, id); }
 
 function styleCommentary(row) {
   try {
-    const c = JSON.parse(row.commentary_json || "[]");
+    const c = KT.safeParse(row.commentary_json, []);
     return Array.isArray(c) ? c.join(" ") : String(c);
   } catch { return ""; }
 }
@@ -606,7 +627,7 @@ function renderEntryDetail() {
   panel.classList.remove("hidden");
   const styleRow = S.league.styles.find(s => s.checkpoint_id === e.id);
   let flavour = [];
-  try { flavour = JSON.parse(e.flavour_facts || "[]"); } catch { /* ignore */ }
+  flavour = KT.safeParse(e.flavour_facts, []);
   const names = Object.fromEntries(S.league.entries.map(x => [x.id, x.display_name || "#" + x.id]));
   const h2h = h2hFor(e.id).sort((a, b) => b.g - a.g).slice(0, 6)
     .map(r => `${names[r.opp] || "#" + r.opp}: ${r.w}-${r.l}-${r.d}`).join(" · ");
@@ -795,8 +816,8 @@ function renderShowcase() {
       `<div class="meta">ply ${m.ply} · ${moverOf(m)} played ${m.usi_notation}` +
       `${m.in_check ? " · <b>check</b>" : ""}` +
       `${S.reviewPly != null ? " · <i>review</i>" : ""}</div>` +
-      coordWrap(boardHTML(JSON.parse(m.board_json), heat, dest)) +
-      handsHTML(JSON.parse(m.hands_json));
+      coordWrap(boardHTML(KT.safeParse(m.board_json, []), heat, dest)) +
+      handsHTML(KT.safeParse(m.hands_json, {}));
     const p = blackProb(m);
     if (p != null) {
       document.getElementById("sc-evalfill").style.width = `${Math.round(p * 100)}%`;
@@ -816,7 +837,7 @@ function renderShowcase() {
   const comm = document.getElementById("sc-commentary");
   let cands = [];
   if (m && m.top_candidates) {
-    try { cands = JSON.parse(m.top_candidates); } catch { /* ignore */ }
+    cands = KT.safeParse(m.top_candidates, []);
   }
   comm.innerHTML = m
     ? `<h4>Policy preferences · ply ${m.ply}</h4>` +

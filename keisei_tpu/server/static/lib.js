@@ -356,6 +356,54 @@
     return Math.abs(points[lo][0] - x) <= Math.abs(points[hi][0] - x) ? lo : hi;
   }
 
+  /** "2d 4h", "3h 12m", "45s" — elapsed-time formatting for status cards
+   *  (reference timeFormat.js). Negative/invalid input returns "—". */
+  function timeFormat(seconds) {
+    if (!Number.isFinite(seconds) || seconds < 0) return "—";
+    const d = Math.floor(seconds / 86400);
+    const h = Math.floor((seconds % 86400) / 3600);
+    const m = Math.floor((seconds % 3600) / 60);
+    const s = Math.floor(seconds % 60);
+    if (d) return `${d}d ${h}h`;
+    if (h) return `${h}h ${m}m`;
+    if (m) return `${m}m ${s}s`;
+    return `${s}s`;
+  }
+
+  /** JSON.parse that never throws (reference safeParse.js). */
+  function safeParse(text, fallback = null) {
+    if (typeof text !== "string" || !text) return fallback;
+    try {
+      const v = JSON.parse(text);
+      return v == null ? fallback : v;
+    } catch {
+      return fallback;
+    }
+  }
+
+  /** Plain-language explanations for the training charts, rendered as
+   *  hover tooltips (reference configTooltip.js / AboutView glossary). */
+  const METRIC_HELP = {
+    "c-policy": "PPO clipped-surrogate policy loss. Hovers near zero by " +
+      "construction; the trend matters less than entropy and win rates.",
+    "c-value": "Cross-entropy of the win/draw/loss head against game " +
+      "outcomes. Falling = the network predicts results better.",
+    "c-entropy": "Policy uncertainty in nats (max ~9.3 over 11,259 " +
+      "actions). Decays as the policy sharpens; a floor is scheduled.",
+    "c-winrates": "Black/white win share of finished games. Black holds " +
+      "a small first-move edge at equal strength.",
+    "c-eplen": "Average game length in plies. Collapsing lengths can " +
+      "signal degenerate play; max-ply truncations count as draws.",
+    "c-gnorm": "Global gradient norm before clipping (clip at 1.0). " +
+      "Spikes mean unusually surprising batches.",
+    "c-wl": "Learner win and loss rates against the league cohort.",
+    "c-trunc": "Share of games hitting the max-ply ceiling.",
+    "c-episodes": "Finished games per epoch across all parallel envs.",
+    "c-elo": "League Elo over time, one line per pool entry.",
+    "c-winprob": "The network's win probability for Black at each ply " +
+      "of the showcase game.",
+  };
+
   /** Compact number formatting for axis labels / tooltips. */
   function fmt(v) {
     const a = Math.abs(v);
@@ -372,5 +420,6 @@
            collapseEvents, h2hFor, winRate,
            sortEntries, recentMatches, scorecard, movePattern,
            niceTicks, ema, downsample, nearestIndex, fmt,
+           timeFormat, safeParse, METRIC_HELP,
            KANJI, KANJI_P, LETTER };
 });

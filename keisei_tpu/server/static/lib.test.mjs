@@ -312,3 +312,33 @@ test("collapseEvents distinguishes role vs status transitions and caps", () => {
   const many = Array.from({ length: 60 }, (_, i) => ({ entry_id: i }));
   assert.equal(KT.collapseEvents(many, 25).length, 25);
 });
+
+test("timeFormat covers all magnitudes and rejects bad input", () => {
+  assert.equal(KT.timeFormat(0), "0s");
+  assert.equal(KT.timeFormat(45), "45s");
+  assert.equal(KT.timeFormat(3 * 60 + 12), "3m 12s");
+  assert.equal(KT.timeFormat(3 * 3600 + 12 * 60), "3h 12m");
+  assert.equal(KT.timeFormat(2 * 86400 + 4 * 3600 + 30), "2d 4h");
+  assert.equal(KT.timeFormat(-5), "—");
+  assert.equal(KT.timeFormat(NaN), "—");
+  assert.equal(KT.timeFormat(Infinity), "—");
+});
+
+test("safeParse never throws and honors fallback", () => {
+  assert.deepEqual(KT.safeParse('{"a":1}'), { a: 1 });
+  assert.deepEqual(KT.safeParse("not json", []), []);
+  assert.deepEqual(KT.safeParse("", {}), {});
+  assert.deepEqual(KT.safeParse(null, "x"), "x");
+  assert.deepEqual(KT.safeParse(undefined, 7), 7);
+  assert.deepEqual(KT.safeParse("null", 5), 5); // null payload -> fallback
+  assert.deepEqual(KT.safeParse("[1,2]"), [1, 2]);
+});
+
+test("METRIC_HELP names only chart canvases that exist in index.html", () => {
+  // structural: every key follows the chart-canvas id convention; content
+  // checks live in tests/test_server.py (DOM id cross-check)
+  for (const key of Object.keys(KT.METRIC_HELP)) {
+    assert.match(key, /^c-[a-z]+$/);
+    assert.ok(KT.METRIC_HELP[key].length > 20);
+  }
+});

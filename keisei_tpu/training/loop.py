@@ -247,7 +247,10 @@ class SelfPlayTrainer:
         if lc.tournament_enabled:
             if lc.tournament_mode == "in_process":
                 self.tournament = LeagueTournament(
-                    self.store, lc, self.scheduler, self.scorer, self.dyn_trainer
+                    self.store, lc, self.scheduler, self.scorer,
+                    self.dyn_trainer,
+                    heartbeat=lambda: self.observer.heartbeat(
+                        self.epoch, self.epoch * self.T, "tournament"),
                 )
             else:
                 self.dispatcher = TournamentDispatcher(

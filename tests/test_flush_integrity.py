@@ -312,3 +312,32 @@ class TestCacheByteBudget:
                             created_epoch=0, role=Role.DYNAMIC)
         store.load_variables_cached(e)
         assert len(store._cache) == 1
+
+    def test_natives_evicted_before_bf16(self, tmp_path):
+        """fp32 native trees must leave the LRU before bf16 inference trees
+        (evicting the cohort costs tunnel re-uploads every epoch)."""
+        store = OpponentStore(str(tmp_path / "obs.db"),
+                              str(tmp_path / "league"),
+                              cache_size=64, cache_bytes=None)
+        model, _ = build_model("mlp", {"hidden_sizes": [64]})
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        entries = [store.add_entry(v, architecture="mlp",
+                                   model_params={"hidden_sizes": [64]},
+                                   created_epoch=0, role=Role.DYNAMIC)
+                   for _ in range(3)]
+        # oldest-first: native e0, bf16 e0, bf16 e1; then shrink the budget
+        # so inserting native e2 must evict — the OLD NATIVE, not the bf16s
+        native_sz = store._tree_nbytes(store.load_variables_cached(entries[0]))
+        store.load_variables_cached(entries[0], dtype=jnp.bfloat16)
+        store.load_variables_cached(entries[1], dtype=jnp.bfloat16)
+        bf16_sz = min(v for v in store._tree_bytes.values())
+        store._cache_bytes = int(2 * bf16_sz + native_sz * 1.2)
+        store.load_variables_cached(entries[2])  # new native: triggers evict
+        with store._lock:
+            held = list(store._cache)
+        tags = [(k[0], k[2]) for k in held]
+        assert (entries[0].id, "native") not in tags  # old native evicted
+        assert (entries[0].id, "bfloat16") in tags    # bf16 survived
+        assert (entries[1].id, "bfloat16") in tags
+        assert (entries[2].id, "native") in tags
