@@ -36,6 +36,20 @@ from .store import OpponentEntry, OpponentStore
 logger = logging.getLogger(__name__)
 
 
+def _plan_chunks(cap: int, step_batch: int) -> tuple[int, int]:
+    """Minibatch plan for a padded batch of `cap` rows: the number of scan
+    steps and rows per step, with EVERY step <= step_batch rows.
+
+    ceil-div, not exact-div: a cap that is not a multiple of step_batch must
+    never collapse to one full-batch step — that reintroduces the flagship
+    OOM this chunking exists to prevent (review r2). When chunks does not
+    divide cap, a pass trains on the first chunks*chunk entries of the
+    per-epoch permutation, dropping < chunks random rows of a
+    weight-padded batch."""
+    chunks = max(1, -(-cap // step_batch))
+    return chunks, cap // chunks
+
+
 def _make_update_fn(model, cfg: DynamicConfig, optimizer, clip_epsilon: float = 0.2,
                     contract: str = "katago", step_batch: int = 1024):
     """Jitted: (variables, opt_state, batch, rng) -> (params', opt', metrics)."""
@@ -97,8 +111,7 @@ def _make_update_fn(model, cfg: DynamicConfig, optimizer, clip_epsilon: float = 
         # at flagship depth (b40c256 x 4096 needs ~4x the main update's
         # bs=1024 working set — the round-2 soak's first dynamic update
         # OOMed exactly here); scan minibatch steps like the main PPO update
-        chunks = max(1, cap // step_batch) if cap % step_batch == 0 else 1
-        chunk = cap // chunks
+        chunks, chunk = _plan_chunks(cap, step_batch)
 
         def one_step(carry, ix):
             params, batch_stats, opt_state = carry
@@ -113,7 +126,8 @@ def _make_update_fn(model, cfg: DynamicConfig, optimizer, clip_epsilon: float = 
             }
 
         def one_epoch(carry, key):
-            idx = jax.random.permutation(key, cap).reshape(chunks, chunk)
+            idx = jax.random.permutation(key, cap)[: chunks * chunk]
+            idx = idx.reshape(chunks, chunk)
             carry, m = jax.lax.scan(one_step, carry, idx)
             return carry, jax.tree.map(lambda x: x.mean(), m)
 
@@ -365,15 +379,28 @@ class DynamicTrainer:
         if not np.isfinite(pl):
             raise RuntimeError(f"non-finite dynamic policy loss: {pl}")
 
+        # architectures without batch_stats (mlp/scalar) must not persist an
+        # empty batch_stats collection: add_entry never writes one, and a
+        # disk tree carrying it breaks Orbax template restores against the
+        # learner's (batch_stats-free) variables (found live in an mlp
+        # league resume; store._restore also tolerates pre-existing trees)
+        if not new_vars.get("batch_stats"):
+            new_vars = {k: v for k, v in new_vars.items()
+                        if k != "batch_stats"}
+
+        # device tree handed over directly: the store seeds its LRU with it
+        # (no D2H + disk round trip) and flushes to Orbax in the background.
+        # update_weights can raise (a prior async flush failed) — it must
+        # come BEFORE the Adam moments are persisted, or a discarded weight
+        # update would leave cached moments one step ahead of the entry's
+        # actual weights (review r2)
+        self.store.update_weights(entry.id, new_vars, flush="async")
         # moments parked on host unless configured device-resident; the
         # jitted update re-uploads them transparently on the next call
         self._opt_states[entry.id] = (
             jax.device_get(opt_state) if self.config.offload_optimizer
             else opt_state
         )
-        # device tree handed over directly: the store seeds its LRU with it
-        # (no D2H + disk round trip) and flushes to Orbax in the background
-        self.store.update_weights(entry.id, new_vars, flush="async")
         self._updates_since_flush[entry.id] = (
             self._updates_since_flush.get(entry.id, 0) + 1
         )

@@ -20,6 +20,7 @@ import datetime
 import json
 import logging
 import os
+import re
 import shutil
 import threading
 from collections import OrderedDict
@@ -249,6 +250,48 @@ class OpponentStore:
         # seed would silently re-cache stale weights under the new key
         self._pending_trees: dict[int, tuple[int, Any]] = {}
 
+    @staticmethod
+    def _weights_version(path: str | None) -> int:
+        """Generation encoded in a committed weights path (0 for the
+        initial unversioned `weights` dir written by add_entry)."""
+        if not path:
+            return 0
+        m = re.search(r"weights-v(\d+)$", path)
+        return int(m.group(1)) if m else 0
+
+    def reconcile_update_counts(self) -> None:
+        """Heal the bump-before-flush crash window at trainer startup.
+
+        update_weights bumps update_count and then writes weights-v<count>
+        (async: seconds later). A process death in between leaves the DB
+        claiming a generation that never reached disk; every reader would
+        then cache the OLD committed weights under the NEW (id, count) key
+        forever. At startup, clamp update_count back to the version the
+        committed checkpoint_path actually names.
+
+        ONLY the process that owns dynamic updates (the trainer) may call
+        this, and only before its first update: a sidecar reconciling
+        against a LIVE trainer would clamp a bump whose async flush is
+        simply still in flight."""
+        rows = dbcore.fetch_all(
+            self.db_path,
+            "SELECT id, update_count, checkpoint_path FROM league_entries "
+            "WHERE update_count > 0",
+        )
+        for row in rows:
+            committed = self._weights_version(row["checkpoint_path"])
+            if committed < row["update_count"]:
+                logger.warning(
+                    "entry %d: update_count=%d but committed weights are "
+                    "v%d (flush lost in a crash) — reconciling to v%d",
+                    row["id"], row["update_count"], committed, committed,
+                )
+                dbcore.execute(
+                    self.db_path,
+                    "UPDATE league_entries SET update_count = ? WHERE id = ?",
+                    (committed, row["id"]),
+                )
+
     # -- weights io ------------------------------------------------------------
 
     def _entry_dir(self, entry_id: int) -> str:
@@ -267,10 +310,54 @@ class OpponentStore:
                 json.dump(meta, f)
             os.replace(tmp, os.path.join(path, "keisei_meta.json"))
 
-    def load_variables(self, entry: OpponentEntry, template: dict | None = None):
-        """Model variables ({params, batch_stats}) for an entry."""
+    @staticmethod
+    def _restore(path: str, template: dict | None):
+        """Orbax restore tolerating an empty-collection structure skew.
+
+        Trees written by older dynamic updates carry a batch_stats key even
+        for architectures with none (an empty dict the updater used to add
+        unconditionally); restoring those against a template WITHOUT
+        batch_stats is a hard Orbax structure error. Fall back to a
+        template-free restore and drop the empty collection — found live
+        when an mlp league run resumed and cohort-stacked a dynamic entry
+        from disk."""
         ckptr = ocp.PyTreeCheckpointer()
-        return ckptr.restore(entry.checkpoint_path, item=template)
+        if template is None:
+            return ckptr.restore(path)
+        try:
+            return ckptr.restore(path, item=template)
+        except ValueError as e:
+            if "structures do not match" not in str(e):
+                raise
+            tree = ckptr.restore(path)
+            if (isinstance(tree, dict) and not tree.get("batch_stats")
+                    and "batch_stats" not in template):
+                tree = {k: v for k, v in tree.items() if k != "batch_stats"}
+            return tree
+
+    def load_variables(self, entry: OpponentEntry, template: dict | None = None):
+        """Model variables ({params, batch_stats}) for an entry.
+
+        Tolerates a stale snapshot: `entry` may have been fetched before
+        one or more dynamic updates swung the entry's checkpoint_path, and
+        the snapshot's path may since have been garbage-collected (flush GC
+        keeps only the two newest generations). On a failed restore the
+        CURRENT pointer is re-fetched from the DB and tried once — serving
+        the newest committed weights beats failing a whole pairing over an
+        opponent that trained mid-round."""
+        try:
+            return self._restore(entry.checkpoint_path, template)
+        except Exception:
+            fresh = self.get_entry(entry.id)
+            if fresh.checkpoint_path == entry.checkpoint_path:
+                raise
+            logger.warning(
+                "entry %d: weights at %s are gone (superseded by v%d) — "
+                "loading the current generation instead",
+                entry.id, entry.checkpoint_path,
+                self._weights_version(fresh.checkpoint_path),
+            )
+            return self._restore(fresh.checkpoint_path, template)
 
     def load_variables_cached(self, entry: OpponentEntry,
                               template: dict | None = None, *, dtype=None):
@@ -642,25 +729,32 @@ class OpponentStore:
         """Write weights to new_path, swing checkpoint_path, drop the
         superseded directory.
 
-        The superseded path is read from the DB pointer HERE, not captured
-        at submit time: with back-to-back async updates, a submit-time
-        snapshot would make both jobs name the same old path and leak the
-        intermediate weights-v<N> directory forever."""
+        Superseded directories are garbage-collected by version with a
+        ONE-GENERATION grace: the previous committed tree is kept until the
+        next flush lands. Readers holding a stale OpponentEntry snapshot
+        (a tournament round that started before this update, a sidecar
+        mid-restore) still resolve their one-generation-old
+        checkpoint_path; deleting it immediately raced exactly those reads
+        (review r2). load_variables additionally retries with a fresh DB
+        pointer if its snapshot's path IS gone (two updates behind)."""
         try:
             self._save_variables(new_path, variables, meta=meta)
-            row = dbcore.fetch_one(
-                self.db_path,
-                "SELECT checkpoint_path FROM league_entries WHERE id = ?",
-                (entry_id,),
-            )
-            old_path = row["checkpoint_path"] if row else None
             dbcore.execute(
                 self.db_path,
                 "UPDATE league_entries SET checkpoint_path = ? WHERE id = ?",
                 (new_path, entry_id),
             )
-            if old_path and old_path != new_path:
-                shutil.rmtree(old_path, ignore_errors=True)
+            # GC by version: keep this generation and the previous one
+            entry_dir = self._entry_dir(entry_id)
+            versions = []
+            for name in os.listdir(entry_dir):
+                if name == "weights" or re.fullmatch(r"weights-v\d+", name):
+                    versions.append((self._weights_version(name), name))
+            keep = {v for v, _ in sorted(versions)[-2:]}
+            for v, name in versions:
+                if v not in keep:
+                    shutil.rmtree(os.path.join(entry_dir, name),
+                                  ignore_errors=True)
             with self._lock:
                 pend = self._pending_trees.get(entry_id)
                 if pend is not None and pend[0] <= count:

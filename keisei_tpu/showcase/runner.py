@@ -245,8 +245,12 @@ class ShowcaseRunner:
                         sc.cancel_match(self.db_path, claimed_id)
                         requeues.pop(claimed_id, None)
                     else:
-                        requeues[claimed_id] = requeues.get(claimed_id, 0) + 1
+                        # count AFTER the requeue write succeeds: a locked-DB
+                        # failure of requeue_entry itself must burn no replay
+                        # budget (the match never got replayed), or two lock
+                        # hiccups would cancel a never-replayed match
                         sc.requeue_entry(self.db_path, claimed_id)
+                        requeues[claimed_id] = requeues.get(claimed_id, 0) + 1
                     claimed_id = None
                     claimed_played = False
                 if time.monotonic() - last_sweep > 60.0:

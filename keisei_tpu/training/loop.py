@@ -227,6 +227,10 @@ class SelfPlayTrainer:
             cache_size=lc.storage.cache_entries,
             cache_bytes=lc.storage.cache_bytes_gb * 1e9,
         )
+        # trainer-only: clamp update_counts whose async weight flush was
+        # lost to a crash back to the committed on-disk generation (no
+        # flushes can be in flight — this process has not updated yet)
+        self.store.reconcile_update_counts()
         self.pool = TieredPool(self.store, lc)
         self.scorer = PriorityScorer(
             lc.priority, build_match_class_weights(lc.scheduler))

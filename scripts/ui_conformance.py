@@ -113,8 +113,9 @@ def check_demo_drive() -> None:
         dbp = str(pathlib.Path(td) / "demo.db")
         r = subprocess.run([sys.executable, "scripts/seed_demo_db.py", dbp],
                            capture_output=True, text=True, cwd=str(root))
+        err_tail = (r.stderr.strip() or r.stdout.strip()).splitlines()
         check("demo DB seeds", r.returncode == 0,
-              r.stderr.strip().splitlines()[-1] if r.returncode else "")
+              err_tail[-1] if r.returncode and err_tail else "")
         if r.returncode:
             return
         n, violations = asyncio.run(_drive_demo(dbp))

@@ -128,3 +128,71 @@ class TestDynamicTrainer:
         trainer.record_rollout(entry.id, rollout, side="b")
         assert trainer._match_counts[entry.id] == 1
         assert entry.id not in trainer._buffers
+
+
+class TestChunkPlan:
+    """Review r2: a batch_cap that is not a multiple of step_batch must
+    still be chunked (never one full-batch fwd+bwd — the flagship OOM)."""
+
+    def test_every_plan_bounded_by_step_batch(self):
+        from keisei_tpu.league.dynamic_trainer import _plan_chunks
+        for cap in (1, 4, 10, 256, 300, 3000, 4096, 4097, 8191):
+            for step in (1, 4, 128, 1024):
+                chunks, chunk = _plan_chunks(cap, step)
+                assert 1 <= chunk <= min(step, cap), (cap, step, chunks, chunk)
+                assert chunks * chunk <= cap
+                # drops fewer rows than one chunk per pass
+                assert cap - chunks * chunk < chunks or chunks == 1
+
+    def test_exact_multiples_drop_nothing(self):
+        from keisei_tpu.league.dynamic_trainer import _plan_chunks
+        assert _plan_chunks(4096, 1024) == (4, 1024)
+        assert _plan_chunks(1024, 1024) == (1, 1024)
+        assert _plan_chunks(512, 1024) == (1, 512)
+
+    def test_non_multiple_regression_case(self):
+        from keisei_tpu.league.dynamic_trainer import _plan_chunks
+        chunks, chunk = _plan_chunks(3000, 1024)  # the review's repro
+        assert chunks == 3 and chunk == 1000      # NOT (1, 3000)
+
+    @pytest.mark.integration
+    def test_update_trains_with_non_multiple_cap(self, setup):
+        store, model, variables, entry = setup
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1,
+                            min_games_before_eviction=0)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=100,
+                                 step_batch=48, contract="scalar")
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        before = jax.tree.leaves(store.load_variables(entry))[0]
+        assert trainer.maybe_update(entry, seed=3)
+        store.wait_for_flushes()
+        after = jax.tree.leaves(store.load_variables(store.get_entry(entry.id)))[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+class TestOptStateOrdering:
+    @pytest.mark.integration
+    def test_failed_weight_install_discards_new_moments(self, setup):
+        """Review r2: if update_weights rejects the new weights (a prior
+        async flush failed), the Adam moments from the discarded step must
+        NOT be persisted — moments must never run ahead of the weights."""
+        store, model, variables, entry = setup
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1,
+                            min_games_before_eviction=0,
+                            max_consecutive_errors=5)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=128,
+                                 contract="scalar")
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        # arm a pending flush failure: the NEXT update_weights call raises
+        # before bumping (store surfaces prior async errors there)
+        store._flush_errors.append(OSError("disk full"))
+        count_before = store.get_entry(entry.id).update_count
+        assert not trainer.maybe_update(entry, seed=1)   # counted as error
+        assert entry.id not in trainer._opt_states        # moments discarded
+        assert store.get_entry(entry.id).update_count == count_before
+        # and after the failure is consumed, a clean retry succeeds
+        trainer.record_rollout(entry.id, rollout, side="a")
+        assert trainer.maybe_update(entry, seed=2)
+        assert entry.id in trainer._opt_states

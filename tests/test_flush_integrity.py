@@ -81,21 +81,27 @@ class TestPendingTreePin:
             leaf0(cold.load_variables(cold.get_entry(entry.id))),
             leaf0(new_vars))
 
-    def test_back_to_back_updates_leak_no_directories(self, store, entry):
+    def test_back_to_back_updates_keep_exactly_one_grace_generation(
+            self, store, entry):
+        """GC keeps the committed tree plus ONE superseded generation (so
+        stale snapshots from the current round still resolve) and deletes
+        everything older — no unbounded weights-v<N> accumulation."""
         old = store.load_variables(store.get_entry(entry.id))
         v1 = jax.tree.map(lambda x: x + 1.0, old)
         v2 = jax.tree.map(lambda x: x + 2.0, old)
+        v3 = jax.tree.map(lambda x: x + 3.0, old)
         store.update_weights(entry.id, v1, flush="async")
         store.update_weights(entry.id, v2, flush="async")
+        store.update_weights(entry.id, v3, flush="async")
         store.wait_for_flushes()
         e2 = store.get_entry(entry.id)
-        assert e2.update_count == 2
-        assert e2.checkpoint_path.endswith("weights-v2")
+        assert e2.update_count == 3
+        assert e2.checkpoint_path.endswith("weights-v3")
         dirs = sorted(d for d in os.listdir(store._entry_dir(entry.id))
                       if d.startswith("weights"))
-        assert dirs == ["weights-v2"], f"leaked checkpoint dirs: {dirs}"
+        assert dirs == ["weights-v2", "weights-v3"], f"checkpoint dirs: {dirs}"
         np.testing.assert_allclose(
-            leaf0(store.load_variables(e2)), leaf0(v2))
+            leaf0(store.load_variables(e2)), leaf0(v3))
 
 
 class TestFlushFailureSurfacing:
@@ -341,3 +347,181 @@ class TestCacheByteBudget:
         assert (entries[0].id, "bfloat16") in tags    # bf16 survived
         assert (entries[1].id, "bfloat16") in tags
         assert (entries[2].id, "native") in tags
+
+
+class TestStaleSnapshotLoads:
+    """Review r2: readers holding a pre-update OpponentEntry snapshot must
+    still resolve weights after the entry trains (and its old dirs are
+    garbage-collected)."""
+
+    def test_one_generation_stale_snapshot_loads_from_grace_dir(
+            self, store, entry):
+        stale = store.get_entry(entry.id)       # v0: .../weights
+        old = store.load_variables(stale)
+        v1 = jax.tree.map(lambda x: x + 1.0, old)
+        store.update_weights(entry.id, v1, flush="async")
+        store.wait_for_flushes()
+        # the v0 dir still exists (grace) and serves the v0 tree verbatim
+        got = store.load_variables(stale)
+        np.testing.assert_allclose(leaf0(got), leaf0(old))
+
+    def test_two_generations_stale_snapshot_retries_fresh_pointer(
+            self, store, entry, caplog):
+        stale = store.get_entry(entry.id)       # v0: .../weights
+        old = store.load_variables(stale)
+        v1 = jax.tree.map(lambda x: x + 1.0, old)
+        v2 = jax.tree.map(lambda x: x + 2.0, old)
+        store.update_weights(entry.id, v1, flush="async")
+        store.update_weights(entry.id, v2, flush="async")
+        store.wait_for_flushes()
+        assert not os.path.isdir(stale.checkpoint_path)  # GC'd by v2's job
+        import logging
+        with caplog.at_level(logging.WARNING):
+            got = store.load_variables(stale)
+        # served the newest committed generation instead of crashing
+        np.testing.assert_allclose(leaf0(got), leaf0(v2))
+        assert any("superseded" in r.message for r in caplog.records)
+
+    def test_missing_entry_dir_still_raises(self, store, entry):
+        import shutil
+        shutil.rmtree(store._entry_dir(entry.id))
+        with pytest.raises(Exception):
+            store.load_variables(store.get_entry(entry.id))
+
+
+class TestReconcileUpdateCounts:
+    """Review r2: a crash between the update_count bump and the async disk
+    flush mints a generation that exists nowhere; trainer startup clamps
+    the count back to the committed on-disk version."""
+
+    def test_lost_flush_clamped(self, store, entry):
+        store.bump_update_count(entry.id)        # bump with NO disk write,
+        store.bump_update_count(entry.id)        # like a crash mid-window
+        assert store.get_entry(entry.id).update_count == 2
+        cold = OpponentStore(store.db_path, store.league_dir)
+        cold.reconcile_update_counts()
+        e = cold.get_entry(entry.id)
+        assert e.update_count == 0               # committed path is weights (v0)
+        assert e.checkpoint_path.endswith("weights")
+        # and the next real update mints v1 cleanly on top
+        old = cold.load_variables(e)
+        cold.update_weights(entry.id, jax.tree.map(lambda x: x + 1.0, old),
+                            flush="sync")
+        e2 = cold.get_entry(entry.id)
+        assert e2.update_count == 1
+        assert e2.checkpoint_path.endswith("weights-v1")
+
+    def test_consistent_counts_untouched(self, store, entry):
+        old = store.load_variables(store.get_entry(entry.id))
+        store.update_weights(entry.id, jax.tree.map(lambda x: x + 1.0, old),
+                             flush="sync")
+        store.reconcile_update_counts()
+        e = store.get_entry(entry.id)
+        assert e.update_count == 1
+        assert e.checkpoint_path.endswith("weights-v1")
+
+
+class TestRequeueWriteFailuresBurnNoBudget:
+    def test_failed_requeue_writes_do_not_cancel_the_match(
+            self, tmp_path, monkeypatch):
+        """Review r2: the replay budget must count actual replays granted,
+        not attempts to WRITE the requeue — MAX_MATCH_REPLAYS lock hiccups
+        on requeue_entry itself must not cancel a match that was never
+        replayed."""
+        import sqlite3
+        import time as _t
+
+        from keisei_tpu.db import showcase as sc
+        from keisei_tpu.showcase import runner as runner_mod
+        from keisei_tpu.showcase.runner import MAX_MATCH_REPLAYS, ShowcaseRunner
+
+        db_path = str(tmp_path / "obs.db")
+        store = OpponentStore(db_path, str(tmp_path / "league"))
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        for seed in (0, 1):
+            v = model.init(jax.random.key(seed),
+                           jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+            store.add_entry(v, architecture="mlp",
+                            model_params={"hidden_sizes": [16]},
+                            created_epoch=0, role=Role.DYNAMIC)
+        qid = sc.queue_match(db_path, "1", "2", "fast")
+        runner = ShowcaseRunner(db_path, str(tmp_path / "league"), max_ply=6,
+                                auto_showcase=False, store=store)
+        # fast backoffs so MAX_MATCH_REPLAYS x 5s lock-retry waits don't
+        # dominate the test
+        real_sleep = _t.sleep
+        monkeypatch.setattr(runner_mod.time, "sleep",
+                            lambda s: real_sleep(min(s, 0.05)))
+
+        plays = {"n": 0}
+        real_play = runner.play_match
+
+        def flaky_play(row):
+            plays["n"] += 1
+            if plays["n"] == 1:
+                raise sqlite3.OperationalError("locked")
+            real_play(row)
+
+        monkeypatch.setattr(runner, "play_match", flaky_play)
+
+        requeue_fails = {"n": 0}
+        real_requeue = sc.requeue_entry
+
+        def flaky_requeue(dbp, entry_id):
+            if requeue_fails["n"] < MAX_MATCH_REPLAYS:
+                requeue_fails["n"] += 1
+                raise sqlite3.OperationalError("locked")
+            real_requeue(dbp, entry_id)
+
+        monkeypatch.setattr(runner_mod.sc, "requeue_entry", flaky_requeue)
+
+        import threading
+        t = threading.Thread(target=runner.run, daemon=True)
+        t.start()
+        deadline = _t.monotonic() + 60
+        while _t.monotonic() < deadline:
+            if sc.get_queue_status(db_path, qid) == "done":
+                break
+            real_sleep(0.1)
+        runner.request_stop()
+        t.join(timeout=15)
+        # the match WAS replayed and completed — never cancelled, even
+        # though requeue_entry failed MAX_MATCH_REPLAYS times first
+        assert sc.get_queue_status(db_path, qid) == "done"
+        assert requeue_fails["n"] == MAX_MATCH_REPLAYS
+        assert plays["n"] == 2
+
+
+class TestEmptyBatchStatsSkew:
+    """Found live on the TPU: dynamic updates used to persist an empty
+    batch_stats collection for batch-stats-free architectures (mlp/scalar);
+    restoring such a tree against the learner's template is a hard Orbax
+    structure error. The writer no longer persists it; the reader tolerates
+    pre-existing trees."""
+
+    def test_legacy_tree_restores_against_batchstats_free_template(
+            self, store, entry):
+        old = store.load_variables(store.get_entry(entry.id))
+        assert "batch_stats" not in old
+        legacy = {**jax.tree.map(lambda x: x + 1.0, old), "batch_stats": {}}
+        store.update_weights(entry.id, legacy, flush="sync")
+        cold = OpponentStore(store.db_path, store.league_dir)
+        got = cold.load_variables(cold.get_entry(entry.id), template=old)
+        assert "batch_stats" not in got
+        np.testing.assert_allclose(leaf0(got), leaf0(old) + 1.0)
+
+    def test_batchful_architectures_unaffected(self, tmp_path):
+        """A tree with REAL batch_stats restores through the normal
+        template path unchanged."""
+        store = OpponentStore(str(tmp_path / "o.db"), str(tmp_path / "lg"))
+        params = {"num_blocks": 1, "channels": 8, "se_reduction": 2,
+                  "global_pool_channels": 4, "policy_channels": 4,
+                  "value_fc_size": 8, "score_fc_size": 8}
+        model, _ = build_model("se_resnet", params)
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        entry = store.add_entry(v, architecture="se_resnet",
+                                model_params=params,
+                                created_epoch=0, role=Role.DYNAMIC)
+        got = store.load_variables(store.get_entry(entry.id), template=v)
+        assert jax.tree.structure(got) == jax.tree.structure(v)

@@ -1,6 +1,7 @@
 """Showcase sidecar: heatmap, model cache, full exhibition game."""
 
 import json
+import time
 
 import numpy as np
 import pytest
@@ -200,7 +201,13 @@ class TestShowcaseControl:
         db_path, store = pool2
         runner = ShowcaseRunner(db_path, str(store.league_dir),
                                 auto_showcase=True, store=store)
-        runner._last_activity = 0.0  # long idle
+        # long idle: subtract the interval rather than assuming 0.0 is old —
+        # time.monotonic() counts from BOOT, so on a machine up for less
+        # than AUTO_SHOWCASE_INTERVAL_S the 0.0 sentinel is NOT idle enough
+        # (this flaked on a 25-minute-old CI VM)
+        import keisei_tpu.showcase.runner as runner_mod
+        runner._last_activity = (
+            time.monotonic() - runner_mod.AUTO_SHOWCASE_INTERVAL_S - 1.0)
         runner._maybe_auto_showcase()
         q = sc.read_queue(db_path)
         assert len(q) == 1 and q[0]["status"] == "pending"
