@@ -43,7 +43,9 @@ from .telemetry import (
     read_game_snapshots,
     read_game_snapshots_since,
     read_metrics_since,
+    read_metrics_tail,
     read_training_state,
+    sum_episodes_completed,
     set_status,
     set_total_epochs,
     update_heartbeat,
@@ -61,6 +63,8 @@ __all__ = [
     "wal_checkpoint",
     "write_metrics",
     "read_metrics_since",
+    "read_metrics_tail",
+    "sum_episodes_completed",
     "write_game_snapshots",
     "read_game_snapshots",
     "read_game_snapshots_since",

@@ -37,6 +37,30 @@ def read_metrics_since(db_path: str, since_id: int, limit: int = 500) -> list[di
     )
 
 
+def read_metrics_tail(db_path: str, limit: int = 500) -> list[dict[str, Any]]:
+    """Newest `limit` metrics rows, ascending id.
+
+    For init payloads: read_metrics_since(p, 0, N) returns rows 1..N — on a
+    long run a (re)connecting dashboard would then crawl from the oldest
+    epoch to live at the poll rate (minutes of stale charts). The client
+    wants the RECENT window."""
+    return core.fetch_all(
+        db_path,
+        "SELECT * FROM (SELECT * FROM metrics ORDER BY id DESC LIMIT ?) "
+        "ORDER BY id",
+        (limit,),
+    )
+
+
+def sum_episodes_completed(db_path: str) -> int:
+    """Lifetime episode count across ALL metrics rows (the init payload only
+    carries the newest window, so the counter must come from SQL)."""
+    row = core.fetch_one(
+        db_path, "SELECT COALESCE(SUM(episodes_completed), 0) AS s FROM metrics"
+    )
+    return int(row["s"]) if row else 0
+
+
 # --- training_state singleton ------------------------------------------------
 
 

@@ -106,6 +106,19 @@ def parse_sfen(sfen: str) -> tuple[np.ndarray, np.ndarray, int]:
     return board, hands, stm
 
 
+def parse_sfen_move_number(sfen: str) -> int | None:
+    """Optional 4th SFEN field: the 1-based number of the NEXT move.
+
+    The reference discards it (sfen.rs:186 'parts[3] is the move number —
+    we ignore it'), which leaves a seeded spectator game's ply plane at 0
+    and grants it a full max_ply of extra moves. Returns None when absent
+    or malformed (lenient: the field is informational)."""
+    parts = sfen.split()
+    if len(parts) >= 4 and parts[3].isdigit() and int(parts[3]) >= 1:
+        return int(parts[3])
+    return None
+
+
 def to_sfen(board: np.ndarray, hands: np.ndarray, stm: int) -> str:
     rows = []
     for r in range(9):

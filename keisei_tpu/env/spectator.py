@@ -18,7 +18,7 @@ import numpy as np
 
 from ..engine import core as C
 from ..engine import types as TY
-from ..engine.sfen import parse_sfen, to_sfen
+from ..engine.sfen import parse_sfen, parse_sfen_move_number, to_sfen
 from ..engine.zobrist import compute_hash
 from .spectator_data import build_spectator_dict, move_notation, move_usi
 from .vec_env import FLAT_TO_SPATIAL, SPATIAL_TO_FLAT
@@ -81,11 +81,18 @@ class SpectatorEnv:
                   action_mode: str = "default") -> "SpectatorEnv":
         env = cls(max_ply or 500, action_mode)
         board, hands, stm = parse_sfen(sfen)  # raises on invalid SFEN
+        # honor the optional move-number field: ply feeds the observation's
+        # progress plane and the max_ply truncation — leaving it at 0 would
+        # grant a move-120 position 120 extra plies and lie to the model
+        # (the reference ignores the field, sfen.rs:186; deliberate fix)
+        move_no = parse_sfen_move_number(sfen)
+        ply = (move_no - 1) if move_no else 0
         state = C.init_state(env.max_ply)
         h = compute_hash(board, hands, stm)
         env._state = jax.tree.map(jnp.asarray, state).replace(
             board=jnp.asarray(board), hands=jnp.asarray(hands),
             stm=jnp.int8(stm), hash_=jnp.asarray(h),
+            ply=jnp.int32(ply),
         )
         env.move_history = []
         env._refresh()

@@ -212,7 +212,6 @@ class VecEnv:
         self._move_history: list[list[tuple[int, int]]] = [
             [] for _ in range(num_envs)
         ]
-        self._last_reason = np.zeros(num_envs, dtype=np.uint8)
 
     # -- helpers ------------------------------------------------------------
 
@@ -242,7 +241,6 @@ class VecEnv:
         self._states, obs0, mask0 = self._core.init()
         self._last_mask = np.asarray(mask0)
         self._move_history = [[] for _ in range(self.num_envs)]
-        self._last_reason = np.zeros(self.num_envs, dtype=np.uint8)
         return ResetResult(
             observations=np.asarray(obs0).reshape(self.num_envs, self.num_channels, 9, 9),
             legal_masks=self._mask_out(self._last_mask),
@@ -269,7 +267,6 @@ class VecEnv:
         self._states, out = self._step(self._states, jnp.asarray(spatial, jnp.int32))
         out = jax.tree.map(np.asarray, out)
         self._last_mask = out.legal_mask
-        self._last_reason = out.term_reason
 
         done = out.terminated | out.truncated
         for i in range(self.num_envs):

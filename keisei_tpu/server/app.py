@@ -215,7 +215,10 @@ class DashboardServer:
 
     async def _poll_and_push(self, ws: WebSocket, snap: dict) -> None:
         p = self.db_path
-        metrics = await asyncio.to_thread(db.read_metrics_since, p, 0,
+        # newest window, not rows 1..N: a client (re)connecting to a long
+        # run must see current charts immediately instead of crawling from
+        # epoch 1 at the poll rate (review r2)
+        metrics = await asyncio.to_thread(db.read_metrics_tail, p,
                                           MAX_METRICS_IN_INIT)
         games = await asyncio.to_thread(db.read_game_snapshots, p)
         state = await asyncio.to_thread(db.read_training_state, p)
@@ -262,7 +265,8 @@ class DashboardServer:
         last_gauntlet_id = max((g["id"] for g in league["gauntlet_results"]),
                                default=0)
         league_elapsed = 0.0
-        total_episodes = sum((m.get("episodes_completed") or 0) for m in metrics)
+        # lifetime count via SQL: the init window no longer spans all rows
+        total_episodes = await asyncio.to_thread(db.sum_episodes_completed, p)
 
         while True:
             await asyncio.sleep(POLL_INTERVAL_S)
@@ -397,7 +401,13 @@ class DashboardServer:
             await ws.send_json({"type": "showcase_error",
                                 "error": "queue_id is required"})
             return
-        await asyncio.to_thread(sc.update_queue_speed, self.db_path, int(qid), speed)
+        try:
+            qid = int(qid)
+        except (TypeError, ValueError):
+            await ws.send_json({"type": "showcase_error",
+                                "error": "queue_id must be an integer"})
+            return
+        await asyncio.to_thread(sc.update_queue_speed, self.db_path, qid, speed)
         await ws.send_json({"type": "showcase_speed_changed",
                             "queue_id": qid, "speed": speed})
 
@@ -407,7 +417,15 @@ class DashboardServer:
             await ws.send_json({"type": "showcase_error",
                                 "error": "queue_id is required"})
             return
-        await asyncio.to_thread(sc.cancel_match, self.db_path, int(qid))
+        try:
+            qid = int(qid)
+        except (TypeError, ValueError):
+            # a non-numeric id must get a reply like every other bad input,
+            # not a swallowed ValueError that leaves the client waiting
+            await ws.send_json({"type": "showcase_error",
+                                "error": "queue_id must be an integer"})
+            return
+        await asyncio.to_thread(sc.cancel_match, self.db_path, qid)
         await ws.send_json({"type": "showcase_match_cancelled", "queue_id": qid})
 
     async def _poll_showcase(self, ws: WebSocket, snap: dict) -> None:
@@ -426,6 +444,22 @@ class DashboardServer:
             alive = _heartbeat_alive((hb or {}).get("last_heartbeat"))
             gid = game["id"] if game else None
             if gid != last_game_id:
+                if last_game_id is not None:
+                    # drain the finished game BEFORE switching cursors: the
+                    # runner writes the mating move, sleeps a move-delay,
+                    # then flips status — a poll landing after the flip
+                    # would otherwise drop the final move(s) and the
+                    # completed game row (result never pushed; review r2)
+                    done_game = await asyncio.to_thread(
+                        sc.read_showcase_game, self.db_path, last_game_id)
+                    tail = await asyncio.to_thread(
+                        sc.read_showcase_moves_since, self.db_path,
+                        last_game_id, last_ply)
+                    if done_game and (tail or done_game.get("status")
+                                      != "in_progress"):
+                        await ws.send_json({"type": "showcase_update",
+                                            "game": done_game,
+                                            "new_moves": tail})
                 last_ply = 0
                 last_game_id = gid
             fp = (gid, len(queue), alive)

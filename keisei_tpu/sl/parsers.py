@@ -174,6 +174,7 @@ class CSAParser(GameParser):
         outcome: GameOutcome | None = None
         board: dict[tuple[int, int], str] | None = None
         use_initial = False
+        nonstandard: str | None = None
 
         for ln in text.split("\n"):
             ln = ln.strip()
@@ -191,6 +192,16 @@ class CSAParser(GameParser):
                 metadata["white"] = ln[2:]
             elif ln == "PI":
                 use_initial = True
+            elif ln.startswith("PI"):
+                # "PI82HI22KA" = initial position with pieces REMOVED
+                # (handicap). GameRecord carries no custom start position
+                # yet, and the encoder replays from the standard startpos —
+                # encoding this game would silently label observations of
+                # the WRONG board. Skip it loudly instead.
+                nonstandard = f"handicap start {ln!r}"
+            elif ln.startswith(("P+", "P-")):
+                # pieces placed in hand / scattered (tsume or handicap)
+                nonstandard = f"custom piece placement {ln!r}"
             elif ln.startswith("P") and len(ln) > 1 and ln[1].isdigit():
                 p_lines.append(ln)
             elif ln in ("+", "-"):
@@ -232,6 +243,17 @@ class CSAParser(GameParser):
                                else GameOutcome.WIN_WHITE)
         if use_initial and board is None:
             pass  # game with no moves
+        if nonstandard is None and p_lines:
+            # explicit P1..P9 board: accept only if it IS the standard
+            # start (some exporters spell it out); anything else is a
+            # custom position the encoder cannot replay yet
+            if self._parse_p_lines(p_lines) != self._initial_board():
+                nonstandard = "P1..P9 board differs from the standard start"
+        if nonstandard is not None:
+            logger.warning("skipping CSA game with non-standard start "
+                           "position (%s) — the SL encoder replays from "
+                           "the standard startpos", nonstandard)
+            return None
         if not moves or outcome is None:
             return None
         return GameRecord(moves=moves, outcome=outcome, metadata=metadata)

@@ -42,6 +42,16 @@ def prepare_sl_data(
     batch_games: int = 64,
     num_channels: int = 50,
 ) -> dict:
+    if num_channels != 50:
+        # the shard record format is fixed at 50x81 f32 observations
+        # (dataset.py RECORD layout, byte-compatible with the reference);
+        # fail before hours of parsing/encoding, not at the first
+        # write_shard assertion
+        raise ValueError(
+            f"shard format is fixed at 50 observation channels, got "
+            f"num_channels={num_channels} (the 46-channel mode is an env "
+            f"observation mode, not an SL shard format)"
+        )
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
     for stale in out.glob("shard_*.bin"):

@@ -90,9 +90,18 @@ def load_checkpoint(
     ckptr = ocp.PyTreeCheckpointer()
     if skip_optimizer:
         # the saved optimizer may have a different structure entirely (e.g.
-        # the SL trainer's cosine-schedule Adam) — restore without a template
-        # and keep only the weights
-        restored = ckptr.restore(path)
+        # the SL trainer's cosine-schedule Adam) — partial-restore ONLY the
+        # weights/rng: materializing the discarded Adam state too would
+        # transiently triple host memory at the SL->RL warm start
+        restored = ckptr.restore(
+            path,
+            item={
+                "params": template_state.params,
+                "batch_stats": template_state.batch_stats,
+                "rng_key": np.zeros((2,), np.uint32),
+            },
+            partial_restore=True,
+        )
         state = TrainState(
             params=jax.tree.map(jnp_like, template_state.params, restored["params"]),
             batch_stats=jax.tree.map(

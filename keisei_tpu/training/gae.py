@@ -23,6 +23,7 @@ def compute_gae(
     lam: float,
     next_value_override: jax.Array | None = None,  # (T, N), NaN = default
     chain_cut: jax.Array | None = None,  # (T, N) episode ends; default = terminated
+    alternating: bool = False,  # row t+1 is in the OPPONENT frame of row t
 ) -> jax.Array:
     """(T, N) advantages via a reversed lax.scan. Non-differentiable.
 
@@ -34,6 +35,20 @@ def compute_gae(
     roles (gae.py:8-73), leaking the lambda chain across truncations —
     passing dones as chain_cut fixes that while keeping bootstrap parity
     (the same boundary semantics compute_gae_masked already uses).
+
+    `alternating=True` is the no-league self-play layout: consecutive rows
+    alternate mover perspective (shogi strictly alternates), so the lambda
+    chain must NEGATE the carry each step — delta[t+1] is the opponent's
+    TD surprise, worth its negative to the mover of step t (negamax). The
+    per-cell -values[t+1] overrides fix only the ONE-step bootstrap; the
+    reference adds the un-negated chain on top (gae.py:151-218 +
+    katago_ppo.py:320-360), so a winning mover's interior moves inherit
+    positively-signed opponent surprises. At gamma=lam=1 the negated chain
+    reproduces exact per-mover game outcomes; the un-negated one does not.
+    Deliberate deviation, like the chain-cut fix above. An explicit
+    override also survives the `terminated` bootstrap zeroing (it IS the
+    bootstrap — same contract as compute_gae_masked), which matters when
+    callers pass dones as `terminated`.
     """
     rewards = jax.lax.stop_gradient(rewards.astype(jnp.float32))
     values = jax.lax.stop_gradient(values.astype(jnp.float32))
@@ -43,12 +58,15 @@ def compute_gae(
     )
 
     next_vals = jnp.concatenate([values[1:], next_value[None].astype(jnp.float32)], axis=0)
+    boot = not_done
     if next_value_override is not None:
         ov = jax.lax.stop_gradient(next_value_override.astype(jnp.float32))
-        next_vals = jnp.where(jnp.isnan(ov), next_vals, ov)
+        has_ov = ~jnp.isnan(ov)
+        next_vals = jnp.where(has_ov, ov, next_vals)
+        boot = jnp.where(has_ov, 1.0, not_done)
 
-    delta = rewards + gamma * next_vals * not_done - values
-    decay = gamma * lam * not_cut
+    delta = rewards + gamma * next_vals * boot - values
+    decay = (-1.0 if alternating else 1.0) * gamma * lam * not_cut
 
     def scan_fn(carry, x):
         d, dk = x

@@ -208,10 +208,12 @@ def make_ppo_update(model, adapter, cfg: KataGoPPOParams, optimizer):
             weights = traj.valid.reshape(S).astype(jnp.float32)
         else:
             terminated = traj.terminated if cfg.use_terminated_for_gae else traj.dones
+            # alternating=True: the fused self-play rollout stores EVERY ply,
+            # mover-perspective, so the lambda chain is negamax (gae.py)
             advantages = compute_gae(
                 traj.rewards, traj.values, terminated, next_value,
                 cfg.gamma, cfg.gae_lambda, traj.next_value_override,
-                chain_cut=traj.dones,
+                chain_cut=traj.dones, alternating=True,
             )
             weights = None
         returns = advantages + traj.values

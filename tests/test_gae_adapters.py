@@ -269,3 +269,65 @@ class TestScalarAdapter:
         assert k.score_blend_alpha == 0.3
         with pytest.raises(ValueError):
             get_value_adapter("nope")
+
+
+class TestAlternatingNegamaxChain:
+    """Self-play GAE must negate the lambda-chain carry each ply: row t+1
+    is the opponent's TD surprise, worth its NEGATIVE to the mover of row
+    t. The reference's un-negated chain (gae.py:151-218 over
+    katago_ppo.py:320-360 overrides) credits a mover for the opponent's
+    good fortune — deliberate deviation, like the chain-cut fix."""
+
+    def test_lambda1_gamma1_returns_equal_per_mover_outcomes(self):
+        # A moves (t0), B moves (t1), A mates (t2, r=+1). At gamma=lam=1
+        # the negamax lambda-return IS the exact game outcome per mover:
+        # +1 for A's rows, -1 for B's row.
+        r = jnp.array([[0.0], [0.0], [1.0]])
+        v = jnp.array([[0.2], [-0.1], [0.8]])
+        term = jnp.array([[False], [False], [True]])
+        ov = jnp.array([[0.1], [-0.8], [jnp.nan]])  # -V[t+1] alternation
+        adv = compute_gae(r, v, term, jnp.array([0.0]), 1.0, 1.0,
+                          next_value_override=ov, chain_cut=term,
+                          alternating=True)
+        returns = np.asarray(adv + v)[:, 0]
+        np.testing.assert_allclose(returns, [1.0, -1.0, 1.0], atol=1e-6)
+
+    def test_opponent_positive_surprise_hurts_the_mover(self):
+        # t0: A moves (r=0, V=0). t1: B moves and WINS (r=+1, V=0).
+        # A's move must get a NEGATIVE advantage — the un-negated reference
+        # chain gives it +gamma*lam*delta1 ~ +0.94.
+        r = jnp.array([[0.0], [1.0]])
+        v = jnp.zeros((2, 1))
+        term = jnp.array([[False], [True]])
+        ov = jnp.array([[-0.0], [jnp.nan]])
+        adv = np.asarray(compute_gae(r, v, term, jnp.array([0.0]),
+                                     0.99, 0.95, next_value_override=ov,
+                                     chain_cut=term, alternating=True))
+        assert adv[1, 0] == pytest.approx(1.0)
+        assert adv[0, 0] == pytest.approx(-0.99 * 0.95 * 1.0)
+
+    def test_flag_off_matches_reference_recurrence(self):
+        # alternating=False keeps the exact reference recurrence for
+        # learner-frame layouts
+        r = jnp.array([[0.5], [1.0]])
+        v = jnp.array([[0.1], [0.2]])
+        term = jnp.zeros((2, 1), bool)
+        adv = np.asarray(compute_gae(r, v, term, jnp.array([0.3]),
+                                     0.9, 0.8, alternating=False))
+        d1 = 1.0 + 0.9 * 0.3 - 0.2
+        d0 = 0.5 + 0.9 * 0.2 - 0.1
+        assert adv[1, 0] == pytest.approx(d1)
+        assert adv[0, 0] == pytest.approx(d0 + 0.9 * 0.8 * d1)
+
+    def test_override_survives_terminated_zeroing(self):
+        # with use_terminated_for_gae=False callers pass dones (incl.
+        # truncations) as `terminated`; an explicit -V(terminal) override
+        # IS the bootstrap and must not be zeroed (same contract as
+        # compute_gae_masked)
+        r = jnp.array([[0.0]])
+        v = jnp.array([[0.2]])
+        term = jnp.array([[True]])          # truncation passed as done
+        ov = jnp.array([[0.5]])             # -V(terminal_obs)
+        adv = np.asarray(compute_gae(r, v, term, jnp.array([0.0]),
+                                     1.0, 1.0, next_value_override=ov))
+        assert adv[0, 0] == pytest.approx(0.0 + 0.5 - 0.2)

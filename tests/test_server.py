@@ -272,3 +272,115 @@ class TestStaticUI:
         src = re.sub(r"'(?:[^'\\]|\\.)*'", "''", src)
         for o, c in ("{}", "()", "[]"):
             assert src.count(o) == src.count(c), f"unbalanced {o}{c}"
+
+
+class TestInitMetricsWindow:
+    def test_init_carries_newest_rows_and_lifetime_episodes(
+            self, db_path, monkeypatch):
+        """Review r2: the init payload must carry the NEWEST metrics window
+        (read_metrics_since(0, N) returned rows 1..N, leaving a
+        reconnecting client minutes behind on long runs), and the episodes
+        counter must be the lifetime SUM, not the window sum."""
+        import keisei_tpu.server.app as app_mod
+        monkeypatch.setattr(app_mod, "MAX_METRICS_IN_INIT", 4)
+        # db_path fixture wrote one row (episodes=3); add 7 more
+        for i in range(2, 9):
+            db.write_metrics(db_path, {"epoch": i, "step": i * 10,
+                                       "policy_loss": 0.1,
+                                       "episodes_completed": 1})
+
+        async def scenario():
+            server = DashboardServer(db_path)
+            srv = await server.start("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            ws = await client_connect("127.0.0.1", port)
+            init = json.loads(await ws.recv_text())
+            epochs = [m["epoch"] for m in init["metrics"]]
+            assert epochs == [5, 6, 7, 8]  # newest window, ascending
+            # trigger a training_status push: episodes = lifetime sum
+            await asyncio.to_thread(db.update_training_progress, db_path,
+                                    epoch=9, step=1)
+            msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            while msg["type"] != "training_status":
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            assert msg["episodes"] == 3 + 7
+            # live updates continue from the newest id (no replay, no gap)
+            await asyncio.to_thread(db.write_metrics, db_path,
+                                    {"epoch": 9, "step": 90,
+                                     "policy_loss": 0.2,
+                                     "episodes_completed": 2})
+            msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            while msg["type"] != "metrics_update":
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+            assert [m["epoch"] for m in msg["rows"]] == [9]
+            await ws.close()
+            srv.close()
+            await srv.wait_closed()
+
+        run(scenario())
+
+
+class TestShowcaseFinalMoves:
+    def test_completed_game_tail_is_pushed(self, db_path):
+        """Review r2: a game that completes between polls must still get its
+        final move(s) and completed-game row pushed (the poller only read
+        moves for in_progress games, freezing the client one move early)."""
+        from keisei_tpu.db import showcase as sc
+
+        def add_move(gid, ply):
+            sc.write_showcase_move(
+                db_path, game_id=gid, ply=ply, action_index=ply,
+                usi_notation=f"m{ply}", board_json="[]", hands_json="[]",
+                current_player="black")
+
+        async def scenario():
+            qid = sc.queue_match(db_path, "1", "2", "fast")
+            gid = sc.create_showcase_game(
+                db_path, queue_id=qid, entry_id_black="1", entry_id_white="2")
+            add_move(gid, 1)
+            server = DashboardServer(db_path)
+            srv = await server.start("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            ws = await client_connect("127.0.0.1", port)
+            init = json.loads(await ws.recv_text())
+            assert init["showcase"]["game"]["id"] == gid
+            # final move + completion land in the same poll gap
+            await asyncio.to_thread(add_move, gid, 2)
+            await asyncio.to_thread(sc.mark_game_completed, db_path, gid,
+                                    "black_win", 2)
+            msg = json.loads(await asyncio.wait_for(ws.recv_text(), 10))
+            while not (msg["type"] == "showcase_update"
+                       and msg["game"]["id"] == gid
+                       and msg["game"]["status"] != "in_progress"):
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 10))
+            assert [m["ply"] for m in msg["new_moves"]] == [2]
+            assert msg["game"]["status"] == "black_win"  # result lives in status
+            assert msg["game"]["total_ply"] == 2
+            await ws.close()
+            srv.close()
+            await srv.wait_closed()
+
+        run(scenario())
+
+
+class TestCommandInputHardening:
+    def test_non_numeric_queue_id_gets_error_reply(self, db_path):
+        async def scenario():
+            server = DashboardServer(db_path)
+            srv = await server.start("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            ws = await client_connect("127.0.0.1", port)
+            json.loads(await ws.recv_text())  # init
+            for cmd in ({"type": "change_showcase_speed",
+                         "queue_id": "abc", "speed": "fast"},
+                        {"type": "cancel_showcase_match", "queue_id": "abc"}):
+                await ws.send_json(cmd)
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+                while msg["type"] != "showcase_error":
+                    msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+                assert "integer" in msg["error"]
+            await ws.close()
+            srv.close()
+            await srv.wait_closed()
+
+        run(scenario())

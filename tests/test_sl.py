@@ -288,3 +288,108 @@ class TestShardsAndTraining:
         f.write_text(csa)
         rec = list(CSAParser().parse(f))[0]
         assert rec.outcome == GameOutcome.WIN_WHITE
+
+
+CSA_HANDICAP = """\
+V2.2
+N+PlayerBlack
+N-PlayerWhite
+PI82HI22KA
++
++7776FU
+-3334FU
+%TORYO
+"""
+
+CSA_HAND_PIECES = """\
+V2.2
+N+Black
+N-White
+P1-KY-KE-GI-KI-OU-KI-GI-KE-KY
+P2 * -HI *  *  *  *  * -KA *
+P3-FU-FU-FU-FU-FU-FU-FU-FU-FU
+P4 *  *  *  *  *  *  *  *  *
+P5 *  *  *  *  *  *  *  *  *
+P6 *  *  *  *  *  *  *  *  *
+P7+FU+FU+FU+FU+FU+FU+FU+FU+FU
+P8 * +KA *  *  *  *  * +HI *
+P9+KY+KE+GI+KI+OU+KI+GI+KE+KY
+P+00FU
++
++7776FU
+-3334FU
+%TORYO
+"""
+
+CSA_EXPLICIT_STANDARD = """\
+V2.2
+N+Black
+N-White
+P1-KY-KE-GI-KI-OU-KI-GI-KE-KY
+P2 * -HI *  *  *  *  * -KA *
+P3-FU-FU-FU-FU-FU-FU-FU-FU-FU
+P4 *  *  *  *  *  *  *  *  *
+P5 *  *  *  *  *  *  *  *  *
+P6 *  *  *  *  *  *  *  *  *
+P7+FU+FU+FU+FU+FU+FU+FU+FU+FU
+P8 * +KA *  *  *  *  * +HI *
+P9+KY+KE+GI+KI+OU+KI+GI+KE+KY
++
++7776FU
+-3334FU
+%TORYO
+"""
+
+CSA_CUSTOM_BOARD = """\
+V2.2
+N+Black
+N-White
+P1 *  *  *  *  * -OU *  *  *
+P2 *  *  *  *  *  *  *  *  *
+P3 *  *  *  *  *  *  *  *  *
+P4 *  *  *  *  *  *  *  *  *
+P5 *  *  *  *  *  *  *  *  *
+P6 *  *  *  *  *  *  *  *  *
+P7 *  *  *  *  *  *  *  *  *
+P8 *  *  *  *  *  *  *  *  *
+P9 *  *  *  * +OU *  *  *  *
++
++5958OU
+%TORYO
+"""
+
+
+class TestCSANonStandardStarts:
+    """Review r2: the encoder replays CSA games from the standard start
+    position — a handicap/custom-position game must be SKIPPED loudly, not
+    silently encoded as observations of the wrong board."""
+
+    def _parse(self, tmp_path, text):
+        f = tmp_path / "g.csa"
+        f.write_text(text)
+        return list(CSAParser().parse(f))
+
+    def test_pi_with_removed_pieces_skipped(self, tmp_path):
+        assert self._parse(tmp_path, CSA_HANDICAP) == []
+
+    def test_hand_placement_lines_skipped(self, tmp_path):
+        assert self._parse(tmp_path, CSA_HAND_PIECES) == []
+
+    def test_custom_board_skipped(self, tmp_path):
+        assert self._parse(tmp_path, CSA_CUSTOM_BOARD) == []
+
+    def test_explicit_standard_board_accepted(self, tmp_path):
+        recs = self._parse(tmp_path, CSA_EXPLICIT_STANDARD)
+        assert len(recs) == 1
+        assert [m.move_usi for m in recs[0].moves] == ["7g7f", "3c3d"]
+
+    def test_plain_pi_still_accepted(self, tmp_path):
+        assert len(self._parse(tmp_path, CSA_GAME)) == 1
+
+
+class TestPrepareChannelValidation:
+    def test_non_50_channels_rejected_up_front(self, tmp_path):
+        from keisei_tpu.sl.prepare import prepare_sl_data
+        with pytest.raises(ValueError, match="50 observation channels"):
+            prepare_sl_data([str(tmp_path)], str(tmp_path / "out"),
+                            num_channels=46)

@@ -66,3 +66,27 @@ class TestSpectatorEnv:
             env.step(0)
         env.reset()
         assert not env.is_over() and env.ply == 0
+
+
+class TestSfenMoveNumber:
+    def test_from_sfen_seeds_ply_from_move_counter(self):
+        # startpos board at "move 121": ply plane and truncation budget
+        # must reflect the real game age (the reference ignores the field,
+        # sfen.rs:186 — deliberate fix)
+        sfen = ("lnsgkgsnl/1r5b1/ppppppppp/9/9/9/PPPPPPPPP/1B5R1/LNSGKGSNL "
+                "b - 121")
+        env = SpectatorEnv.from_sfen(sfen, max_ply=200)
+        assert int(env._state.ply) == 120
+
+    def test_from_sfen_without_counter_defaults_to_zero(self):
+        sfen = ("lnsgkgsnl/1r5b1/ppppppppp/9/9/9/PPPPPPPPP/1B5R1/LNSGKGSNL "
+                "b -")
+        env = SpectatorEnv.from_sfen(sfen)
+        assert int(env._state.ply) == 0
+
+    def test_seeded_game_truncates_at_max_ply_budget(self):
+        from keisei_tpu.engine.sfen import parse_sfen_move_number
+        assert parse_sfen_move_number("x y z 42") == 42
+        assert parse_sfen_move_number("x y z") is None
+        assert parse_sfen_move_number("x y z nonsense") is None
+        assert parse_sfen_move_number("x y z 0") is None
