@@ -52,12 +52,26 @@ def read_metrics_tail(db_path: str, limit: int = 500) -> list[dict[str, Any]]:
     )
 
 
-def sum_episodes_completed(db_path: str) -> int:
-    """Lifetime episode count across ALL metrics rows (the init payload only
-    carries the newest window, so the counter must come from SQL)."""
-    row = core.fetch_one(
-        db_path, "SELECT COALESCE(SUM(episodes_completed), 0) AS s FROM metrics"
-    )
+def sum_episodes_completed(db_path: str, up_to_id: int | None = None) -> int:
+    """Lifetime episode count across metrics rows (the init payload only
+    carries the newest window, so the counter must come from SQL).
+
+    up_to_id bounds the sum at the caller's poll cursor: rows written
+    between the init tail read and this call have id > cursor and will be
+    counted by the first read_metrics_since poll — summing them here too
+    double-counts them for the connection's lifetime (review r2)."""
+    if up_to_id is None:
+        row = core.fetch_one(
+            db_path,
+            "SELECT COALESCE(SUM(episodes_completed), 0) AS s FROM metrics",
+        )
+    else:
+        row = core.fetch_one(
+            db_path,
+            "SELECT COALESCE(SUM(episodes_completed), 0) AS s FROM metrics "
+            "WHERE id <= ?",
+            (up_to_id,),
+        )
     return int(row["s"]) if row else 0
 
 

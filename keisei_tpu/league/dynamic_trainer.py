@@ -189,6 +189,19 @@ class DynamicTrainer:
         buffers CPU tensors (dynamic_trainer.py:163-200); match that:
         select the entry's mover-seat transitions on device, cap at
         batch_cap (newest win), fetch once, store numpy.
+
+        Terminal outcomes are propagated to BOTH sides before the mover
+        filter. VecEnv rewards sit on the last mover's row, so after
+        filtering, an entry that gets checkmated keeps no done=True row at
+        all: its advantage (rewards*dones) and WDL targets are zero for
+        every game it loses — the reference inherits exactly this blind
+        spot (its flat perspective-filtered buffers discard the structure
+        needed to fix it, dynamic_trainer.py:163-200 + match_utils.py:262).
+        Here the (T, N) rollout is still intact, and shogi strictly
+        alternates movers, so the opponent's final move of a game ending
+        at step t is always row t-1: mirror the outcome there with the
+        sign flipped (negamax), labelling the loser's last action with
+        done=True / reward=-1 (and both sides of a draw with 0).
         """
         self._match_counts[entry_id] = self._match_counts.get(entry_id, 0) + 1
         if rollout.obs is None or rollout.legal_masks is None:
@@ -207,6 +220,18 @@ class DynamicTrainer:
             # eager = async dispatch; nothing blocks until the fetch below
             return jnp.take(a.reshape(T * N, *a.shape[2:]), take, axis=0)
 
+        rewards, dones = rollout.rewards, rollout.dones
+        if T > 1:
+            # a done at t whose predecessor row belongs to the same game
+            # (not itself terminal) and to the other mover gets mirrored
+            # onto that predecessor; auto-reset boundaries (done at t-1)
+            # and same-mover rows (first move of a fresh game) are excluded
+            mirror = (dones[1:] & ~dones[:-1]
+                      & (rollout.mover_color[1:] != rollout.mover_color[:-1]))
+            rewards = rewards.at[:-1].set(
+                jnp.where(mirror, -rewards[1:], rewards[:-1]))
+            dones = dones.at[:-1].set(dones[:-1] | mirror)
+
         # ONE host fetch for all five arrays (separate np.asarray calls
         # would each pay a sync round trip through the dispatch tunnel;
         # jitting this instead would retrace per distinct match length)
@@ -214,8 +239,8 @@ class DynamicTrainer:
             "obs": gather(rollout.obs),
             "actions": gather(rollout.actions),
             "masks": gather(rollout.legal_masks),
-            "rewards": gather(rollout.rewards),
-            "dones": gather(rollout.dones),
+            "rewards": gather(rewards),
+            "dones": gather(dones),
         })
         buf = self._buffers.setdefault(
             entry_id, deque(maxlen=self.config.max_buffer_depth)

@@ -17,9 +17,8 @@ import math
 
 from .. import db
 from ..db import core as dbcore
-from ..models.registry import build_model
 from .config import GauntletConfig, HistoricalLibraryConfig
-from .match import make_match_runner
+from .match import ModelCache, make_match_runner
 from .store import OpponentEntry, OpponentStore, compute_elo_update
 
 logger = logging.getLogger(__name__)
@@ -139,21 +138,15 @@ class HistoricalGauntlet:
         self.num_envs = num_envs if num_envs is not None else config.games_per_matchup
         self.max_ply = max_ply
         self._runners: dict[tuple, object] = {}
-        self._models: dict[str, object] = {}
+        self._models = ModelCache()
 
     def is_due(self, epoch: int) -> bool:
         return (self.config.enabled and epoch >= 1
                 and epoch % self.config.interval_epochs == 0)
 
     def _runner(self, a: OpponentEntry, b: OpponentEntry):
-        def model_of(e):
-            key = f"{e.architecture}:{sorted(e.model_params.items())}"
-            if key not in self._models:
-                self._models[key] = build_model(e.architecture, e.model_params)[0]
-            return self._models[key], key
-
-        ma, ka = model_of(a)
-        mb, kb = model_of(b)
+        ma, ka = self._models.model_for(a)
+        mb, kb = self._models.model_for(b)
         if (ka, kb) not in self._runners:
             self._runners[(ka, kb)] = make_match_runner(
                 ma, mb, num_games=self.num_envs, max_ply=self.max_ply,

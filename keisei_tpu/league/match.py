@@ -24,6 +24,30 @@ import numpy as np
 from ..env.vec_env import EnvCore
 
 
+class ModelCache:
+    """Arch-keyed flax-module memoization shared by every match consumer
+    (in-process tournament, historical gauntlet, workers).
+
+    One module instance per (architecture, params) combination: flax
+    modules are stateless descriptors, so a single instance can serve any
+    number of entries/weight trees, and a shared cache keeps jit caches
+    warm across consumers instead of each class re-deriving the same
+    key-format + build_model memoization (review r2 dedup)."""
+
+    def __init__(self):
+        self._models: dict[str, object] = {}
+
+    def model_for(self, entry) -> tuple[object, str]:
+        """(module, cache-key) for an OpponentEntry-like object."""
+        from ..models.registry import build_model
+
+        key = f"{entry.architecture}:{sorted(entry.model_params.items())}"
+        if key not in self._models:
+            self._models[key] = build_model(
+                entry.architecture, entry.model_params)[0]
+        return self._models[key], key
+
+
 @dataclass
 class MatchResult:
     wins_a: int

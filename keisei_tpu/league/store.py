@@ -345,8 +345,21 @@ class OpponentStore:
         CURRENT pointer is re-fetched from the DB and tried once — serving
         the newest committed weights beats failing a whole pairing over an
         opponent that trained mid-round."""
+        return self._load_versioned(entry, template)[0]
+
+    def _load_versioned(self, entry: OpponentEntry,
+                        template: dict | None = None):
+        """(variables, generation-actually-restored) — see load_variables.
+
+        The version matters to the cache: between a trainer's update_count
+        bump and its (async) flush landing, the DB names the NEW count but
+        the OLD checkpoint_path. A reader in another process — which can
+        never see this store's _pending_trees — must not cache what it
+        restored under the new count, or it serves last generation's
+        weights for the entire generation (review r2)."""
         try:
-            return self._restore(entry.checkpoint_path, template)
+            return (self._restore(entry.checkpoint_path, template),
+                    self._weights_version(entry.checkpoint_path))
         except Exception:
             fresh = self.get_entry(entry.id)
             if fresh.checkpoint_path == entry.checkpoint_path:
@@ -357,7 +370,8 @@ class OpponentStore:
                 entry.id, entry.checkpoint_path,
                 self._weights_version(fresh.checkpoint_path),
             )
-            return self._restore(fresh.checkpoint_path, template)
+            return (self._restore(fresh.checkpoint_path, template),
+                    self._weights_version(fresh.checkpoint_path))
 
     def load_variables_cached(self, entry: OpponentEntry,
                               template: dict | None = None, *, dtype=None):
@@ -397,7 +411,14 @@ class OpponentStore:
             variables = (_cast_tree(native, jnp.dtype(dtype).name)
                          if dtype is not None else jax.device_put(native))
         else:
-            host = self.load_variables(entry, template)
+            host, got_version = self._load_versioned(entry, template)
+            if got_version != entry.update_count:
+                # the disk served a different generation than the DB counter
+                # claims (bump landed, flush still in flight — possible only
+                # across processes). Cache under what we actually got, so
+                # the pointer swap is picked up on the next miss instead of
+                # being masked for the whole generation.
+                key = (entry.id, got_version, tag)
             if dtype is not None:
                 # cast on host: halves the bytes that cross the tunnel
                 import numpy as np
@@ -697,8 +718,25 @@ class OpponentStore:
                     raise RuntimeError(
                         f"previous async weight flush failed: {err[0]}"
                     ) from err[0]
+        # pin the new tree BEFORE the bump lands in the DB: a concurrent
+        # in-process reader that observes the bumped count must find the
+        # pin, or it would restore the stale checkpoint_path and cache it
+        # under the new key for the whole generation (review r2). The count
+        # is anticipated from the snapshot; bump_update_count is a serial
+        # +1 per entry (updates to one entry are trainer-serialized), and
+        # the post-bump check below repairs the pin if that ever drifts.
+        new_count = entry.update_count + 1
+        with self._lock:
+            self._pending_trees[entry_id] = (new_count, variables)
         self.bump_update_count(entry_id)
-        new_count = self.get_entry(entry_id).update_count
+        actual = self.get_entry(entry_id).update_count
+        if actual != new_count:
+            logger.warning(
+                "entry %d: anticipated update_count %d but DB has %d "
+                "(concurrent bump?) — repinning", entry_id, new_count, actual)
+            new_count = actual
+            with self._lock:
+                self._pending_trees[entry_id] = (new_count, variables)
         new_path = os.path.join(self._entry_dir(entry_id),
                                 f"weights-v{new_count}")
         if flush == "async":
@@ -707,18 +745,14 @@ class OpponentStore:
                     from concurrent.futures import ThreadPoolExecutor
                     self._flush_pool = ThreadPoolExecutor(
                         max_workers=1, thread_name_prefix="league-flush")
-                # pin the new tree until its flush lands so cache misses
-                # never fall back to the stale checkpoint_path
-                self._pending_trees[entry_id] = (new_count, variables)
             self._flush_pool.submit(
                 self._flush_job, entry_id, new_count, new_path, variables,
                 meta)
         else:
-            # pin for sync too: if the save raises AFTER the bump, readers
-            # of the new generation must still get the new tree instead of
-            # silently re-caching the stale disk weights under the new key
-            with self._lock:
-                self._pending_trees[entry_id] = (new_count, variables)
+            # keep the pin through the sync write too: if the save raises
+            # AFTER the bump, readers of the new generation must still get
+            # the new tree instead of silently re-caching the stale disk
+            # weights under the new key
             self._flush_job(entry_id, new_count, new_path, variables, meta,
                             reraise=True)
         device_vars = jax.device_put(variables)

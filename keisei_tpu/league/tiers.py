@@ -116,7 +116,6 @@ class FrontierManager:
         candidate = self.promoter.evaluate(dynamic, frontier, epoch)
         if candidate is None:
             return None
-        frontier = self.get_active()
         if len(frontier) >= self.config.slots:
             retired = self._retire_weakest_or_stalest(
                 frontier, epoch, candidate_elo=candidate.elo_frontier
@@ -304,7 +303,6 @@ class TieredPool:
         the oldest entry is promoted to Dynamic (clone), retired, or delayed
         (tiered_pool.py:109-198)."""
         entry = self.recent.admit(variables, arch, params, epoch)
-        hard_cap = self.config.recent.slots + self.config.recent.soft_overflow
         while self.recent.count() > self.config.recent.slots:
             outcome, oldest = self.recent.review_oldest(self.total_active())
             if outcome == PROMOTE:
@@ -315,10 +313,11 @@ class TieredPool:
                     "retired (dynamic tier full)",
                 )
             elif outcome == RETIRE:
+                # review_oldest returns RETIRE (never DELAY) whenever the
+                # tier is past slots + soft_overflow, so the hard cap is
+                # enforced by this branch — DELAY implies count <= hard cap
                 self.store.retire_entry(oldest.id, reason="recent-fixed review")
-            else:  # DELAY — enforce only the hard cap
-                if self.recent.count() > hard_cap:
-                    self.store.retire_entry(oldest.id, reason="hard cap overflow")
+            else:  # DELAY — under-calibrated entry keeps its soft-overflow seat
                 break
         self._enforce_pool_cap()
         return entry

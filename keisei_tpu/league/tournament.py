@@ -19,10 +19,9 @@ import logging
 import time
 
 from .. import db
-from ..models.registry import build_model
 from .config import LeagueConfig
 from .dynamic_trainer import DynamicTrainer
-from .match import make_match_runner
+from .match import ModelCache, make_match_runner
 from .scheduler import (MatchScheduler, PriorityScorer,
                         build_match_class_weights, is_training_match)
 from .store import OpponentEntry, OpponentStore, Role
@@ -58,15 +57,12 @@ class LeagueTournament:
         self.heartbeat = heartbeat or (lambda: None)
         self.rounds_played = 0
         self._runners: dict[tuple, object] = {}
-        self._models: dict[str, object] = {}
+        self._models = ModelCache()
 
     # -- plumbing -----------------------------------------------------------
 
     def _model_for(self, entry: OpponentEntry):
-        key = f"{entry.architecture}:{sorted(entry.model_params.items())}"
-        if key not in self._models:
-            self._models[key] = build_model(entry.architecture, entry.model_params)[0]
-        return self._models[key], key
+        return self._models.model_for(entry)
 
     def _runner_for(self, a: OpponentEntry, b: OpponentEntry):
         model_a, ka = self._model_for(a)
@@ -327,5 +323,17 @@ class TournamentDispatcher:
             for a, b in pairings
         ]
         n = dbq.enqueue_pairings(self.store.db_path, self._round_id, rows, epoch)
+        # Feed the enqueued pairings back into the scorer AT DISPATCH time.
+        # Results are recorded by out-of-process workers, so the dispatcher
+        # never sees them — the reference leaves its sidecar scorer at
+        # virgin state forever (tournament_dispatcher.py:60-141 calls only
+        # score/advance_round), which deadens the under-sample and repeat
+        # terms and re-enqueues the same top pairings every round. Counting
+        # "scheduled" as "played" keeps those diversity terms live without
+        # any cross-process plumbing; workers claim near-everything queued,
+        # so the approximation is tight.
+        for a, b in pairings:
+            self.scorer.record_result(a.id, b.id)
+            self.scorer.record_round_result(a.id, b.id)
         self.scorer.advance_round()
         return n

@@ -265,8 +265,10 @@ class DashboardServer:
         last_gauntlet_id = max((g["id"] for g in league["gauntlet_results"]),
                                default=0)
         league_elapsed = 0.0
-        # lifetime count via SQL: the init window no longer spans all rows
-        total_episodes = await asyncio.to_thread(db.sum_episodes_completed, p)
+        # lifetime count via SQL, bounded at the init cursor: rows landing
+        # after the tail read belong to the poll loop (double-count fix)
+        total_episodes = await asyncio.to_thread(
+            db.sum_episodes_completed, p, last_metrics_id)
 
         while True:
             await asyncio.sleep(POLL_INTERVAL_S)
@@ -401,9 +403,10 @@ class DashboardServer:
             await ws.send_json({"type": "showcase_error",
                                 "error": "queue_id is required"})
             return
-        try:
-            qid = int(qid)
-        except (TypeError, ValueError):
+        if isinstance(qid, bool) or not isinstance(qid, int):
+            # strict: int() would silently truncate 3.7 -> 3 (and accept
+            # true -> 1), re-targeting a DIFFERENT queue row and replying
+            # success for a request that should have been rejected
             await ws.send_json({"type": "showcase_error",
                                 "error": "queue_id must be an integer"})
             return
@@ -417,11 +420,10 @@ class DashboardServer:
             await ws.send_json({"type": "showcase_error",
                                 "error": "queue_id is required"})
             return
-        try:
-            qid = int(qid)
-        except (TypeError, ValueError):
-            # a non-numeric id must get a reply like every other bad input,
-            # not a swallowed ValueError that leaves the client waiting
+        if isinstance(qid, bool) or not isinstance(qid, int):
+            # strict, with a reply (not a swallowed error): int() coercion
+            # would truncate floats / accept booleans and cancel the wrong
+            # queue entry while reporting success
             await ws.send_json({"type": "showcase_error",
                                 "error": "queue_id must be an integer"})
             return

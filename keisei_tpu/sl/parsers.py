@@ -117,7 +117,11 @@ class CSAParser(GameParser):
         return {".csa"}
 
     @classmethod
-    def _initial_board(cls) -> dict[tuple[int, int], str]:
+    def _initial_board(cls, with_color: bool = False) -> dict[tuple[int, int], str]:
+        """Standard start as {(col,row): name}; with_color prefixes the
+        CSA side sign ('-' gote rows 1-3, '+' sente rows 7-9) so the
+        standard-start guard cannot be fooled by a board with the right
+        pieces on the right squares but the wrong owners (review r2)."""
         board: dict[tuple[int, int], str] = {}
         back = ["KY", "KE", "GI", "KI", "OU", "KI", "GI", "KE", "KY"]
         for i, name in enumerate(back):
@@ -130,10 +134,14 @@ class CSAParser(GameParser):
         for col in range(1, 10):
             board[(col, 3)] = "FU"
             board[(col, 7)] = "FU"
+        if with_color:
+            board = {(c, r): ("-" if r <= 3 else "+") + name
+                     for (c, r), name in board.items()}
         return board
 
     @classmethod
-    def _parse_p_lines(cls, p_lines: list[str]) -> dict[tuple[int, int], str]:
+    def _parse_p_lines(cls, p_lines: list[str],
+                       with_color: bool = False) -> dict[tuple[int, int], str]:
         board: dict[tuple[int, int], str] = {}
         for ln in p_lines:
             if len(ln) < 3 or not ln[1].isdigit():
@@ -144,7 +152,7 @@ class CSAParser(GameParser):
                 cell = content[i * 3 : i * 3 + 3]
                 if len(cell) < 3 or cell.strip() in ("*", ""):
                     continue
-                board[(9 - i, row)] = cell[1:3]
+                board[(9 - i, row)] = cell if with_color else cell[1:3]
         return board
 
     def _move_to_usi(self, csa: str, board: dict[tuple[int, int], str]) -> str:
@@ -247,7 +255,8 @@ class CSAParser(GameParser):
             # explicit P1..P9 board: accept only if it IS the standard
             # start (some exporters spell it out); anything else is a
             # custom position the encoder cannot replay yet
-            if self._parse_p_lines(p_lines) != self._initial_board():
+            if (self._parse_p_lines(p_lines, with_color=True)
+                    != self._initial_board(with_color=True)):
                 nonstandard = "P1..P9 board differs from the standard start"
         if nonstandard is not None:
             logger.warning("skipping CSA game with non-standard start "

@@ -75,6 +75,18 @@ class TestTelemetry:
         # cursor semantics
         assert db.read_metrics_since(db_path, rows[0]["id"]) == []
 
+    def test_sum_episodes_bounded_at_cursor(self, db_path):
+        """The server seeds its lifetime counter with up_to_id = the init
+        cursor; rows past the cursor belong to the poll loop, so an
+        unbounded sum would double-count them (review r2)."""
+        for i, eps in enumerate((10, 20, 30), start=1):
+            db.write_metrics(db_path, {"epoch": i, "step": i,
+                                       "episodes_completed": eps})
+        rows = db.read_metrics_since(db_path, 0)
+        assert db.sum_episodes_completed(db_path) == 60
+        assert db.sum_episodes_completed(db_path, rows[1]["id"]) == 30
+        assert db.sum_episodes_completed(db_path, 0) == 0
+
     def test_training_state_and_heartbeat(self, db_path):
         db.write_training_state(db_path, {
             "config_json": "{}", "display_name": "t", "model_arch": "se_resnet",

@@ -97,6 +97,71 @@ class TestDynamicTrainer:
         dones = np.asarray(batch["dones"])
         assert (cats[~dones] == -1).all()
 
+    def test_lost_games_carry_terminal_signal(self, setup):
+        """A checkmated entry's buffer must include its final move labelled
+        done=True / reward=-1 (negamax mirror). Without the mirror the
+        mover filter strips every terminal row of a lost game, so losses
+        produce zero advantage and no WDL 'loss' targets — the reference's
+        blind spot (match_utils.py:262, dynamic_trainer.py:163-200)."""
+        from keisei_tpu.league.match import MatchRollout
+
+        store, model, variables, entry = setup
+        trainer = DynamicTrainer(store, model, DynamicConfig(), batch_cap=64)
+        T, N, C, A = 4, 1, 50, 11259
+        # movers alternate 0,1,0,1; mover 1 mates at t=3 (reward +1 for the
+        # last mover). Entry holds color 0 (side a, a_color=0): the loser.
+        rollout = MatchRollout(
+            obs=jnp.zeros((T, N, C, 81), jnp.float32),
+            actions=jnp.zeros((T, N), jnp.int32),
+            legal_masks=jnp.ones((T, N, A), bool),
+            rewards=jnp.asarray([[0.0], [0.0], [0.0], [1.0]]),
+            dones=jnp.asarray([[False], [False], [False], [True]]),
+            captured=jnp.full((T, N), 255, jnp.uint8),
+            term_reason=jnp.zeros((T, N), jnp.uint8),
+            mover_color=jnp.asarray([[0], [1], [0], [1]], jnp.int32),
+            a_color=jnp.zeros((N,), jnp.int32),
+        )
+        trainer.record_rollout(entry.id, rollout, side="a")
+        buf = trainer._buffers[entry.id][0]
+        # entry rows are t=0 and t=2; t=2 (its last move) carries the loss
+        assert buf["dones"].tolist() == [False, True]
+        assert buf["rewards"].tolist() == [0.0, -1.0]
+        batch = trainer._build_batch(entry.id)
+        cats = np.asarray(batch["value_cats"])[:2]
+        assert cats.tolist() == [-1, 2]  # non-terminal, then WDL 'loss'
+        # the winner's buffer keeps its own +1 terminal row untouched
+        trainer.record_rollout(entry.id, rollout, side="b")
+        win = trainer._buffers[entry.id][1]
+        assert win["dones"].tolist() == [False, True]
+        assert win["rewards"].tolist() == [0.0, 1.0]
+
+    def test_mirror_skips_reset_boundaries(self, setup):
+        """A done row whose predecessor is itself terminal (auto-reset
+        boundary) or same-mover must not leak its outcome backwards."""
+        from keisei_tpu.league.match import MatchRollout
+
+        store, model, variables, entry = setup
+        trainer = DynamicTrainer(store, model, DynamicConfig(), batch_cap=64)
+        T, N, C, A = 3, 1, 50, 11259
+        # game 1 ends at t=0 (mover 1 wins); game 2: mover 0 at t=1, then
+        # mover 1 mates at t=2. The t=0 terminal must not be rewritten by
+        # anything, and t=1 gets the mirror from t=2 only.
+        rollout = MatchRollout(
+            obs=jnp.zeros((T, N, C, 81), jnp.float32),
+            actions=jnp.zeros((T, N), jnp.int32),
+            legal_masks=jnp.ones((T, N, A), bool),
+            rewards=jnp.asarray([[1.0], [0.0], [1.0]]),
+            dones=jnp.asarray([[True], [False], [True]]),
+            captured=jnp.full((T, N), 255, jnp.uint8),
+            term_reason=jnp.zeros((T, N), jnp.uint8),
+            mover_color=jnp.asarray([[1], [0], [1]], jnp.int32),
+            a_color=jnp.zeros((N,), jnp.int32),
+        )
+        trainer.record_rollout(entry.id, rollout, side="a")
+        buf = trainer._buffers[entry.id][0]  # entry = color 0 → row t=1 only
+        assert buf["dones"].tolist() == [True]
+        assert buf["rewards"].tolist() == [-1.0]
+
     def test_buffers_are_host_resident_and_capped(self, setup):
         """record_rollout compacts to the entry's own transitions, caps at
         batch_cap, and stores numpy (buffering raw device MatchRollouts

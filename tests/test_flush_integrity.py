@@ -525,3 +525,63 @@ class TestEmptyBatchStatsSkew:
                                 created_epoch=0, role=Role.DYNAMIC)
         got = store.load_variables(store.get_entry(entry.id), template=v)
         assert jax.tree.structure(got) == jax.tree.structure(v)
+
+
+class TestCrossProcessGenerationKeying:
+    """A sidecar (separate store instance — it can never see the trainer's
+    _pending_trees) reading between the trainer's update_count bump and the
+    flush's pointer swap must not cache the old weights under the new
+    (id, count) key — that poisons its cache for the whole generation
+    (review r2)."""
+
+    def test_mid_window_read_caches_under_committed_generation(
+            self, store, entry, tmp_path):
+        from keisei_tpu.db import core as dbcore
+
+        old = store.load_variables(store.get_entry(entry.id))
+        # simulate the trainer mid-window: count bumped, pointer not swung
+        store.bump_update_count(entry.id)
+        sidecar = OpponentStore(store.db_path, store.league_dir)
+        snap = sidecar.get_entry(entry.id)
+        assert snap.update_count == 1
+        got = sidecar.load_variables_cached(snap)
+        np.testing.assert_allclose(leaf0(got), leaf0(old))
+        # cached under the COMMITTED generation (v0), not the bumped count
+        assert (entry.id, 0, "native") in sidecar._cache
+        assert (entry.id, 1, "native") not in sidecar._cache
+        # now the flush lands: v1 written, pointer swings
+        new = jax.tree.map(lambda x: x + 1.0, old)
+        v1_path = os.path.join(store._entry_dir(entry.id), "weights-v1")
+        store._save_variables(v1_path, new)
+        dbcore.execute(
+            store.db_path,
+            "UPDATE league_entries SET checkpoint_path = ? WHERE id = ?",
+            (v1_path, entry.id),
+        )
+        fresh = sidecar.get_entry(entry.id)
+        got2 = sidecar.load_variables_cached(fresh)
+        np.testing.assert_allclose(leaf0(got2), leaf0(old) + 1.0)
+
+
+class TestPinBeforeBump:
+    def test_pin_is_visible_before_count_bump_lands(self, store, entry,
+                                                    monkeypatch):
+        """Any reader that can observe the bumped count in the DB must
+        already find the pending-tree pin — i.e. the pin is installed
+        BEFORE bump_update_count executes (review r2 ordering fix)."""
+        seen = {}
+        real_bump = store.bump_update_count
+
+        def checking_bump(entry_id):
+            with store._lock:
+                seen["pin"] = store._pending_trees.get(entry_id)
+            real_bump(entry_id)
+
+        monkeypatch.setattr(store, "bump_update_count", checking_bump)
+        old = store.load_variables(store.get_entry(entry.id))
+        new = jax.tree.map(lambda x: x + 1.0, old)
+        store.update_weights(entry.id, new, flush="sync")
+        assert seen["pin"] is not None
+        count, tree = seen["pin"]
+        assert count == 1  # the generation about to be minted
+        np.testing.assert_allclose(leaf0(tree), leaf0(old) + 1.0)

@@ -384,3 +384,28 @@ class TestCommandInputHardening:
             await srv.wait_closed()
 
         run(scenario())
+
+    def test_float_and_bool_queue_ids_rejected(self, db_path):
+        """int() coercion would truncate 3.7 -> 3 / accept true -> 1 and
+        act on the WRONG queue row while replying success (review r2):
+        non-integral JSON ids must get the error reply instead."""
+        async def scenario():
+            server = DashboardServer(db_path)
+            srv = await server.start("127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            ws = await client_connect("127.0.0.1", port)
+            json.loads(await ws.recv_text())  # init
+            for cmd in ({"type": "cancel_showcase_match", "queue_id": 3.7},
+                        {"type": "cancel_showcase_match", "queue_id": True},
+                        {"type": "change_showcase_speed",
+                         "queue_id": 2.5, "speed": "fast"}):
+                await ws.send_json(cmd)
+                msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+                while msg["type"] != "showcase_error":
+                    msg = json.loads(await asyncio.wait_for(ws.recv_text(), 5))
+                assert "integer" in msg["error"]
+            await ws.close()
+            srv.close()
+            await srv.wait_closed()
+
+        run(scenario())

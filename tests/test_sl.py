@@ -386,6 +386,15 @@ class TestCSANonStandardStarts:
     def test_plain_pi_still_accepted(self, tmp_path):
         assert len(self._parse(tmp_path, CSA_GAME)) == 1
 
+    def test_color_swapped_standard_board_skipped(self, tmp_path):
+        """The guard must compare OWNERS, not just piece names/squares: a
+        board with the standard layout but inverted color signs is a
+        custom position (review r2 — cell[1:3] dropped the +/- sign)."""
+        swapped = (CSA_EXPLICIT_STANDARD
+                   .replace("-KY-KE-GI-KI-OU-KI-GI-KE-KY",
+                            "+KY+KE+GI+KI+OU+KI+GI+KE+KY", 1))
+        assert self._parse(tmp_path, swapped) == []
+
 
 class TestPrepareChannelValidation:
     def test_non_50_channels_rejected_up_front(self, tmp_path):

@@ -80,6 +80,31 @@ class TestTournamentRound:
 
         assert dbq.get_active_queue_depth(store.db_path) == 3
 
+    def test_dispatcher_feeds_its_scorer(self, store):
+        """Sidecar results are recorded out-of-process, so enqueued
+        pairings count as played for the scorer's under-sample and repeat
+        terms — otherwise the scorer stays virgin forever and the same
+        top-priority pairings are re-enqueued every round (the reference's
+        dead-scorer behavior, tournament_dispatcher.py:60-141)."""
+        for i in range(3):
+            add_entry(store, Role.DYNAMIC, seed=i)
+        cfg = LeagueConfig(tournament_enabled=True,
+                           dispatcher_max_queue_depth=100)
+        d = TournamentDispatcher(store, cfg)
+        n = d.enqueue_round(epoch=7)
+        assert n == 3
+        assert sum(d.scorer._pair_games.values()) == 3
+        # the round history holds the dispatched set (repeat penalty live)
+        assert len(d.scorer._round_history) >= 1
+        assert len(d.scorer._round_history[-1]) == 3
+        # scoring a just-dispatched pair is now strictly cheaper than a
+        # never-dispatched one, all else equal
+        entries = store.list_entries()
+        a, b = entries[0], entries[1]
+        before = d.scorer.score(a, b)
+        d.scorer.record_result(a.id, b.id)
+        assert d.scorer.score(a, b) < before
+
 
 class TestHistoricalLibrary:
     def test_log_spaced_targets(self):
