@@ -53,7 +53,16 @@ def save_checkpoint(
         "rng_key": jax.random.key_data(rng_key),
     }
     ckptr = ocp.PyTreeCheckpointer()
+    # the Orbax save is a COLLECTIVE in multi-host runs (every process
+    # writes its array shards; Orbax coordinates finalization internally),
+    # so all processes must reach this call — but the hand-written meta
+    # sidecar is plain JSON on a shared filesystem: two processes dumping
+    # to the same .tmp path can interleave and os.replace installs corrupt
+    # JSON that kills every later load_meta()/resume (review r2). Only
+    # process 0 writes it.
     ckptr.save(path, payload, force=True)
+    if jax.process_index() != 0:
+        return
     meta = {
         "epoch": int(epoch),
         "architecture": architecture,

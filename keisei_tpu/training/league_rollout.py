@@ -54,7 +54,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..env.vec_env import EnvCore
-from .ppo import SCORE_NORMALIZATION, Trajectory, compute_value_cats
+from .ppo import (SCORE_NORMALIZATION, Trajectory, compute_value_cats,
+                  masked_policy_sample)
 from .rollout import RolloutStats
 
 
@@ -180,13 +181,7 @@ def _make_compact_rollout(env_core: EnvCore, model, adapter, num_steps: int,
 
     def forward(variables, obs_flat, masks, rng):
         out = model.apply(variables, obs_flat.reshape(-1, C, 9, 9), train=False)
-        flat = out.policy_logits.reshape(obs_flat.shape[0], -1).astype(jnp.float32)
-        masked = jnp.where(masks, flat, -1e9)
-        actions = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
-        logp_all = jax.nn.log_softmax(masked, axis=-1)
-        log_probs = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
-        values = adapter.scalar_value_blended(out)
-        return actions, log_probs, values
+        return masked_policy_sample(out, masks, rng, adapter)
 
     def make_sub_step(learner_vars, opp_vars):
         return lambda p, carry, k_l, k_o: _sub_step(
@@ -419,13 +414,7 @@ def _make_dynamic_rollout(env_core: EnvCore, model, adapter, num_steps: int,
 
     def forward(variables, obs_flat, masks, rng):
         out = model.apply(variables, obs_flat.reshape(-1, C, 9, 9), train=False)
-        flat = out.policy_logits.reshape(obs_flat.shape[0], -1).astype(jnp.float32)
-        masked = jnp.where(masks, flat, -1e9)
-        actions = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
-        logp_all = jax.nn.log_softmax(masked, axis=-1)
-        log_probs = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
-        values = adapter.scalar_value_blended(out)
-        return actions, log_probs, values
+        return masked_policy_sample(out, masks, rng, adapter)
 
     def opp_forward(opp_vars, obs_flat, masks, rng):
         """K block forwards, unrolled over the stacked opponent params."""

@@ -91,10 +91,16 @@ class EpochMetrics:
 class SelfPlayTrainer:
     """No-league self-play trainer (league multiplexing lands separately)."""
 
-    def __init__(self, config: Config, metrics_sink=None, observer=None):
+    def __init__(self, config: Config, metrics_sink=None, observer=None,
+                 resume_from: str | None = None):
         self.config = config
         self.metrics_sink = metrics_sink or (lambda m: None)
         self.observer = observer or TrainingObserver(config.display.db_path)
+        # explicit resume override: latest_checkpoint() prefers the highest
+        # RL epoch, which would silently out-rank a just-written SL warm
+        # start (epoch 0) in a reused checkpoint_dir — sl_to_rl pins the
+        # exact checkpoint instead (review r2)
+        self._resume_from = resume_from
         tc = config.training
 
         self.num_channels = 46 if tc.observation_mode == "default" else 50
@@ -208,8 +214,6 @@ class SelfPlayTrainer:
     def _init_league(self):
         """Opponent pool + scheduler + tournament + historical machinery
         (the reference wires these in katago_loop.py:641-714)."""
-        import numpy as np
-
         from ..league.dynamic_trainer import DynamicTrainer
         from ..league.historical import HistoricalGauntlet, HistoricalLibrary
         from ..league.scheduler import (MatchScheduler, PriorityScorer,
@@ -406,7 +410,14 @@ class SelfPlayTrainer:
         return best
 
     def _maybe_resume(self):
-        path = self.latest_checkpoint()
+        if self._resume_from is not None:
+            path = self._resume_from
+            if not os.path.isfile(os.path.join(path, "keisei_meta.json")):
+                raise FileNotFoundError(
+                    f"explicit resume checkpoint has no keisei_meta.json: {path}"
+                )
+        else:
+            path = self.latest_checkpoint()
         if path is None:
             return
         meta = load_meta(path)
@@ -457,8 +468,13 @@ class SelfPlayTrainer:
 
     def _prune_checkpoints(self, keep: int) -> None:
         """Retain only the newest `keep` epoch checkpoints (0 = keep all).
-        SL warm-start checkpoints (phase=sl) are never pruned."""
-        if keep <= 0:
+        SL warm-start checkpoints (phase=sl) are never pruned.
+
+        Process 0 only in multi-host runs: the Orbax save itself is a
+        collective every process participates in, but concurrent rmtree
+        from N hosts on a shared checkpoint_dir can delete a directory a
+        peer is mid-finalize in (review r2)."""
+        if keep <= 0 or jax.process_index() != 0:
             return
         d = self.config.training.checkpoint_dir
         entries = []
@@ -478,6 +494,45 @@ class SelfPlayTrainer:
 
     # -- training ---------------------------------------------------------------
 
+    def _reset_swapped_blocks(self, slots: list[int]) -> None:
+        """Restart the env blocks whose cohort slot changed entries.
+
+        See run_epoch: discarding a straddling game is the truncation path
+        (its stored transitions were already bootstrapped with V(obs_T) at
+        the boundary), while letting it continue would mis-attribute its
+        outcome to the incoming entry. Resets also restore the compact
+        path's color invariant: a fresh env has stm=0 at epoch ply-parity
+        0, so learner_color must return to the parity pattern
+        (league_rollout.parity_colors) for those envs."""
+        if not slots:
+            return
+        from .league_rollout import compact_supported, parity_colors
+
+        N = self.config.training.num_games
+        B = N // self.K
+        mask_np = np.zeros(N, bool)
+        for k in slots:
+            mask_np[k * B:(k + 1) * B] = True
+        mask = jnp.asarray(mask_np)
+        fresh_states, fresh_obs, fresh_mask = self.env_core.init()
+        env_states, obs, m = self.env_carry
+
+        def sel(f, c):
+            return jnp.where(mask.reshape((N,) + (1,) * (c.ndim - 1)), f, c)
+
+        self.env_carry = (jax.tree.map(sel, fresh_states, env_states),
+                          sel(fresh_obs, obs), sel(fresh_mask, m))
+        lc = self.config.league
+        if compact_supported(self.T, self.K, lc.color_randomization):
+            fresh_colors = parity_colors(N)
+        elif lc.color_randomization:
+            self.rng, kc = jax.random.split(self.rng)
+            fresh_colors = jax.random.bernoulli(kc, 0.5, (N,)).astype(jnp.int32)
+        else:
+            fresh_colors = jnp.zeros(N, jnp.int32)
+        self.learner_color = jnp.where(mask, fresh_colors, self.learner_color)
+        logger.debug("cohort swap: reset %d env blocks %s", len(slots), slots)
+
     def run_epoch(self) -> EpochMetrics:
         tc = self.config.training
         self.rng, k_roll, k_upd = jax.random.split(self.rng, 3)
@@ -488,6 +543,25 @@ class SelfPlayTrainer:
             from ..league.league_ops import stack_cohort_variables
 
             self._cohort = self._sample_cohort()
+            # Cohort-swap hygiene: env block k plays whoever sits in slot k,
+            # so a game straddling the epoch boundary would silently switch
+            # opponents mid-game and credit the W/L/D (Elo, head-to-head,
+            # tier win rates) to an entry that played only the tail of it.
+            # The reference accepts that corruption (katago_loop.py:1057-1060
+            # reassigns _env_opponent_ids for every env each epoch); here
+            # the swapped blocks are reset instead — the boundary already
+            # bootstrapped those games' value targets via V(obs_T), so the
+            # discard is exactly the truncation path, and every recorded
+            # outcome was played wholly against the credited entry. A
+            # same-entry update-count change keeps the games (retrained
+            # weights mid-game match the reference's accepted ~1-epoch lag).
+            new_ids = tuple(e.id for e in self._cohort)
+            old_ids = getattr(self, "_cohort_slot_ids", None)
+            if old_ids is not None and new_ids != old_ids:
+                swapped = [k for k, (a, b) in enumerate(zip(old_ids, new_ids))
+                           if a != b]
+                self._reset_swapped_blocks(swapped)
+            self._cohort_slot_ids = new_ids
             # Reuse the stacked on-device cohort when the sampled entries
             # (and their update counts) are unchanged — re-stacking every
             # epoch re-dispatched ~K model uploads per epoch.

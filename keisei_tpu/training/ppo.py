@@ -281,32 +281,53 @@ def make_ppo_update(model, adapter, cfg: KataGoPPOParams, optimizer):
     return update
 
 
+def masked_policy_sample(out, legal_masks, rng, adapter):
+    """(actions, log_probs, values) from a model output: legal-masked
+    categorical sample + per-action log-prob + blended scalar value.
+
+    The single shared implementation of the sampling block every rollout
+    path uses (self-play, league compact, league dynamic, generic select)
+    — the mask fill value, sampling dtype, and log-prob gather must stay
+    identical across paths or importance ratios silently skew (review r2
+    dedup: this block had drifted into four copies)."""
+    B = legal_masks.shape[0]
+    flat = out.policy_logits.reshape(B, -1).astype(jnp.float32)
+    masked = jnp.where(legal_masks, flat, -1e9)
+    actions = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
+    logp_all = jax.nn.log_softmax(masked, axis=-1)
+    log_probs = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
+    values = adapter.scalar_value_blended(out)
+    return actions, log_probs, values
+
+
 def make_select_actions(model, adapter):
     """Rollout-time action selection: masked categorical + scalar value."""
 
     def select(variables, obs, legal_masks, rng):
         out = model.apply(variables, obs, train=False)
-        B = obs.shape[0]
-        flat = out.policy_logits.reshape(B, -1).astype(jnp.float32)
-        masked = jnp.where(legal_masks, flat, -1e9)
-        actions = jax.random.categorical(rng, masked, axis=-1)
-        logp_all = jax.nn.log_softmax(masked, axis=-1)
-        log_probs = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
-        values = adapter.scalar_value_blended(out)
-        return actions.astype(jnp.int32), log_probs, values
+        return masked_policy_sample(out, legal_masks, rng, adapter)
 
     return select
 
 
 def entropy_coeff_schedule(cfg: KataGoPPOParams, epoch: int, warmup_epochs: int = 0,
                            warmup_coeff: float | None = None) -> float:
-    """Host-side entropy coefficient schedule (warmup + linear decay)."""
+    """Host-side entropy coefficient schedule (warmup + linear decay).
+
+    Matches the reference (katago_ppo.py:500-516): whenever
+    entropy_decay_epochs > 0, the coefficient decays linearly from the
+    warmup level to lambda_entropy over that many post-warmup epochs —
+    including with warmup_epochs=0, where the reference starts the decay
+    from its warmup_entropy default rather than silently ignoring the
+    decay setting (review r2: the old warmup>0 gate made a configured
+    decay a no-op unless warmup was also on)."""
     base = cfg.lambda_entropy
+    start = warmup_coeff if warmup_coeff is not None else base
     if warmup_epochs > 0 and epoch < warmup_epochs:
-        return warmup_coeff if warmup_coeff is not None else base
-    if cfg.entropy_decay_epochs > 0 and warmup_epochs > 0 and warmup_coeff is not None:
+        return start
+    if cfg.entropy_decay_epochs > 0:
         k = epoch - warmup_epochs
         if k < cfg.entropy_decay_epochs:
             frac = k / cfg.entropy_decay_epochs
-            return warmup_coeff + (base - warmup_coeff) * frac
+            return start + (base - start) * frac
     return base

@@ -23,7 +23,8 @@ from flax import struct
 
 from ..env.vec_env import EnvCore
 from .gae import alternating_perspective_overrides
-from .ppo import SCORE_NORMALIZATION, Trajectory, compute_value_cats
+from .ppo import (SCORE_NORMALIZATION, Trajectory, compute_value_cats,
+                  masked_policy_sample)
 
 
 @struct.dataclass
@@ -58,15 +59,8 @@ def make_selfplay_rollout(
     )
 
     def policy_forward(variables, obs_flat, legal_masks, rng):
-        obs4d = obs_flat.reshape(N, C, 9, 9)
-        out = apply_eval(variables, obs4d)
-        flat = out.policy_logits.reshape(N, -1).astype(jnp.float32)
-        masked = jnp.where(legal_masks, flat, -1e9)
-        actions = jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
-        logp_all = jax.nn.log_softmax(masked, axis=-1)
-        log_probs = jnp.take_along_axis(logp_all, actions[:, None], axis=1)[:, 0]
-        values = adapter.scalar_value_blended(out)
-        return actions, log_probs, values
+        out = apply_eval(variables, obs_flat.reshape(N, C, 9, 9))
+        return masked_policy_sample(out, legal_masks, rng, adapter)
 
     def rollout(variables: Any, env_states, obs, legal_masks, rng):
         def step_fn(carry, _):

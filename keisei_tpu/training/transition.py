@@ -55,7 +55,10 @@ def sl_to_rl(
     trainer.save(sl_path)
     logger.info("SL checkpoint saved to %s", sl_path)
 
-    # the RL trainer's resume finds the checkpoint, sees phase="sl", loads
-    # weights only, and starts at epoch 0
-    rl = SelfPlayTrainer(config)
+    # pin the resume to the just-written SL checkpoint: auto-discovery
+    # prefers the highest-epoch checkpoint in the dir, so a reused
+    # checkpoint_dir holding an older RL run (epoch >= 1) would silently
+    # out-rank sl_final (epoch 0) and discard the SL result (review r2).
+    # The trainer sees phase="sl", loads weights only, and starts at epoch 0
+    rl = SelfPlayTrainer(config, resume_from=sl_path)
     return rl

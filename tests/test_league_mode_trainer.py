@@ -91,3 +91,65 @@ class TestLeagueModeTrainer:
             "SELECT COUNT(*) FROM gauntlet_results"
         ).fetchone()[0]
         assert rows >= 1
+
+    def test_cohort_swap_resets_swapped_blocks_only(self, tmp_path):
+        """A game straddling an epoch boundary must not switch opponents
+        mid-game: when cohort slot k changes entries, block k's envs are
+        restarted (truncation semantics) and the other blocks continue.
+        (The reference instead reassigns every env and accepts the Elo
+        misattribution, katago_loop.py:1057-1060.)"""
+        import jax.numpy as jnp
+
+        raw = copy.deepcopy(RAW)
+        raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+        raw["league"]["storage"]["league_dir"] = str(tmp_path / "league")
+        raw["display"] = {"db_path": str(tmp_path / "obs.db")}
+        cfg = config_from_dict(raw)
+        trainer = SelfPlayTrainer(cfg)
+        trainer.run_epoch()  # envs now mid-game with nonzero ply counts
+        states, obs, mask = trainer.env_carry
+        ply_before = np.asarray(states.ply)
+        N, K = 4, 2
+        B = N // K
+        assert (ply_before > 0).any(), "rollout left no game in progress"
+
+        trainer._reset_swapped_blocks([1])  # slot 1 = envs [2, 4)
+        states2, obs2, mask2 = trainer.env_carry
+        ply_after = np.asarray(states2.ply)
+        # swapped block restarted; untouched block carries on
+        assert (ply_after[B:] == 0).all()
+        np.testing.assert_array_equal(ply_after[:B], ply_before[:B])
+        # the compact color invariant is restored for the reset envs
+        from keisei_tpu.training.league_rollout import parity_colors
+
+        expect = np.asarray(parity_colors(N))
+        got = np.asarray(trainer.learner_color)
+        np.testing.assert_array_equal(got[B:], expect[B:])
+        # fresh board -> startpos observation/mask for the reset block
+        init_states, init_obs, init_mask = trainer.env_core.init()
+        np.testing.assert_array_equal(np.asarray(obs2[B:]),
+                                      np.asarray(init_obs[:N - B]))
+        np.testing.assert_array_equal(np.asarray(mask2[B:]),
+                                      np.asarray(init_mask[:N - B]))
+
+    def test_run_epoch_triggers_reset_on_slot_change(self, tmp_path):
+        """run_epoch detects per-slot entry-id changes and resets exactly
+        those blocks before the rollout."""
+        raw = copy.deepcopy(RAW)
+        raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+        raw["league"]["storage"]["league_dir"] = str(tmp_path / "league")
+        raw["display"] = {"db_path": str(tmp_path / "obs.db")}
+        cfg = config_from_dict(raw)
+        trainer = SelfPlayTrainer(cfg)
+        trainer.run_epoch()
+        assert trainer._cohort_slot_ids is not None
+        calls = []
+        orig = trainer._reset_swapped_blocks
+        trainer._reset_swapped_blocks = lambda slots: (calls.append(slots),
+                                                       orig(slots))
+        # force a detectable swap in slot 0 only
+        trainer._cohort_slot_ids = (-1, trainer._cohort_slot_ids[1])
+        sampled = trainer._sample_cohort()
+        trainer._sample_cohort = lambda: sampled  # deterministic resample
+        trainer.run_epoch()
+        assert calls and calls[0] == [0]

@@ -162,6 +162,22 @@ class TestEntropySchedule:
         assert entropy_coeff_schedule(cfg, 0) == 0.02
         assert entropy_coeff_schedule(cfg, 100) == 0.02
 
+    def test_decay_without_warmup_still_decays(self):
+        """entropy_decay_epochs must work with warmup disabled (reference
+        katago_ppo.py:509-516 decays from warmup_entropy regardless of
+        warmup_epochs); the old warmup>0 gate silently ignored it
+        (review r2)."""
+        cfg = KataGoPPOParams(lambda_entropy=0.01, entropy_decay_epochs=10)
+        first = entropy_coeff_schedule(cfg, 0, warmup_epochs=0,
+                                       warmup_coeff=0.05)
+        mid = entropy_coeff_schedule(cfg, 5, warmup_epochs=0,
+                                     warmup_coeff=0.05)
+        done = entropy_coeff_schedule(cfg, 10, warmup_epochs=0,
+                                      warmup_coeff=0.05)
+        assert first == pytest.approx(0.05)
+        assert 0.01 < mid < 0.05
+        assert done == pytest.approx(0.01)
+
 
 class TestMeshHelpers:
     def test_make_mesh_and_sharding(self):

@@ -156,7 +156,7 @@ class TestShowcaseControl:
         monkeypatch.setattr(runner, "play_match", flaky_play)
         t = threading.Thread(target=runner.run, daemon=True)
         t.start()
-        deadline = _t.monotonic() + 60
+        deadline = _t.monotonic() + 180  # xdist load + 5s backoff + first-compile
         status = None
         while _t.monotonic() < deadline:
             status = sc.get_queue_status(db_path, 1)
@@ -257,9 +257,8 @@ class TestQueueWedgeRecovery:
         import time as _t
 
         t = threading.Thread(target=runner.run, daemon=True)
-        monkeypatch.setattr(_t, "sleep", lambda s: None) if False else None
         t.start()
-        deadline = _t.monotonic() + 30
+        deadline = _t.monotonic() + 120  # xdist load + 5s backoff
         status = None
         while _t.monotonic() < deadline:
             status = sc.get_queue_status(db, 1)

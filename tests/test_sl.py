@@ -255,6 +255,37 @@ class TestShardsAndTraining:
         # retention actually fired: only 1 epoch checkpoint + sl_final remain
         epoch_ckpts = [p for p in ckpts if p.name != "sl_final"]
         assert len(epoch_ckpts) == 1
+
+    def test_sl_to_rl_wins_over_stale_rl_checkpoint(self, tmp_path):
+        """A reused checkpoint_dir holding an old RL run (epoch >= 1) must
+        not out-rank the just-written SL warm start: auto-discovery prefers
+        the highest epoch, so sl_to_rl pins the resume to sl_final
+        explicitly (review r2 — previously the SL result was silently
+        discarded)."""
+        import jax
+        import orbax.checkpoint as ocp
+
+        from keisei_tpu.training.loop import SelfPlayTrainer
+        from keisei_tpu.training.transition import sl_to_rl
+
+        out, _ = self._prepare(tmp_path)
+        cfg = self._rl_cfg(tmp_path)
+        # seed the dir with an older RL run that reached epoch 2
+        old = SelfPlayTrainer(cfg)
+        old.run_epoch()
+        old.run_epoch()
+        old.save()
+        assert old.latest_checkpoint().endswith("epoch_000002")
+
+        rl = sl_to_rl(sl_data_dir=str(out), sl_epochs=1, rl_config=cfg,
+                      sl_batch_size=4)
+        assert rl.epoch == 0  # warm start, not a resume of the old run
+        sl_params = ocp.PyTreeCheckpointer().restore(
+            str(tmp_path / "ckpt" / "sl_final")
+        )["params"]
+        for a, b in zip(jax.tree.leaves(sl_params),
+                        jax.tree.leaves(rl.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     def test_sfen_seeded_game_encodes_from_its_position(self, tmp_path):
         """A game starting from a custom SFEN must replay from THAT
         position: its moves are illegal from startpos, so a startpos
