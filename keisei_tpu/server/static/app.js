@@ -377,8 +377,15 @@ function renderStatus() {
   const sys = t.system_stats || {};
   const last = S.metrics[S.metrics.length - 1] || {};
   const row = document.getElementById("status-row");
+  // liveness badge: heartbeat freshness computed client-side so staleness
+  // shows even when the server stops pushing (reference StatusIndicator)
+  const alive = KT.heartbeatFresh(t.heartbeat_at, Date.now());
+  const ind = KT.indicator(alive, t.status, t.phase);
   row.innerHTML =
-    card("model", t.display_name || t.model_arch || "—") +
+    `<div class="card phase-badge ${ind.cls}" id="train-indicator">` +
+    `<div class="v">${ind.text}</div></div>` +
+    `<div class="card" id="model-card"><div class="k">model</div>` +
+    `<div class="v">${t.display_name || t.model_arch || "—"}</div></div>` +
     card("status", t.status || "—") +
     card("phase", t.phase || "—") +
     card("epoch", `${t.current_epoch ?? "—"}${t.total_epochs ? " / " + t.total_epochs : ""}`) +
@@ -388,16 +395,27 @@ function renderStatus() {
     card("uptime", uptimeOf(t)) +
     card("cpu", sys.cpu_percent != null ? sys.cpu_percent + "%" : "—") +
     card("ram", sys.ram_used_gb != null ? `${sys.ram_used_gb}/${sys.ram_total_gb} GB` : "—");
+  // run-config tooltip on the model card (reference configTooltip); set as
+  // a DOM property so no HTML escaping of the multi-line text is needed
+  const mc = row.querySelector("#model-card");  // created just above
+  if (mc) mc.title = KT.configSummary(t.config_json, t.model_arch);
 }
 
-// run age from training_state.started_at (ISO) vs heartbeat_at (unix sec)
+// run age from training_state.started_at vs heartbeat_at (both ISO-8601;
+// heartbeat freezes the clock when training stops — reference train clock)
 function uptimeOf(t) {
   if (!t.started_at) return "—";
   const start = Date.parse(t.started_at);
   if (!Number.isFinite(start)) return "—";
-  const end = t.heartbeat_at ? t.heartbeat_at * 1000 : Date.now();
+  const hb = t.heartbeat_at ? Date.parse(t.heartbeat_at) : NaN;
+  const end = Number.isFinite(hb) ? hb : Date.now();
   return KT.timeFormat((end - start) / 1000);
 }
+
+// staleness develops without any WS traffic: refresh the badge on a timer
+setInterval(() => {
+  if (S.training) renderStatus();
+}, 5000);
 
 // hover explanations on every chart title (reference configTooltip)
 function applyMetricHelp() {
@@ -415,6 +433,8 @@ function seriesOf(field, color, label) {
 function renderCharts() {
   drawChart("c-policy", [seriesOf("policy_loss", "#5aa9e6")], { smooth: true });
   drawChart("c-value", [seriesOf("value_loss", "#e6a95a")], { smooth: true });
+  drawChart("c-pvratio",
+    [{ color: "#5ae6c8", points: KT.pvRatio(S.metrics) }], { smooth: true });
   drawChart("c-entropy", [seriesOf("entropy", "#b98ae6")], { smooth: true });
   drawChart("c-winrates", [
     seriesOf("black_win_rate", "#63c57f", "black"),

@@ -176,6 +176,61 @@
     return r.g ? (r.w + 0.5 * r.d) / r.g : null;
   }
 
+  /** Training liveness badge (reference indicator.js getIndicator +
+   *  StatusIndicator.svelte phase badges). alive comes from heartbeat
+   *  freshness; status/phase from training_state. */
+  function indicator(alive, status, phase) {
+    if (alive) {
+      if (phase === "update") return { cls: "update", text: "▲ PPO UPDATE" };
+      if (phase === "rollout") return { cls: "rollout", text: "▶ ROLLOUT" };
+      return { cls: "alive", text: "● ALIVE" };
+    }
+    if (status === "completed") return { cls: "stopped", text: "■ COMPLETED" };
+    if (status === "paused") return { cls: "stopped", text: "■ PAUSED" };
+    if (status === "stopped") return { cls: "stopped", text: "■ STOPPED" };
+    return { cls: "stale", text: "◐ STALE — no heartbeat" };
+  }
+
+  /** true if an ISO-8601 UTC heartbeat is fresher than staleAfterS
+   *  (server-side twin: app.py _heartbeat_alive, 30 s). */
+  function heartbeatFresh(iso, nowMs, staleAfterS) {
+    if (!iso || typeof iso !== "string") return false;
+    const t = Date.parse(iso.endsWith("Z") || iso.includes("+") ? iso : iso + "Z");
+    if (!Number.isFinite(t)) return false;
+    return (nowMs - t) / 1000 < (staleAfterS == null ? 30 : staleAfterS);
+  }
+
+  /** Multi-line run-config summary for the model card's hover tooltip
+   *  (reference configTooltip.js buildConfigTooltip). */
+  function configSummary(configJson, modelArch) {
+    const cfg = typeof configJson === "string"
+      ? safeParse(configJson, null) : configJson;
+    if (!cfg) return modelArch || "";
+    const lines = [`Architecture: ${modelArch || cfg.model?.architecture || "?"}`];
+    const t = cfg.training || {};
+    if (t.algorithm) lines.push(`Algorithm: ${t.algorithm}`);
+    if (t.num_games) lines.push(`Envs: ${t.num_games}`);
+    if (t.steps_per_epoch) lines.push(`Steps/epoch: ${t.steps_per_epoch}`);
+    if (t.max_ply) lines.push(`Max ply: ${t.max_ply}`);
+    if (cfg.algorithm_params?.batch_size)
+      lines.push(`Batch: ${cfg.algorithm_params.batch_size}`);
+    if (cfg.league?.enabled) lines.push("League: on");
+    return lines.join("\n");
+  }
+
+  /** |policy_loss / value_loss| per metrics row as [epoch, ratio] points.
+   *  A stable ratio signals healthy co-training of the two heads
+   *  (reference MetricsGrid pvRatio series, metricsColumns.js); null-safe
+   *  on missing rows and guards value_loss == 0. */
+  function pvRatio(rows) {
+    return (rows || []).map((r) => {
+      const p = r.policy_loss, v = r.value_loss;
+      const ok = p != null && v != null && Number.isFinite(p) &&
+                 Number.isFinite(v) && v !== 0;
+      return [r.epoch || 0, ok ? Math.abs(p / v) : null];
+    });
+  }
+
   /** Stable-sorted copy of league entries for the table. key: "name" |
    *  "role" | "elo" | "games" | "style"; dir: 1 asc, -1 desc. styleOf
    *  maps entry id -> style label (used only for key "style"). Unknown
@@ -397,6 +452,9 @@
     "c-gnorm": "Global gradient norm before clipping (clip at 1.0). " +
       "Spikes mean unusually surprising batches.",
     "c-wl": "Learner win and loss rates against the league cohort.",
+    "c-pvratio": "|policy loss / value loss|. A stable ratio means the " +
+      "two heads co-train healthily; sustained drift is an overfitting " +
+      "warning (one head dominating the shared trunk).",
     "c-trunc": "Share of games hitting the max-ply ceiling.",
     "c-episodes": "Finished games per epoch across all parallel envs.",
     "c-elo": "League Elo over time, one line per pool entry.",
@@ -417,7 +475,8 @@
 
   return { pieceChar, usiToCell, usiDestCell, moverOf, blackProb,
            stmBlackProb, freshMoves, heatCells, moveDots, showcaseStats,
-           collapseEvents, h2hFor, winRate,
+           collapseEvents, h2hFor, winRate, pvRatio,
+           indicator, heartbeatFresh, configSummary,
            sortEntries, recentMatches, scorecard, movePattern,
            niceTicks, ema, downsample, nearestIndex, fmt,
            timeFormat, safeParse, METRIC_HELP,

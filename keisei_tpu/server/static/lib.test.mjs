@@ -342,3 +342,65 @@ test("METRIC_HELP names only chart canvases that exist in index.html", () => {
     assert.ok(KT.METRIC_HELP[key].length > 20);
   }
 });
+
+test("pvRatio pairs epochs with |p/v| and nulls bad rows", () => {
+  const rows = [
+    { epoch: 1, policy_loss: -0.2, value_loss: 0.8 },
+    { epoch: 2, policy_loss: 0.3, value_loss: 0 },        // div-by-zero
+    { epoch: 3, policy_loss: null, value_loss: 0.5 },     // missing
+    { epoch: 4, policy_loss: NaN, value_loss: 0.5 },      // non-finite
+    { policy_loss: 0.5, value_loss: -0.5 },               // missing epoch
+  ];
+  assert.deepEqual(KT.pvRatio(rows), [
+    [1, 0.25], [2, null], [3, null], [4, null], [0, 1],
+  ]);
+  assert.deepEqual(KT.pvRatio([]), []);
+  assert.deepEqual(KT.pvRatio(null), []);
+});
+
+test("indicator maps liveness/status/phase to badge states", () => {
+  assert.deepEqual(KT.indicator(true, "running", "update"),
+    { cls: "update", text: "▲ PPO UPDATE" });
+  assert.deepEqual(KT.indicator(true, "running", "rollout"),
+    { cls: "rollout", text: "▶ ROLLOUT" });
+  assert.equal(KT.indicator(true, "running", "init").cls, "alive");
+  assert.equal(KT.indicator(false, "completed", "").cls, "stopped");
+  assert.equal(KT.indicator(false, "paused", "").cls, "stopped");
+  assert.equal(KT.indicator(false, "stopped", "").cls, "stopped");
+  // running-but-silent is the stale (warning) state, not stopped
+  assert.equal(KT.indicator(false, "running", "rollout").cls, "stale");
+  assert.equal(KT.indicator(false, undefined, undefined).cls, "stale");
+});
+
+test("heartbeatFresh handles ISO forms, staleness, and garbage", () => {
+  const now = Date.parse("2026-08-18T12:00:00Z");
+  assert.equal(KT.heartbeatFresh("2026-08-18T11:59:45Z", now), true);
+  assert.equal(KT.heartbeatFresh("2026-08-18T11:59:00Z", now), false); // 60s
+  // missing Z is treated as UTC (server writes naive-UTC strftime)
+  assert.equal(KT.heartbeatFresh("2026-08-18T11:59:45", now), true);
+  assert.equal(KT.heartbeatFresh("2026-08-18T11:59:00+00:00", now), false);
+  assert.equal(KT.heartbeatFresh(null, now), false);
+  assert.equal(KT.heartbeatFresh("not a date", now), false);
+  assert.equal(KT.heartbeatFresh(1755518385, now), false); // wrong type
+  // custom threshold
+  assert.equal(KT.heartbeatFresh("2026-08-18T11:59:00Z", now, 120), true);
+});
+
+test("configSummary builds the model-card tooltip", () => {
+  const cfg = JSON.stringify({
+    training: { algorithm: "katago_ppo", num_games: 256, steps_per_epoch: 128,
+                max_ply: 512 },
+    algorithm_params: { batch_size: 1024 },
+    league: { enabled: true },
+  });
+  const tip = KT.configSummary(cfg, "se_resnet");
+  assert.match(tip, /Architecture: se_resnet/);
+  assert.match(tip, /Algorithm: katago_ppo/);
+  assert.match(tip, /Envs: 256/);
+  assert.match(tip, /Batch: 1024/);
+  assert.match(tip, /League: on/);
+  // fallbacks
+  assert.equal(KT.configSummary(null, "mlp"), "mlp");
+  assert.equal(KT.configSummary("not json", "mlp"), "mlp");
+  assert.equal(KT.configSummary({}, "mlp"), "Architecture: mlp");
+});
