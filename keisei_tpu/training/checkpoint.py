@@ -25,6 +25,24 @@ class CheckpointError(RuntimeError):
     pass
 
 
+def _restore(ckptr, path, item, **kw):
+    """Restore with template shardings/dtypes, wrapping Orbax's strict
+    shape-incompatibility ValueError in CheckpointError so callers get one
+    exception type for 'this checkpoint does not fit this model'."""
+    try:
+        return ckptr.restore(
+            path,
+            item=item,
+            # template shardings let Orbax place leaves directly on their
+            # target devices instead of reading the sharding sidecar file
+            # (slower, and wrong on a different topology)
+            restore_args=ocp.checkpoint_utils.construct_restore_args(item),
+            **kw,
+        )
+    except ValueError as e:
+        raise CheckpointError(f"checkpoint restore failed: {e}") from e
+
+
 def jnp_like(template, value):
     """Cast a raw-restored array to the template leaf's dtype/shape."""
     arr = np.asarray(value)
@@ -102,15 +120,12 @@ def load_checkpoint(
         # the SL trainer's cosine-schedule Adam) — partial-restore ONLY the
         # weights/rng: materializing the discarded Adam state too would
         # transiently triple host memory at the SL->RL warm start
-        restored = ckptr.restore(
-            path,
-            item={
-                "params": template_state.params,
-                "batch_stats": template_state.batch_stats,
-                "rng_key": np.zeros((2,), np.uint32),
-            },
-            partial_restore=True,
-        )
+        item = {
+            "params": template_state.params,
+            "batch_stats": template_state.batch_stats,
+            "rng_key": np.zeros((2,), np.uint32),
+        }
+        restored = _restore(ckptr, path, item, partial_restore=True)
         state = TrainState(
             params=jax.tree.map(jnp_like, template_state.params, restored["params"]),
             batch_stats=jax.tree.map(
@@ -130,7 +145,7 @@ def load_checkpoint(
         "step": template_state.step,
         "rng_key": np.zeros((2,), np.uint32),
     }
-    restored = ckptr.restore(path, item=template)
+    restored = _restore(ckptr, path, template)
     state = TrainState(
         params=restored["params"],
         batch_stats=restored["batch_stats"],

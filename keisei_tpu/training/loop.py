@@ -172,13 +172,15 @@ class SelfPlayTrainer:
                     forward_fn=self._rollout_forward_fn(tc.rollout_forward),
                 )
             )
-        # donate the train state (params + Adam moments alias in place
-        # instead of allocating a second copy) and the trajectory (dead
-        # after the update; its ~500 MB of obs/masks at flagship shapes
-        # would otherwise be held across the whole update)
+        # donate the train state: params + Adam moments alias in place in
+        # the output TrainState instead of allocating a second copy. The
+        # trajectory is NOT donated — the update returns only
+        # (TrainState, metrics), so no output can alias the traj leaves and
+        # XLA ignores the donation with a warning on every backend; traj
+        # memory is reclaimed after dispatch regardless.
         self._update = jax.jit(
             make_ppo_update(self.model, self.adapter, ap, self.optimizer),
-            donate_argnums=(0, 1),
+            donate_argnums=(0,),
         )
         # tiny eval forward for live-board value estimates (stm perspective;
         # the reference writes one per snapshot, katago_loop.py:1911-1952)
