@@ -29,6 +29,7 @@ const S = {
   showcase: { game: null, moves: [], queue: [], alive: false },
   reviewPly: null,      // null = follow live; else index into showcase.moves
   selectedEntry: null,  // league entry id for the detail panel
+  selectedGame: null,   // live-boards game id shown on the main board
   leagueSort: { key: "elo", dir: -1 },
 };
 const MAX_POINTS = 10000;
@@ -499,19 +500,39 @@ function handsHTML(hands) {
     .filter(([, n]) => n > 0).map(([k, n]) => `${pc(k)}×${n}`).join(" ");
   return `<div class="hands">☗ ${fmtSide(hands.black)} &nbsp; ☖ ${fmtSide(hands.white)}</div>`;
 }
+// thumbnail strip + selected main board (reference App.svelte training
+// layout: GameThumbnail per live game, one full Board for the selection)
 function renderBoards() {
   if (!views.boards.classList.contains("active")) return;
-  const el = document.getElementById("boards");
-  const count = parseInt(document.getElementById("boards-count").value, 10) || 12;
+  const count = parseInt(document.getElementById("boards-count").value, 10) || 24;
   const games = [...S.games.values()].sort((a, b) => a.game_id - b.game_id).slice(0, count);
-  el.innerHTML = games.map(g => {
-    const board = KT.safeParse(g.board_json, []);
-    const hands = KT.safeParse(g.hands_json, {});
-    return `<div class="board-card">
-      <div class="meta">game ${g.game_id} · ply ${g.ply} · ${g.current_player} to move
-        ${g.in_check ? "· <b>check</b>" : ""} ${g.game_type === "demo" ? "· demo" : ""}</div>
-      ${boardHTML(board)}${evalStripHTML(stmBlackProb(g))}${handsHTML(hands)}</div>`;
+  if (games.length && !games.some(g => g.game_id === S.selectedGame))
+    S.selectedGame = games[0].game_id;
+
+  const thumbs = document.getElementById("board-thumbs");
+  thumbs.innerHTML = games.map(g => {
+    const adv = KT.gameAdvantage(g);
+    const dot = adv.confident
+      ? `<span class="adv-dot ${adv.favours}" title="${adv.favours} advantage"></span>`
+      : "";
+    return `<button class="thumb${g.game_id === S.selectedGame ? " selected" : ""}"
+      data-game="${g.game_id}" aria-pressed="${g.game_id === S.selectedGame}">
+      ${boardHTML(KT.safeParse(g.board_json, []))}
+      <span class="label">${dot}G${g.game_id} — ${KT.gameStatus(g)}</span></button>`;
   }).join("") || '<p style="color:var(--dim)">no live games yet</p>';
+  for (const b of thumbs.querySelectorAll(".thumb")) {
+    b.onclick = () => { S.selectedGame = parseInt(b.dataset.game, 10); renderBoards(); };
+  }
+
+  const main = document.getElementById("board-main");
+  const g = games.find(x => x.game_id === S.selectedGame);
+  if (!g) { main.innerHTML = ""; return; }
+  main.innerHTML = `<div class="board-card">
+    <div class="meta">game ${g.game_id} · ply ${g.ply} · ${g.current_player} to move
+      ${g.in_check ? "· <b>check</b>" : ""} ${g.game_type === "demo" ? "· demo" : ""}
+      ${g.is_over ? `· <b>${KT.gameStatus(g)}</b>` : ""}</div>
+    ${coordWrap(boardHTML(KT.safeParse(g.board_json, [])))}
+    ${evalStripHTML(stmBlackProb(g))}${handsHTML(KT.safeParse(g.hands_json, {}))}</div>`;
 }
 
 // ---------------------------------------------------------------------------

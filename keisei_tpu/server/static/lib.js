@@ -68,6 +68,26 @@
     return (v + 1) / 2;
   }
 
+  /** Status label for a live-game thumbnail (reference gameThumbnail.js
+   *  getStatusText): the result text once the game is over, else the ply. */
+  function gameStatus(g) {
+    return g.is_over
+      ? String(g.result || "").replaceAll("_", " ")
+      : `ply ${g.ply}`;
+  }
+
+  /** Advantage marker for a live-game thumbnail (reference gameThumbnail.js
+   *  getAdvantage): confident when the black win probability leaves
+   *  [0.35, 0.65] — the reference's |value| > 0.3 band in [-1, 1]. */
+  function gameAdvantage(g) {
+    const p = stmBlackProb(g);
+    if (p == null) return { confident: false, favours: null };
+    return {
+      confident: Math.abs(p - 0.5) > 0.15,
+      favours: p > 0.5 ? "black" : "white",
+    };
+  }
+
   /** Filter freshly-pushed move rows against the already-held list.
    *  The server's init payload and poll task can race at connect time, so
    *  a move may arrive twice; plies are strictly increasing within a game. */
@@ -474,7 +494,8 @@
   }
 
   return { pieceChar, usiToCell, usiDestCell, moverOf, blackProb,
-           stmBlackProb, freshMoves, heatCells, moveDots, showcaseStats,
+           stmBlackProb, gameStatus, gameAdvantage,
+           freshMoves, heatCells, moveDots, showcaseStats,
            collapseEvents, h2hFor, winRate, pvRatio,
            indicator, heartbeatFresh, configSummary,
            sortEntries, recentMatches, scorecard, movePattern,

@@ -404,3 +404,31 @@ test("configSummary builds the model-card tooltip", () => {
   assert.equal(KT.configSummary("not json", "mlp"), "mlp");
   assert.equal(KT.configSummary({}, "mlp"), "Architecture: mlp");
 });
+
+test("gameStatus shows result when over, ply otherwise", () => {
+  assert.equal(KT.gameStatus({ is_over: 0, ply: 42 }), "ply 42");
+  assert.equal(KT.gameStatus({ is_over: 1, result: "black_win_checkmate" }),
+               "black win checkmate");
+  assert.equal(KT.gameStatus({ is_over: 1, result: null }), "");
+});
+
+test("gameAdvantage converts stm value to a black/white confidence dot", () => {
+  // side-to-move = black, strong positive value -> black advantage
+  assert.deepEqual(
+    KT.gameAdvantage({ value_estimate: 0.5, current_player: "black" }),
+    { confident: true, favours: "black" });
+  // same value from white's perspective favours white
+  assert.deepEqual(
+    KT.gameAdvantage({ value_estimate: 0.5, current_player: "white" }),
+    { confident: true, favours: "white" });
+  // |value| <= 0.3 is not confident (reference getAdvantage threshold)
+  assert.equal(
+    KT.gameAdvantage({ value_estimate: 0.3, current_player: "black" }).confident,
+    false);
+  assert.equal(
+    KT.gameAdvantage({ value_estimate: 0.31, current_player: "black" }).confident,
+    true);
+  // no estimate -> no dot
+  assert.deepEqual(KT.gameAdvantage({ current_player: "black" }),
+                   { confident: false, favours: null });
+});
