@@ -325,7 +325,13 @@ class OpponentStore:
         if template is None:
             return ckptr.restore(path)
         try:
-            return ckptr.restore(path, item=template)
+            # template restore_args place leaves at the template's
+            # dtype/sharding directly instead of consulting the sharding
+            # sidecar (a warning + host round-trip on every opponent load)
+            return ckptr.restore(
+                path, item=template,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(template),
+            )
         except ValueError as e:
             if "structures do not match" not in str(e):
                 raise
@@ -480,7 +486,10 @@ class OpponentStore:
     def load_optimizer(self, entry: OpponentEntry, template=None):
         if not entry.optimizer_path or not os.path.isdir(entry.optimizer_path):
             return None
-        return ocp.PyTreeCheckpointer().restore(entry.optimizer_path, item=template)
+        restore_args = (ocp.checkpoint_utils.construct_restore_args(template)
+                        if template is not None else None)
+        return ocp.PyTreeCheckpointer().restore(
+            entry.optimizer_path, item=template, restore_args=restore_args)
 
     # -- entry lifecycle ---------------------------------------------------------
 

@@ -25,6 +25,9 @@ from keisei_tpu.db import init_db
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] in ("-h", "--help"):
+        print(__doc__)
+        return
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/keisei-demo.db"
     rng = random.Random(7)
     init_db(path)
