@@ -47,6 +47,8 @@ const prefs = {
   set sound(v) { localStorage.setItem("ktpu-sound", v ? "on" : "off"); },
   get smooth() { return localStorage.getItem("ktpu-smooth") !== "off"; },
   set smooth(v) { localStorage.setItem("ktpu-smooth", v ? "on" : "off"); },
+  get aboutLevel() { return localStorage.getItem("ktpu-about-level") || "1"; },
+  set aboutLevel(v) { localStorage.setItem("ktpu-about-level", v); },
 };
 function applyTheme() {
   document.documentElement.dataset.theme = prefs.theme;
@@ -922,54 +924,292 @@ function renderShowcase() {
 }
 
 // ---------------------------------------------------------------------------
-// about view (reference AboutView + aboutLevel store)
+// about view (reference AboutView + aboutLevel store): a five-level
+// progressive article. Each section declares the minimum detail level at
+// which it appears; the switcher reveals deeper sections without hiding
+// the ones already read. Pure level/TOC logic lives in lib.js.
 // ---------------------------------------------------------------------------
-const ABOUT = {
-  simple: `
+const ABOUT_SECTIONS = [
+  { id: "ab-big-idea", label: "The big idea", minLevel: 1, section: null,
+    html: `
     <h2>What am I looking at?</h2>
     <p>This dashboard watches a computer teach itself <b>shogi</b> (Japanese
-    chess) by playing against itself, millions of games at a time, on a TPU.</p>
+    chess) from scratch. It knows only the rules. It plays hundreds of games
+    against itself at once on a TPU, looks at who won, and nudges its neural
+    network so the moves that led to wins become a little more likely. Repeat
+    a few million times and a random mover becomes a strong player — with no
+    human games, openings, or advice involved.</p>
     <ul>
-      <li><b>Training</b> — learning-progress charts. Losses should drift down;
-      entropy measures how "undecided" the policy still is.</li>
-      <li><b>Boards</b> — live positions sampled from the thousands of parallel
-      self-play games.</li>
-      <li><b>League</b> — frozen snapshots of past versions play matches against
-      the current learner so progress is measured against real opponents, not
-      just loss curves. Elo works like in human chess.</li>
+      <li><b>Training</b> — learning-progress charts. Losses should drift
+      down; entropy measures how "undecided" the policy still is.</li>
+      <li><b>Boards</b> — live positions sampled from the parallel self-play
+      games, updating as they are played.</li>
+      <li><b>League</b> — frozen snapshots of past versions play matches
+      against the current learner, so progress is measured in Elo against
+      real opponents, not just loss curves.</li>
       <li><b>Showcase</b> — watchable exhibition games between any two league
       members, with the network's win-probability estimate and its preferred
       moves overlaid.</li>
     </ul>
-    <p>Pieces point toward their opponent; captured pieces go to the capturer's
-    <i>hand</i> (shown under the board) and can be dropped back onto the board —
-    that's shogi's signature rule.</p>`,
-  technical: `
-    <h2>Architecture</h2>
-    <p>A TPU-native rebuild of the Keisei shogi RL framework: the full rules
-    engine, vectorized environment, PPO training, and league live as
-    <b>one fused JAX program</b> per epoch — the rollout scan alternates a
-    branchless (81×139)-action legality tensor with SE-ResNet policy inference
-    entirely on device.</p>
+    <p>Shogi basics for the boards here: pieces point toward their opponent,
+    and a captured piece switches sides — it goes to the capturer's
+    <i>hand</i> (shown under the board) and can later be <i>dropped</i> back
+    onto almost any empty square as their own. Drops keep material on the
+    board forever, which is why shogi games almost never fizzle into empty
+    endgames.</p>` },
+
+  { id: "ab-self-play", label: "Self-play loop", minLevel: 2,
+    section: "Level 2 · The learning loop", html: `
+    <h3>The self-play loop</h3>
+    <p>Training alternates two phases, both running on the TPU:</p>
+    <ol>
+      <li><b>Rollout.</b> A batch of games (the flagship runs 256 at once)
+      advances some number of plies. At every position the network outputs a
+      probability for each legal move, and one is <i>sampled</i> — not the
+      best one, deliberately. The randomness is the exploration: it is how
+      the learner stumbles into positions it would never choose yet, and
+      how it keeps discovering better moves than its current favorites.</li>
+      <li><b>Update.</b> The recorded positions, moves, and eventual results
+      become one training batch. Moves that preceded better-than-expected
+      outcomes get reinforced; the value estimate is pulled toward what
+      actually happened. Then the improved network plays the next rollout.</li>
+    </ol>
+    <p>There is no database of expert games and no search tree at training
+    time — improvement comes entirely from the gap between what the network
+    expected and what its own games delivered.</p>` },
+
+  { id: "ab-league", label: "Why a league?", minLevel: 2,
+    section: "Level 2 · The learning loop", html: `
+    <h3>Why a league?</h3>
+    <p>Loss curves cannot answer the question that matters: <i>is it
+    actually stronger than last week?</i> A falling loss can coexist with
+    cyclic play (A beats B beats C beats A) or with forgetting. So the
+    trainer periodically freezes a copy of itself into an opponent pool and
+    keeps playing rated matches against that pool:</p>
     <ul>
-      <li><b>Engine</b>: pure-functional game state; legality via one-hot
-      einsums on the MXU (no make/unmake loops); sennichite, perpetual check,
-      impasse, uchi-fu-zume all inside <code>jit</code>.</li>
-      <li><b>Training</b>: KataGo-style multi-head PPO (WDL value + score lead)
-      with GAE over a <code>lax.scan</code>, bf16 compute, SPMD data parallel
-      over a device mesh.</li>
-      <li><b>League</b>: tiered opponent pool (Frontier / Recent / Dynamic)
-      with role Elo, priority matchmaking, online PPO for Dynamic entries, and
-      historical gauntlets — coordinated through the SQLite WAL bus.</li>
-      <li><b>This UI</b>: a dependency-free SPA over a cursor-based WebSocket
-      push protocol (0.2 s metric deltas, 0.5 s showcase moves).</li>
+      <li><b>Frontier</b> entries are the strongest snapshots so far — the
+      bar to clear.</li>
+      <li><b>Recent</b> entries are the last few snapshots — they catch
+      regressions quickly.</li>
+      <li><b>Dynamic</b> entries keep learning on their own (slowly, from
+      their match experience), so the pool doesn't go stale between
+      snapshots.</li>
+      <li><b>Historical</b> milestones (epoch 1, 5, 10, 30, 100 …) are never
+      retired; a periodic gauntlet against them measures absolute progress
+      on a fixed yardstick.</li>
     </ul>
-    <p>Flagship model: 40-block × 256-channel SE-ResNet with global-pool bias
-    (~7.65 GFLOP/forward), evaluated once per ply for every parallel game.</p>`,
-};
+    <p>Every match updates Elo ratings exactly as in human chess. The league
+    table, matchup matrix, and Elo chart on the League tab are this system's
+    scoreboard.</p>` },
+
+  { id: "ab-observation", label: "What the network sees", minLevel: 3,
+    section: "Level 3 · Inside the network", html: `
+    <h3>What the network sees</h3>
+    <p>Each position is encoded as a <b>50-plane 9×9 tensor</b>, always from
+    the side-to-move's point of view (the board is flipped for White, so the
+    network only ever learns "my pawns push up"):</p>
+    <ul>
+      <li>28 planes: one per piece kind × side on the board (14 kinds each
+      way, promoted pieces separate).</li>
+      <li>14 planes: pieces in hand, encoded as constant planes scaled by
+      count (7 droppable kinds per side).</li>
+      <li>8 planes: game context — ply number, a constant-ones plane, and
+      repetition/check indicators.</li>
+    </ul>
+    <p>No move history stack and no handcrafted features beyond these:
+    attack maps, king safety, and material balance are all things the
+    network must discover for itself in its hidden layers.</p>` },
+
+  { id: "ab-architecture", label: "Network architecture", minLevel: 3,
+    section: "Level 3 · Inside the network", html: `
+    <h3>Network architecture</h3>
+    <p>The flagship model is a <b>40-block, 256-channel SE-ResNet</b>
+    (~7.65 GFLOP per position) — a stack of identical residual blocks over
+    the 9×9 board, the same family AlphaZero and KataGo use. Convolutions
+    see only 3×3 neighborhoods, but 40 blocks of them give every square a
+    view of the whole board many times over; depth is what lets "my rook is
+    aimed at a weak pawn eight squares away" become a local feature.</p>
+    <p>Smaller models (10×128) train the fast demo configs, and the model
+    registry also carries MLP / scalar-ResNet / tiny-transformer baselines
+    used by the test suite. All run in bfloat16 on the TPU's matrix units
+    with float32 only where numerics demand it.</p>` },
+
+  { id: "ab-block", label: "Inside a block", minLevel: 3,
+    section: "Level 3 · Inside the network", html: `
+    <h3>Inside a residual block</h3>
+    <p>Each block is conv→norm→ReLU→conv→norm plus the skip connection that
+    makes 40-deep stacks trainable. Two additions, both borrowed from
+    KataGo's playbook, matter for board games:</p>
+    <ul>
+      <li><b>Squeeze-and-excitation (the "SE")</b>: the block pools its own
+      output over the board, passes that through a tiny two-layer net, and
+      uses the result to re-weight its channels. It is a cheap global
+      attention: "there's an attack brewing on the king's side, turn up the
+      king-safety channels everywhere".</li>
+      <li><b>Global-pool bias</b>: a parallel path pools board-wide averages
+      and maxima and feeds them back as per-channel biases, so global state
+      (material count, phase of the game) reaches every square without
+      needing 40 layers of propagation.</li>
+    </ul>` },
+
+  { id: "ab-heads", label: "Three heads", minLevel: 3,
+    section: "Level 3 · Inside the network", html: `
+    <h3>Three output heads</h3>
+    <p>The trunk feeds three small heads, trained jointly:</p>
+    <ul>
+      <li><b>Policy</b> — a distribution over all <b>11,259</b> representable
+      actions (81 destination squares × 139 move types: 64 queen-like rides
+      ×2 for promotion, 2 knight moves ×2, and 7 drop kinds). Illegal moves
+      are masked to exactly zero before sampling, so the network never
+      wastes probability on them.</li>
+      <li><b>Value</b> — win/draw/loss probabilities for the side to move,
+      read as the eval bar and win-probability graph in the Showcase
+      view.</li>
+      <li><b>Score</b> — a material-lead estimate. Games that end in
+      checkmate teach it little, but it gives the value head a dense,
+      early-available learning signal (KataGo's trick).</li>
+    </ul>` },
+
+  { id: "ab-ppo", label: "PPO objective", minLevel: 4,
+    section: "Level 4 · The algorithm", html: `
+    <h3>The objective: PPO, KataGo-flavoured</h3>
+    <p>Updates use <b>Proximal Policy Optimization</b>: for each recorded
+    move, compare the new policy's probability to the one that actually
+    played it (the ratio <code>r</code>), multiply by the move's
+    <i>advantage</i> (how much better the outcome was than the value head
+    expected), and clip <code>r</code> to <code>[1−ε, 1+ε]</code> so no
+    single batch can yank the policy far from the one that generated the
+    data. Several epochs of minibatch steps re-use each rollout before it
+    is discarded as off-policy.</p>
+    <p>The full loss adds the value head's cross-entropy against real
+    outcomes, the score head's regression (weighted low), and an entropy
+    bonus that decays on a schedule — early on it props exploration up,
+    later it lets the policy sharpen. All components are computed under the
+    legality mask, so probabilities over illegal moves never contribute
+    gradient.</p>` },
+
+  { id: "ab-credit", label: "Credit assignment", minLevel: 4,
+    section: "Level 4 · The algorithm", html: `
+    <h3>Credit assignment in an alternating game</h3>
+    <p>Advantages come from <b>Generalized Advantage Estimation</b>: a
+    λ-weighted sum of temporal-difference errors that trades variance
+    against bias. Self-play adds a twist a single-agent recipe gets silently
+    wrong: consecutive plies belong to <i>opposite players</i>, and every
+    stored value is from its mover's perspective. The λ-chain here therefore
+    <b>negates its carry at every step</b> (negamax-style): the opponent's
+    pleasant surprise is exactly my unpleasant one. At γ=λ=1 the recursion
+    provably reproduces each mover's true game outcome — a property pinned
+    by tests, and a real bug class this build fixed along the way.</p>
+    <p>Games truncated at the max-ply ceiling bootstrap from the value head
+    instead of leaking a fake "draw" signal, and environment auto-resets cut
+    the chain so credit never flows across game boundaries.</p>` },
+
+  { id: "ab-knobs", label: "Knobs that matter", minLevel: 4,
+    section: "Level 4 · The algorithm", html: `
+    <h3>The knobs that actually matter</h3>
+    <ul>
+      <li><b>Batch geometry</b>: 256 parallel games × 128 plies per epoch =
+      32,768 samples per update; minibatches of 1024 on the flagship.</li>
+      <li><b>Learning rate</b> 2e-4 with a plateau scheduler (halve when
+      policy loss stalls; the scheduler's state survives checkpoint
+      resume).</li>
+      <li><b>Clip ε</b> 0.2, <b>γ</b> 0.99, <b>λ</b> 0.95 — the PPO
+      classics; γ&lt;1 mostly acts as a horizon prior in a game this
+      long.</li>
+      <li><b>Entropy schedule</b>: linear decay with a floor; watching the
+      entropy chart against the win-rate chart is the fastest health check
+      this dashboard offers.</li>
+      <li><b>Gradient clip</b> at global-norm 1.0 — the g-norm chart shows
+      how often it engages.</li>
+    </ul>
+    <p>The config file (hover the ⚙ summary in the header) records every
+    one of these per run; unknown keys are rejected at load time rather
+    than silently ignored.</p>` },
+
+  { id: "ab-framing", label: "Problem framing", minLevel: 5,
+    section: "Level 5 · Research view", html: `
+    <h3>Problem framing</h3>
+    <p>Formally: a two-player zero-sum, perfect-information Markov game,
+    solved approximately by <b>self-play policy iteration without
+    search</b> — one network is both players, and the opponent improves
+    exactly as fast as the learner because it <i>is</i> the learner. That
+    makes the learning target non-stationary by construction; the league
+    exists to keep that moving target honest (fixed anchors, diverse
+    opponents) rather than to provide training data.</p>
+    <p>Contrast with AlphaZero: no MCTS at either training or play time.
+    The policy head must carry the entire burden tactics included, which
+    is a harder representation problem and a deliberately different point
+    in the design space — every position costs exactly one forward pass,
+    so throughput, not search efficiency, is the currency.</p>` },
+
+  { id: "ab-tpu", label: "Mapping to the TPU", minLevel: 5,
+    section: "Level 5 · Research view", html: `
+    <h3>Mapping to the TPU</h3>
+    <p>The defining constraint: a TPU wants one large, static-shaped,
+    compiled program — not a Python game loop. So the rules engine is not
+    ported, it is <i>re-derived</i>: game state is a tensor pytree, and
+    legality for all 11,259 actions of all 256 games is computed as one
+    branchless dense program (precomputed attack tables, 8-direction shift
+    floods, one-hot einsums that run on the matrix units). Rollout and PPO
+    update fuse into a single <code>lax.scan</code> program per epoch; the
+    host only touches the league bookkeeping and this dashboard's SQLite
+    bus.</p>
+    <p>Measured consequence: the rules engine contributes ~7% of step time;
+    the other ~93% is SE-ResNet inference running near the chip's bf16
+    peak — i.e. the framework is model-bound, which is exactly where a
+    self-play system wants to be. Multi-chip runs shard the game batch over
+    a device mesh (data parallel, XLA collectives); the league tier is
+    deliberately single-host, matching the reference's constraint.</p>` },
+
+  { id: "ab-limitations", label: "Limitations", minLevel: 5,
+    section: "Level 5 · Research view", html: `
+    <h3>Honest limitations</h3>
+    <ul>
+      <li><b>No search.</b> Without test-time lookahead, deep tactics cap
+      the attainable strength well below search-based engines; Elo here
+      measures progress against this system's own history, not against
+      Stockfish-class play.</li>
+      <li><b>Sampled, not exhaustive, evaluation.</b> League matches are a
+      noisy estimator; Elo error bars shrink only with match count, and the
+      scheduler's coverage heuristics are just that.</li>
+      <li><b>Single-host league.</b> Pool bookkeeping (Elo, tiers, SQLite)
+      lives on one host; multi-host data parallelism and league mode are
+      mutually exclusive by design.</li>
+      <li><b>Draw handling.</b> Repetition and impasse rules are exact, but
+      max-ply truncation is still an artificial horizon; its rate is
+      charted because it subtly shapes the value target.</li>
+    </ul>` },
+];
+
 function renderAbout() {
-  const lvl = document.getElementById("about-level").value;
-  document.getElementById("about-body").innerHTML = ABOUT[lvl];
+  const lvl = KT.clampAboutLevel(parseInt(prefs.aboutLevel, 10));
+  const levels = KT.ABOUT_LEVELS;
+  const meta = levels.find(l => l.id === lvl);
+  // level switcher
+  document.getElementById("about-levelbar").innerHTML =
+    `<div class="level-btns" role="radiogroup" aria-label="detail level">` +
+    levels.map(l =>
+      `<button data-lvl="${l.id}" role="radio"` +
+      ` aria-checked="${l.id === lvl}"` +
+      ` class="${l.id === lvl ? "active" : ""}"` +
+      ` title="${l.blurb}">${l.id} · ${l.label}</button>`).join("") +
+    `</div>` +
+    `<div class="level-meta">Level ${lvl} of ${levels.length} — ` +
+    `${meta.blurb}. <span class="hint">(+/− to change)</span></div>` +
+    `<div class="level-progress"><span style="width:${(lvl / levels.length) * 100}%"></span></div>`;
+  for (const btn of document.querySelectorAll("#about-levelbar button"))
+    btn.onclick = () => { prefs.aboutLevel = btn.dataset.lvl; renderAbout(); };
+  // table of contents, grouped by level section
+  const visible = KT.visibleAboutToc(ABOUT_SECTIONS, lvl);
+  document.getElementById("about-toc").innerHTML =
+    KT.groupToc(visible).map(g =>
+      (g.section ? `<div class="toc-section">${g.section}</div>` : "") +
+      g.items.map(it =>
+        `<a href="#${it.id}">${it.label}</a>`).join("")).join("");
+  // body: all sections visible at this level, in declaration order
+  document.getElementById("about-body").innerHTML =
+    visible.map(s => `<section class="about-sec" id="${s.id}">${s.html}</section>`)
+      .join("");
   renderLegend();
 }
 
@@ -1068,7 +1308,17 @@ window.addEventListener("keydown", (ev) => {
   renderShowcase();
 });
 document.getElementById("boards-count").onchange = () => renderBoards();
-document.getElementById("about-level").onchange = () => renderAbout();
+// +/- adjust the about detail level while the About view is active
+document.addEventListener("keydown", (ev) => {
+  if (!views.about || !views.about.classList.contains("active")) return;
+  if (ev.target.tagName === "INPUT" || ev.target.tagName === "SELECT") return;
+  const delta = ev.key === "+" || ev.key === "=" ? 1
+    : ev.key === "-" || ev.key === "_" ? -1 : 0;
+  if (!delta) return;
+  prefs.aboutLevel = String(KT.clampAboutLevel(
+    KT.clampAboutLevel(parseInt(prefs.aboutLevel, 10)) + delta));
+  renderAbout();
+});
 document.getElementById("toggle-theme").onclick = () => {
   prefs.theme = prefs.theme === "dark" ? "light" : "dark";
   applyTheme(); renderAll();

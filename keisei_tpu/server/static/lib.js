@@ -482,6 +482,43 @@
       "of the showcase game.",
   };
 
+  // -- about view (reference AboutView + stores/aboutLevel) ------------------
+  // Five reading depths; each content section declares the minimum level at
+  // which it appears, so sliding the level progressively reveals detail.
+  const ABOUT_LEVELS = [
+    { id: 1, label: "Glance", blurb: "one paragraph, no jargon" },
+    { id: 2, label: "Curious", blurb: "how the learning loop works" },
+    { id: 3, label: "Engineer", blurb: "inside the network and the data" },
+    { id: 4, label: "Practitioner", blurb: "the algorithm and its knobs" },
+    { id: 5, label: "Researcher", blurb: "framing, hardware mapping, limits" },
+  ];
+
+  /** Clamp an about level to the valid 1..N range (0/NaN -> 1). */
+  function clampAboutLevel(n) {
+    const max = ABOUT_LEVELS.length;
+    if (!Number.isFinite(n)) return 1;
+    return Math.min(max, Math.max(1, Math.round(n)));
+  }
+
+  /** TOC entries visible at `level` (those whose minLevel <= level). */
+  function visibleAboutToc(items, level) {
+    return items.filter((it) => it.minLevel <= level);
+  }
+
+  /** Group consecutive TOC items sharing a `section` heading, preserving
+   *  order: [{section, items: [...]}]. Items with section=null each form
+   *  their own headingless group. */
+  function groupToc(items) {
+    const groups = [];
+    for (const it of items) {
+      const last = groups[groups.length - 1];
+      if (last && last.section === it.section && it.section != null)
+        last.items.push(it);
+      else groups.push({ section: it.section, items: [it] });
+    }
+    return groups;
+  }
+
   /** Compact number formatting for axis labels / tooltips. */
   function fmt(v) {
     const a = Math.abs(v);
@@ -501,5 +538,6 @@
            sortEntries, recentMatches, scorecard, movePattern,
            niceTicks, ema, downsample, nearestIndex, fmt,
            timeFormat, safeParse, METRIC_HELP,
+           ABOUT_LEVELS, clampAboutLevel, visibleAboutToc, groupToc,
            KANJI, KANJI_P, LETTER };
 });

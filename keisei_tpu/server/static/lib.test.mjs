@@ -432,3 +432,40 @@ test("gameAdvantage converts stm value to a black/white confidence dot", () => {
   assert.deepEqual(KT.gameAdvantage({ current_player: "black" }),
                    { confident: false, favours: null });
 });
+
+test("clampAboutLevel clamps to 1..5 and defaults NaN to 1", () => {
+  assert.equal(KT.clampAboutLevel(3), 3);
+  assert.equal(KT.clampAboutLevel(0), 1);
+  assert.equal(KT.clampAboutLevel(-2), 1);
+  assert.equal(KT.clampAboutLevel(99), KT.ABOUT_LEVELS.length);
+  assert.equal(KT.clampAboutLevel(NaN), 1);
+  assert.equal(KT.clampAboutLevel(2.6), 3);
+});
+
+test("visibleAboutToc filters by minLevel", () => {
+  const items = [
+    { id: "a", minLevel: 1 }, { id: "b", minLevel: 3 }, { id: "c", minLevel: 5 },
+  ];
+  assert.deepEqual(KT.visibleAboutToc(items, 1).map(i => i.id), ["a"]);
+  assert.deepEqual(KT.visibleAboutToc(items, 3).map(i => i.id), ["a", "b"]);
+  assert.deepEqual(KT.visibleAboutToc(items, 5).map(i => i.id), ["a", "b", "c"]);
+});
+
+test("groupToc groups consecutive same-section items, null stands alone", () => {
+  const items = [
+    { id: "hero", section: null },
+    { id: "x1", section: "L2" }, { id: "x2", section: "L2" },
+    { id: "y1", section: "L3" },
+    { id: "z1", section: null }, { id: "z2", section: null },
+  ];
+  const groups = KT.groupToc(items);
+  assert.deepEqual(groups.map(g => [g.section, g.items.length]),
+    [[null, 1], ["L2", 2], ["L3", 1], [null, 1], [null, 1]]);
+});
+
+test("ABOUT_LEVELS is a contiguous 1..N ladder with labels", () => {
+  KT.ABOUT_LEVELS.forEach((l, i) => {
+    assert.equal(l.id, i + 1);
+    assert.ok(l.label.length > 0 && l.blurb.length > 0);
+  });
+});
