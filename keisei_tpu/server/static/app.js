@@ -31,6 +31,7 @@ const S = {
   selectedEntry: null,  // league entry id for the detail panel
   selectedGame: null,   // live-boards game id shown on the main board
   leagueSort: { key: "elo", dir: -1 },
+  leagueView: "flat",    // "flat" | "grouped" (by tier)
 };
 const MAX_POINTS = 10000;
 
@@ -546,8 +547,11 @@ function renderLeague() {
   const tbody = document.querySelector("#league-table tbody");
   const learnerId = S.training && S.training.learner_entry_id;
   const styleOf = Object.fromEntries(S.league.styles.map(s => [s.checkpoint_id, s.primary_style]));
+  const records = KT.entryRecords(S.league.results);
+  const deltas = KT.eloDeltas(S.league.eloHistory);
   const { key: sortKey, dir: sortDir } = S.leagueSort;
   for (const th of document.querySelectorAll("#league-table thead th")) {
+    if (!th.dataset.key) continue;
     th.classList.toggle("sorted", th.dataset.key === sortKey);
     th.dataset.dir = th.dataset.key === sortKey ? (sortDir === 1 ? "▲" : "▼") : "";
     if (!th.onclick) th.onclick = () => {
@@ -558,15 +562,45 @@ function renderLeague() {
       renderLeague();
     };
   }
-  const sorted = KT.sortEntries(S.league.entries, sortKey, sortDir, styleOf);
-  tbody.innerHTML = sorted.map(e =>
-    `<tr data-entry="${e.id}" class="${e.id === learnerId ? "learner" : ""}${e.id === S.selectedEntry ? " selected" : ""}">
+  // flat/grouped view toggle (reference LeagueTable viewMode radiogroup)
+  const seg = document.getElementById("league-viewmode");
+  if (seg && !seg.childElementCount) {
+    seg.innerHTML = ["flat", "grouped"].map(m =>
+      `<button data-mode="${m}">${m}</button>`).join("");
+    for (const b of seg.querySelectorAll("button"))
+      b.onclick = () => { S.leagueView = b.dataset.mode; renderLeague(); };
+  }
+  const mode = S.leagueView || "flat";
+  if (seg) for (const b of seg.querySelectorAll("button"))
+    b.classList.toggle("active", b.dataset.mode === mode);
+
+  const sorted = KT.sortEntries(S.league.entries, sortKey, sortDir, styleOf,
+                                { records, deltas });
+  const rowHTML = (e, rank) => {
+    const r = records[e.id];
+    const wr = r ? KT.winRate(r) : null;
+    const dlt = deltas[e.id] || 0;
+    return `<tr data-entry="${e.id}" class="${e.id === learnerId ? "learner" : ""}${e.id === S.selectedEntry ? " selected" : ""}">
+      <td class="num">${rank}</td>
       <td>${e.display_name || "entry " + e.id}${e.id === learnerId ? " ◀" : ""}</td>
       <td>${(e.role || "").replace("_static", "").replace("_fixed", "")}</td>
       <td>${Math.round(e.elo_rating)}</td>
+      <td class="${dlt > 0.5 ? "up" : dlt < -0.5 ? "down" : ""}">${
+        dlt ? (dlt > 0 ? "+" : "") + Math.round(dlt) : ""}</td>
+      <td>${r ? `${r.w}-${r.l}-${r.d}` : ""}</td>
+      <td>${wr != null ? `<span class="wr-bar"><span style="width:${Math.round(wr * 100)}%"></span></span>${Math.round(wr * 100)}%` : ""}</td>
       <td>${e.games_played}</td>
-      <td>${styleOf[e.id] || ""}</td></tr>`).join("");
-  for (const tr of tbody.querySelectorAll("tr")) {
+      <td>${styleOf[e.id] || ""}</td></tr>`;
+  };
+  if (mode === "grouped") {
+    const groups = KT.groupEntriesByTier(sorted);
+    tbody.innerHTML = groups.map(g =>
+      `<tr class="tier-head"><td colspan="9">${g.tier} · ${g.items.length}</td></tr>` +
+      g.items.map((e, i) => rowHTML(e, i + 1)).join("")).join("");
+  } else {
+    tbody.innerHTML = sorted.map((e, i) => rowHTML(e, i + 1)).join("");
+  }
+  for (const tr of tbody.querySelectorAll("tr[data-entry]")) {
     tr.onclick = () => {
       const id = parseInt(tr.dataset.entry, 10);
       S.selectedEntry = S.selectedEntry === id ? null : id;

@@ -255,7 +255,62 @@
    *  "role" | "elo" | "games" | "style"; dir: 1 asc, -1 desc. styleOf
    *  maps entry id -> style label (used only for key "style"). Unknown
    *  keys fall back to Elo descending. */
-  function sortEntries(entries, key, dir, styleOf) {
+  /** Per-entry W/L/D/games aggregates from league_results rows (each row
+   *  is a multi-game match; both seats are credited). */
+  function entryRecords(results) {
+    const rec = {};
+    const get = (id) => rec[id] || (rec[id] = { w: 0, l: 0, d: 0, g: 0 });
+    for (const r of results || []) {
+      const games = (r.wins_a || 0) + (r.wins_b || 0) + (r.draws || 0);
+      const a = get(r.entry_a_id), b = get(r.entry_b_id);
+      a.w += r.wins_a || 0; a.l += r.wins_b || 0; a.d += r.draws || 0;
+      b.w += r.wins_b || 0; b.l += r.wins_a || 0; b.d += r.draws || 0;
+      a.g += games; b.g += games;
+    }
+    return rec;
+  }
+
+  /** Latest Elo movement per entry: newest rating minus the one before it
+   *  in that entry's history (0 with fewer than two points). Rows may
+   *  arrive in any order. */
+  function eloDeltas(eloHistory) {
+    const hist = new Map();
+    for (const r of eloHistory || []) {
+      if (!hist.has(r.entry_id)) hist.set(r.entry_id, []);
+      hist.get(r.entry_id).push([r.epoch, r.elo_rating]);
+    }
+    const out = {};
+    for (const [id, pts] of hist) {
+      pts.sort((a, b) => a[0] - b[0]);
+      out[id] = pts.length < 2 ? 0 : pts[pts.length - 1][1] - pts[pts.length - 2][1];
+    }
+    return out;
+  }
+
+  /** Group entries into the tier order the reference table uses
+   *  (frontier, recent, dynamic, historical, other), preserving the
+   *  incoming (already sorted) order inside each group. */
+  const TIER_ORDER = [
+    ["frontier", (role) => role.startsWith("frontier")],
+    ["recent", (role) => role.startsWith("recent")],
+    ["dynamic", (role) => role.startsWith("dynamic")],
+    ["historical", (role) => role.startsWith("historical")],
+  ];
+  function groupEntriesByTier(entries) {
+    const groups = TIER_ORDER.map(([tier]) => ({ tier, items: [] }));
+    const other = { tier: "other", items: [] };
+    for (const e of entries || []) {
+      const role = e.role || "";
+      const g = groups.find((_, i) => TIER_ORDER[i][1](role));
+      (g || other).items.push(e);
+    }
+    if (other.items.length) groups.push(other);
+    return groups.filter((g) => g.items.length);
+  }
+
+  function sortEntries(entries, key, dir, styleOf, aux) {
+    const records = (aux && aux.records) || {};
+    const deltas = (aux && aux.deltas) || {};
     const val = (e) => {
       switch (key) {
         case "name": return (e.display_name || "entry " + e.id).toLowerCase();
@@ -263,6 +318,9 @@
         case "games": return e.games_played || 0;
         case "style": return (styleOf && styleOf[e.id]) || "";
         case "elo": return e.elo_rating || 0;
+        case "record": return (records[e.id] || { w: 0 }).w;
+        case "wr": { const r = records[e.id]; const v = r && winRate(r); return v == null ? -1 : v; }
+        case "delta": return deltas[e.id] || 0;
         default: return -(e.elo_rating || 0);
       }
     };
@@ -535,7 +593,8 @@
            freshMoves, heatCells, moveDots, showcaseStats,
            collapseEvents, h2hFor, winRate, pvRatio,
            indicator, heartbeatFresh, configSummary,
-           sortEntries, recentMatches, scorecard, movePattern,
+           sortEntries, entryRecords, eloDeltas, groupEntriesByTier,
+           recentMatches, scorecard, movePattern,
            niceTicks, ema, downsample, nearestIndex, fmt,
            timeFormat, safeParse, METRIC_HELP,
            ABOUT_LEVELS, clampAboutLevel, visibleAboutToc, groupToc,

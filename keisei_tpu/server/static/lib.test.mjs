@@ -469,3 +469,52 @@ test("ABOUT_LEVELS is a contiguous 1..N ladder with labels", () => {
     assert.ok(l.label.length > 0 && l.blurb.length > 0);
   });
 });
+
+test("entryRecords credits both seats of every match", () => {
+  const rec = KT.entryRecords([
+    { entry_a_id: 1, entry_b_id: 2, wins_a: 3, wins_b: 1, draws: 1 },
+    { entry_a_id: 2, entry_b_id: 3, wins_a: 0, wins_b: 2, draws: 0 },
+  ]);
+  assert.deepEqual(rec[1], { w: 3, l: 1, d: 1, g: 5 });
+  assert.deepEqual(rec[2], { w: 1, l: 5, d: 1, g: 7 });
+  assert.deepEqual(rec[3], { w: 2, l: 0, d: 0, g: 2 });
+  assert.deepEqual(KT.entryRecords([]), {});
+});
+
+test("eloDeltas takes the two newest epochs regardless of row order", () => {
+  const d = KT.eloDeltas([
+    { entry_id: 1, epoch: 5, elo_rating: 1040 },
+    { entry_id: 1, epoch: 1, elo_rating: 1000 },
+    { entry_id: 1, epoch: 3, elo_rating: 1020 },
+    { entry_id: 2, epoch: 1, elo_rating: 990 },
+  ]);
+  assert.equal(d[1], 20);   // 1040 - 1020, not vs epoch 1
+  assert.equal(d[2], 0);    // single point -> no movement
+});
+
+test("groupEntriesByTier orders frontier/recent/dynamic/historical/other", () => {
+  const groups = KT.groupEntriesByTier([
+    { id: 1, role: "dynamic" },
+    { id: 2, role: "frontier_static" },
+    { id: 3, role: "unassigned" },
+    { id: 4, role: "recent_fixed" },
+    { id: 5, role: "frontier_static" },
+  ]);
+  assert.deepEqual(groups.map(g => [g.tier, g.items.map(i => i.id)]), [
+    ["frontier", [2, 5]], ["recent", [4]], ["dynamic", [1]], ["other", [3]],
+  ]);
+});
+
+test("sortEntries supports record/wr/delta keys via aux maps", () => {
+  const entries = [{ id: 1, elo_rating: 1000 }, { id: 2, elo_rating: 1100 }];
+  const aux = {
+    records: { 1: { w: 5, l: 0, d: 0, g: 5 }, 2: { w: 1, l: 4, d: 0, g: 5 } },
+    deltas: { 1: -10, 2: 30 },
+  };
+  assert.deepEqual(KT.sortEntries(entries, "wr", -1, null, aux).map(e => e.id), [1, 2]);
+  assert.deepEqual(KT.sortEntries(entries, "delta", -1, null, aux).map(e => e.id), [2, 1]);
+  assert.deepEqual(KT.sortEntries(entries, "record", 1, null, aux).map(e => e.id), [2, 1]);
+  // entries with no record sort below any win rate
+  const bare = KT.sortEntries([{ id: 9 }, ...entries], "wr", -1, null, aux);
+  assert.equal(bare[bare.length - 1].id, 9);
+});

@@ -140,6 +140,22 @@ def main() -> None:
                 "wins_b": g - wa - d, "draws": d, "games": g, "last_epoch": 120,
             })
 
+    # recorded match results (feeds RecentMatches + the W-L-D / Win% columns)
+    for epoch in range(96, 121, 6):
+        for _ in range(3):
+            a, b = rng.sample(range(1, 9), 2)
+            g = rng.randint(2, 8)
+            wa = rng.randint(0, g)
+            d = rng.randint(0, g - wa)
+            db_core.write_row(path, "league_results", {
+                "epoch": epoch, "entry_a_id": a, "entry_b_id": b,
+                "match_type": rng.choice(["tournament", "challenge", "gauntlet"]),
+                "role_a": roles[a - 1], "role_b": roles[b - 1],
+                "num_games": g, "wins_a": wa, "wins_b": g - wa - d, "draws": d,
+                "elo_before_a": 1100, "elo_after_a": 1100 + (wa - (g - wa - d)) * 4,
+                "elo_before_b": 1100, "elo_after_b": 1100 - (wa - (g - wa - d)) * 4,
+            })
+
     for i, style in [(1, "Sharp tactical opener"), (3, "Drop-heavy scrapper"),
                      (5, "Patient positional grinder")]:
         db_core.write_row(path, "style_profiles", {
