@@ -87,3 +87,30 @@ class TestConcurrentPool:
         assert r.games == 8
         assert r.wins_a + r.wins_b + r.draws == 8
         assert stats.total_plies == r.total_plies
+
+
+@pytest.mark.integration
+class TestRoundStats:
+    def test_stats_aggregate_real_pairings_only(self):
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        va = model.init(jax.random.key(0),
+                        jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        vb = model.init(jax.random.key(1),
+                        jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        pool = ConcurrentMatchPool(model, parallel_matches=2,
+                                   envs_per_match=2, max_ply=48,
+                                   chunk_steps=24)
+        results, stats = pool.run_round([(va, vb)], seed=5)
+        assert stats.pairings == 1 and len(results) == 1
+        assert stats.games == results[0].games
+        assert stats.total_plies == results[0].total_plies
+        assert stats.steps > 0 and stats.steps % 24 == 0
+
+    def test_empty_round_stats_zeroed(self):
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        pool = ConcurrentMatchPool(model, parallel_matches=2,
+                                   envs_per_match=2, max_ply=48,
+                                   chunk_steps=24)
+        results, stats = pool.run_round([], seed=0)
+        assert results == [] and (stats.pairings, stats.games,
+                                  stats.total_plies, stats.steps) == (0, 0, 0, 0)

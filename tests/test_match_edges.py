@@ -88,3 +88,57 @@ class TestPlayMatchEdges:
         assert r1 == r2  # deterministic per seed
         r3 = runner(vb, va, seed=0)
         assert isinstance(r3.games, int) and r3.games == 2
+
+
+class TestModelCache:
+    """ModelCache: one module per (architecture, params); shared across
+    entries so jit caches stay warm (match.py ModelCache docstring)."""
+
+    class _Entry:
+        def __init__(self, arch, params):
+            self.architecture = arch
+            self.model_params = params
+
+    def test_same_arch_params_share_module(self):
+        from keisei_tpu.league.match import ModelCache
+        cache = ModelCache()
+        m1, k1 = cache.model_for(self._Entry("mlp", {"hidden_sizes": [16]}))
+        m2, k2 = cache.model_for(self._Entry("mlp", {"hidden_sizes": [16]}))
+        assert m1 is m2 and k1 == k2
+
+    def test_param_change_gets_fresh_module(self):
+        from keisei_tpu.league.match import ModelCache
+        cache = ModelCache()
+        m1, k1 = cache.model_for(self._Entry("mlp", {"hidden_sizes": [16]}))
+        m2, k2 = cache.model_for(self._Entry("mlp", {"hidden_sizes": [32]}))
+        assert m1 is not m2 and k1 != k2
+
+
+class TestMatchResultScore:
+    def test_score_counts_draws_half(self):
+        from keisei_tpu.league.match import MatchResult
+        r = MatchResult(wins_a=3, wins_b=1, draws=2, games=6, total_plies=0)
+        assert r.score_a == pytest.approx((3 + 1.0) / 6)
+
+    def test_zero_games_guard(self):
+        from keisei_tpu.league.match import MatchResult
+        r = MatchResult(0, 0, 0, 0, 0)
+        assert r.score_a == 0.0
+
+
+@pytest.mark.integration
+class TestSeedSensitivity:
+    def test_same_seed_reproduces_result(self, two_models):
+        model, va, vb = two_models
+        kw = dict(num_games=4, max_ply=48, chunk_steps=24, seed=11)
+        r1 = play_match(model, va, model, vb, **kw)
+        r2 = play_match(model, va, model, vb, **kw)
+        assert (r1.wins_a, r1.wins_b, r1.draws, r1.total_plies) == \
+               (r2.wins_a, r2.wins_b, r2.draws, r2.total_plies)
+
+    def test_result_totals_are_consistent(self, two_models):
+        model, va, vb = two_models
+        r = play_match(model, va, model, vb,
+                       num_games=4, max_ply=48, chunk_steps=24, seed=3)
+        assert r.wins_a + r.wins_b + r.draws == r.games <= 4
+        assert r.total_plies >= r.games  # every finished game has >=1 ply

@@ -129,3 +129,44 @@ class TestDisplayNames:
         facts = flavour_facts_for(12, created_epoch=34)
         assert all(len(pair) == 2 for pair in facts)
         assert any("epoch 34" in v for _, v in facts)
+
+
+class TestTemplateRestorePlacement:
+    """Template restores must honor the template's dtype directly (via
+    restore_args) instead of replaying the on-disk sharding sidecar — the
+    league hot path loads opponents as bf16 inference trees from float32
+    saves (reference: opponent cache semantics, opponent_store.py)."""
+
+    def test_load_variables_casts_to_template_dtype(self, store):
+        e = add(store)
+        f32 = tiny_variables(0)
+        bf16_tmpl = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else jnp.zeros_like(x),
+            f32,
+        )
+        loaded = store.load_variables(e, template=bf16_tmpl)
+        for t, l, orig in zip(jax.tree.leaves(bf16_tmpl),
+                              jax.tree.leaves(loaded),
+                              jax.tree.leaves(f32)):
+            assert l.dtype == t.dtype
+            assert jnp.allclose(jnp.asarray(l, jnp.float32),
+                                jnp.asarray(orig, jnp.float32), atol=0.01)
+
+    def test_load_optimizer_honors_template_dtype(self, store):
+        e = add(store)
+        params = tiny_variables(0)["params"]
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        store.save_optimizer(e.id, opt_state)
+        e2 = store.get_entry(e.id)
+        tmpl = jax.tree.map(
+            lambda x: jnp.zeros(x.shape, jnp.bfloat16)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x,
+            opt_state,
+        )
+        restored = store.load_optimizer(e2, template=tmpl)
+        for t, r in zip(jax.tree.leaves(tmpl), jax.tree.leaves(restored)):
+            if hasattr(t, "dtype"):
+                assert r.dtype == t.dtype
