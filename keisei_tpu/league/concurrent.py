@@ -4,10 +4,11 @@ Capability parity with the reference's slot-partitioned pool
 (keisei/training/concurrent_matches.py:171-625): `parallel_matches` slots x
 `envs_per_match` lanes inside one batched environment. The reference
 interleaves per-slot model forwards on a shared GPU; here each slot owns a
-static env block and every step runs 2P unrolled block forwards (a-side and
-b-side per slot) — one env step advances every game of every pairing at
-once, so a round costs max-game-length steps instead of
-sum-over-pairings(game length).
+static env block and every step runs ONE vmapped forward over the 2P
+stacked weight sets (a-side and b-side per slot) — one env step advances
+every game of every pairing at once, so a round costs max-game-length
+steps instead of sum-over-pairings(game length), and the program size /
+compile time do not scale with P.
 
 All pairings in a pool share one architecture (weights swap per round
 without retracing); heterogeneous-architecture pairings fall back to the
@@ -69,22 +70,37 @@ class ConcurrentMatchPool:
             masked = jnp.where(masks, flat / temperature, -1e9)
             return jax.random.categorical(rng, masked, axis=-1).astype(jnp.int32)
 
+        vmapped_forward = jax.vmap(block_forward)
+
         def chunk(stacked_a, stacked_b, env_states, obs, masks, a_color,
                   done_seen, result, plies, rng):
+            # One vmapped forward over all 2P weight sets instead of 2P
+            # unrolled forwards: the HLO carries ONE copy of the trunk
+            # (grouped convs over the stacked kernels), so compile time and
+            # program size stop scaling with P — the unrolled flagship
+            # chunk (8 x b40c256 in a 64-step scan body) took >10 min of
+            # XLA compile — and each conv sees a 2P*E effective batch
+            # instead of E, which the MXU tiles far better.
+            stacked_ab = jax.tree.map(
+                lambda xa, xb: jnp.concatenate([xa, xb]), stacked_a, stacked_b)
+
             def body(carry, _):
                 env_states, obs, masks, done_seen, result, plies, rng = carry
                 rng, k = jax.random.split(rng)
                 keys = jax.random.split(k, 2 * P)
                 obs_p = obs.reshape(P, E, -1)
                 masks_p = masks.reshape(P, E, A)
-                acts_a, acts_b = [], []
-                for p in range(P):  # unrolled: conv kernels can't be vmapped
-                    va = jax.tree.map(lambda x, p=p: x[p], stacked_a)
-                    vb = jax.tree.map(lambda x, p=p: x[p], stacked_b)
-                    acts_a.append(block_forward(va, obs_p[p], masks_p[p], keys[2 * p]))
-                    acts_b.append(block_forward(vb, obs_p[p], masks_p[p], keys[2 * p + 1]))
-                act_a = jnp.concatenate(acts_a)
-                act_b = jnp.concatenate(acts_b)
+                # key layout matches the historical unrolled order
+                # (a-side p -> keys[2p], b-side p -> keys[2p+1])
+                keys_ab = jnp.concatenate([keys[0::2], keys[1::2]])
+                acts = vmapped_forward(
+                    stacked_ab,
+                    jnp.concatenate([obs_p, obs_p]),
+                    jnp.concatenate([masks_p, masks_p]),
+                    keys_ab,
+                )
+                act_a = acts[:P].reshape(N)
+                act_b = acts[P:].reshape(N)
                 stm = env_states.stm.astype(jnp.int32)
                 actions = jnp.where(stm == a_color, act_a, act_b)
 
