@@ -73,6 +73,28 @@ class TestConcurrentPool:
         # (seed-sensitivity is NOT asserted: with max_ply=48 every random-
         # policy game truncates, so slot summaries legitimately coincide)
 
+    def test_vmapped_stack_preserves_slot_weight_isolation(self):
+        """Slot p's envs must be driven by slot p's weights. At near-zero
+        temperature the policy is argmax (rng-independent), so a P=2 pooled
+        round must reproduce the two P=1 rounds exactly — a transposed or
+        scrambled weight stack in the vmapped forward would break this."""
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        vs = [
+            model.init(jax.random.key(i), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                       train=False)
+            for i in range(4)
+        ]
+        kw = dict(envs_per_match=4, max_ply=48, chunk_steps=24,
+                  temperature=1e-4)
+        pooled, _ = ConcurrentMatchPool(model, parallel_matches=2, **kw).run_round(
+            [(vs[0], vs[1]), (vs[2], vs[3])], seed=7)
+        solo0, _ = ConcurrentMatchPool(model, parallel_matches=1, **kw).run_round(
+            [(vs[0], vs[1])], seed=7)
+        solo1, _ = ConcurrentMatchPool(model, parallel_matches=1, **kw).run_round(
+            [(vs[2], vs[3])], seed=7)
+        assert pooled[0] == solo0[0]
+        assert pooled[1] == solo1[0]
+
     def test_self_play_symmetric_mirror(self):
         """The SAME weights on both sides with mirrored colors: slot results
         must net out to wins_a + wins_b == decided games (sanity on the
