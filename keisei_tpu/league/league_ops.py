@@ -60,6 +60,24 @@ def stack_cohort_variables(
     return jax.tree.unflatten(treedef, stacked)
 
 
+def stacked_cohort_template(template: dict, k: int, dtype=None):
+    """Zero tree with the exact structure/shape/dtypes stack_cohort_variables
+    produces for a K-cohort of `template`-shaped entries.
+
+    Non-main processes in a multi-host league run build this as their
+    contribution to the cohort-weight broadcast (broadcast_one_to_all
+    requires every process to supply a structurally identical tree; only
+    process 0's values survive the psum). The cast rule must mirror
+    _stack_k: float leaves to `dtype`, everything else unchanged."""
+    def zeros(x):
+        dt = x.dtype
+        if dtype is not None and jnp.issubdtype(dt, jnp.floating):
+            dt = jnp.dtype(dtype)
+        return jnp.zeros((k,) + x.shape, dt)
+
+    return jax.tree.map(zeros, template)
+
+
 def record_epoch_results(
     store: OpponentStore,
     scheduler,

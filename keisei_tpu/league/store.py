@@ -36,6 +36,32 @@ from ..db.league_tables import bump_head_to_head
 logger = logging.getLogger(__name__)
 
 
+def _checkpointer():
+    """PyTree checkpointer whose barriers involve ONLY this process.
+
+    Store weight/optimizer IO runs on process 0 alone in multi-host league
+    runs (peers receive cohorts by broadcast, loop._cohort_for_epoch). The
+    stock ocp.PyTreeCheckpointer's save/restore are cross-process
+    COLLECTIVES whenever jax.process_count() > 1 (sync_global_processes
+    barriers) — a barrier the peer hosts never enter, deadlocking process 0
+    against peers parked at the cohort broadcast (found by the 2-process
+    league test's hang dump). Restricting active_processes to this process
+    keeps the on-disk format identical while making store IO process-local."""
+    import jax
+
+    if jax.process_count() == 1:
+        return ocp.PyTreeCheckpointer()
+    me = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me,
+            active_processes={me},
+            barrier_sync_key_prefix=f"league-store-p{me}",
+        ),
+    )
+
+
 _CAST_FN = None
 
 
@@ -299,7 +325,7 @@ class OpponentStore:
 
     def _save_variables(self, path: str, variables: dict,
                         meta: dict | None = None) -> None:
-        ocp.PyTreeCheckpointer().save(path, variables, force=True)
+        _checkpointer().save(path, variables, force=True)
         if meta is not None:
             # keisei_meta.json sidecar (same name/shape as trainer
             # checkpoints) so entry weights are standalone-loadable by
@@ -321,7 +347,7 @@ class OpponentStore:
         template-free restore and drop the empty collection — found live
         when an mlp league run resumed and cohort-stacked a dynamic entry
         from disk."""
-        ckptr = ocp.PyTreeCheckpointer()
+        ckptr = _checkpointer()
         if template is None:
             return ckptr.restore(path)
         try:
@@ -475,7 +501,7 @@ class OpponentStore:
 
     def save_optimizer(self, entry_id: int, opt_state) -> str:
         path = os.path.join(self._entry_dir(entry_id), "optimizer")
-        ocp.PyTreeCheckpointer().save(path, opt_state, force=True)
+        _checkpointer().save(path, opt_state, force=True)
         dbcore.execute(
             self.db_path,
             "UPDATE league_entries SET optimizer_path = ? WHERE id = ?",
@@ -488,7 +514,7 @@ class OpponentStore:
             return None
         restore_args = (ocp.checkpoint_utils.construct_restore_args(template)
                         if template is not None else None)
-        return ocp.PyTreeCheckpointer().restore(
+        return _checkpointer().restore(
             entry.optimizer_path, item=template, restore_args=restore_args)
 
     # -- entry lifecycle ---------------------------------------------------------

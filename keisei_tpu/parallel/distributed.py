@@ -97,3 +97,25 @@ def process_seed(base_seed: int, ctx: DistributedContext) -> int:
     """Per-process host-side seed (reference seed_all_ranks: base + rank).
     Device RNG inside jit should fold in axis indices instead."""
     return base_seed + ctx.process_id
+
+
+def broadcast_from_main(tree, is_source: bool | None = None):
+    """Broadcast a pytree of arrays from process 0 to every process.
+
+    The multi-host league path uses this for host-side decisions that only
+    process 0 can make (it owns the opponent store): cohort keys and, when
+    they change, the stacked opponent weight trees. The reference instead
+    declares league mode incompatible with DDP (katago_loop.py:472-478);
+    here the SPMD rollout program stays identical on every host because its
+    host-side inputs are broadcast before entry.
+
+    Single-process: identity (no device shuffling, no numpy round trip).
+    Multi-process: jax.experimental.multihost_utils.broadcast_one_to_all —
+    a psum over a global mesh (DCN/ICI), returning host numpy on all
+    processes. Non-source processes must pass shape/dtype-matched
+    placeholders (see league_ops.stacked_cohort_template)."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree, is_source=is_source)

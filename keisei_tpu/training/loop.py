@@ -95,7 +95,12 @@ class SelfPlayTrainer:
                  resume_from: str | None = None):
         self.config = config
         self.metrics_sink = metrics_sink or (lambda m: None)
-        self.observer = observer or TrainingObserver(config.display.db_path)
+        # multi-host: process 0 owns every host-side side effect (DB,
+        # checkpoint pruning, league store); the others run the same SPMD
+        # device program with broadcast inputs
+        self._is_main_proc = jax.process_index() == 0
+        self.observer = observer or TrainingObserver(
+            config.display.db_path if self._is_main_proc else "")
         # explicit resume override: latest_checkpoint() prefers the highest
         # RL epoch, which would silently out-rank a just-written SL warm
         # start (epoch 0) in a reused checkpoint_dir — sl_to_rl pins the
@@ -193,6 +198,11 @@ class SelfPlayTrainer:
             return self.adapter.scalar_value_blended(out)
 
         self._snap_values = jax.jit(_snap_values)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicated
+
+            self._replicate_out = jax.jit(
+                lambda t: t, out_shardings=replicated(self.mesh))
         self.lr_sched = PlateauScheduler(
             factor=tc.lr_plateau_factor,
             patience=tc.lr_plateau_patience,
@@ -215,7 +225,49 @@ class SelfPlayTrainer:
 
     def _init_league(self):
         """Opponent pool + scheduler + tournament + historical machinery
-        (the reference wires these in katago_loop.py:641-714)."""
+        (the reference wires these in katago_loop.py:641-714).
+
+        Multi-host: only process 0 builds the host-side league tier (store,
+        pool, scheduler, tournament, …) — it owns the league_dir and the
+        DB. The other processes keep identical DEVICE-side league state
+        (learner colors; cohort weights arrive by broadcast each epoch in
+        _cohort_for_epoch), which is all the SPMD rollout needs. This is a
+        capability the reference does not have: its league mode is
+        explicitly incompatible with DDP (katago_loop.py:472-478)."""
+        # per-env learner colors first (katago_loop.py:1129-1145): the rng
+        # split must happen on EVERY process in the same order so the rng
+        # streams stay aligned for the SPMD program.
+        from .league_rollout import compact_supported, parity_colors
+
+        lc = self.config.league
+        self.rng, k = jax.random.split(self.rng)
+        n = self.config.training.num_games
+        if compact_supported(self.T, self.K, lc.color_randomization):
+            # the compact parity-locked rollout REQUIRES its initial color
+            # assignment — a mismatch would hand actions to the wrong seat
+            # (the rollout's parity_mismatch counter catches violations)
+            self.learner_color = parity_colors(n)
+        elif lc.color_randomization:
+            self.learner_color = jax.random.bernoulli(k, 0.5, (n,)).astype(jnp.int32)
+        else:
+            self.learner_color = jnp.zeros(n, jnp.int32)
+        self._cohort = []
+        self._cohort_slot_ids = None
+        self._cohort_key = None
+
+        if not self._is_main_proc:
+            self.store = None
+            self.pool = None
+            self.scorer = None
+            self.scheduler = None
+            self.dyn_trainer = None
+            self.historical = None
+            self.gauntlet = None
+            self.tournament = None
+            self.dispatcher = None
+            self.learner_entry_id = None
+            return
+
         from ..league.dynamic_trainer import DynamicTrainer
         from ..league.historical import HistoricalGauntlet, HistoricalLibrary
         from ..league.scheduler import (MatchScheduler, PriorityScorer,
@@ -267,21 +319,6 @@ class SelfPlayTrainer:
                     self.store, lc, self.scheduler, self.scorer
                 )
 
-        # per-env learner colors (katago_loop.py:1129-1145). The compact
-        # parity-locked rollout REQUIRES its initial color assignment —
-        # a mismatch would hand actions to the wrong seat (the rollout's
-        # parity_mismatch counter catches violations at runtime).
-        from .league_rollout import compact_supported, parity_colors
-
-        self.rng, k = jax.random.split(self.rng)
-        n = self.config.training.num_games
-        if compact_supported(self.T, self.K, lc.color_randomization):
-            self.learner_color = parity_colors(n)
-        elif lc.color_randomization:
-            self.learner_color = jax.random.bernoulli(k, 0.5, (n,)).astype(jnp.int32)
-        else:
-            self.learner_color = jnp.zeros(n, jnp.int32)
-
         # bootstrap: the pool must never be empty (katago_loop.py:657)
         self.pool.bootstrap_from_flat_pool(self.epoch)
         if self.store.pool_size() == 0:
@@ -307,7 +344,6 @@ class SelfPlayTrainer:
                     key=lambda e: (e.created_epoch, e.id),
                 )
                 self.learner_entry_id = latest.id
-        self._cohort = []
 
     def _variables_host(self):
         return jax.tree.map(lambda x: jax.device_get(x), self._variables())
@@ -341,6 +377,88 @@ class SelfPlayTrainer:
         while len(cohort) < self.K:  # cycle the sampled set to fill K blocks
             cohort.append(base[len(cohort) % len(base)])
         return cohort[: self.K]
+
+    def _cohort_for_epoch(self):
+        """Sample this epoch's opponent cohort and return the stacked
+        variable tree, multi-host aware.
+
+        Process 0 owns the store and samples; the (entry_id, update_count)
+        key — and, only when it changes, the stacked bf16 weight tree — is
+        broadcast so every host enters the IDENTICAL SPMD rollout program.
+        The key broadcast is K×2 int64 per epoch; the weight broadcast
+        (K × model size / 2 bytes over DCN) only happens on cohort change,
+        the same boundary at which a single-host run pays the Orbax restore
+        + device upload. This removes the reference's league-vs-DDP
+        incompatibility (katago_loop.py:472-478): league training here
+        data-parallelizes over hosts.
+
+        Cohort-swap hygiene (single- AND multi-host): env block k plays
+        whoever sits in slot k, so a game straddling the epoch boundary
+        would silently switch opponents mid-game and credit the W/L/D
+        (Elo, head-to-head, tier win rates) to an entry that played only
+        the tail of it. The reference accepts that corruption
+        (katago_loop.py:1057-1060 reassigns _env_opponent_ids for every
+        env each epoch); here the swapped blocks are reset instead — the
+        boundary already bootstrapped those games' value targets via
+        V(obs_T), so the discard is exactly the truncation path. A
+        same-entry update-count change keeps the games (retrained weights
+        mid-game match the reference's accepted ~1-epoch lag)."""
+        from ..league.league_ops import (stack_cohort_variables,
+                                         stacked_cohort_template)
+        from ..parallel.distributed import broadcast_from_main
+
+        multi = jax.process_count() > 1
+        if self._is_main_proc:
+            self._cohort = self._sample_cohort()
+            key_arr = np.array(
+                [(e.id, e.update_count) for e in self._cohort], np.int64)
+        else:
+            key_arr = np.zeros((self.K, 2), np.int64)
+        if multi:
+            key_arr = np.asarray(
+                broadcast_from_main(key_arr, self._is_main_proc))
+        ck = tuple(map(tuple, key_arr.tolist()))
+        new_ids = tuple(pair[0] for pair in ck)
+        old_ids = self._cohort_slot_ids
+        if old_ids is not None and new_ids != old_ids:
+            swapped = [k for k, (a, b) in enumerate(zip(old_ids, new_ids))
+                       if a != b]
+            self._reset_swapped_blocks(swapped)
+        self._cohort_slot_ids = new_ids
+        # Reuse the stacked on-device cohort when the sampled entries (and
+        # their update counts) are unchanged — re-stacking every epoch
+        # re-dispatched ~K model uploads per epoch.
+        if self._cohort_key == ck:
+            return self._cohort_vars
+        if self._is_main_proc:
+            template = self._variables()
+            if multi:
+                # host-side template: restore_args derived from the global
+                # replicated train state would make Orbax fabricate arrays
+                # claiming non-addressable devices (process-local store IO
+                # cannot build global arrays)
+                template = jax.tree.map(np.asarray, template)
+            opp_vars = stack_cohort_variables(
+                self.store, self._cohort, template,
+                dtype=jnp.bfloat16,  # halves opponent HBM; action-identical
+            )
+        else:
+            opp_vars = stacked_cohort_template(
+                self._variables(), self.K, dtype=jnp.bfloat16)
+        if multi:
+            from jax.experimental.multihost_utils import (
+                host_local_array_to_global_array)
+            from jax.sharding import PartitionSpec
+
+            host_tree = broadcast_from_main(opp_vars, self._is_main_proc)
+            # re-wrap as global replicated arrays over the training mesh:
+            # every process holds the full value, so this is construction,
+            # not communication — and caching the GLOBAL tree means cohort
+            # cache hits skip the host->device upload entirely
+            opp_vars = host_local_array_to_global_array(
+                host_tree, self.mesh, PartitionSpec())
+        self._cohort_key, self._cohort_vars = ck, opp_vars
+        return opp_vars
 
     # -- state management ------------------------------------------------------
 
@@ -542,45 +660,17 @@ class SelfPlayTrainer:
         t0 = time.monotonic()
         self.observer.heartbeat(self.epoch, self.epoch * self.T, "rollout")
         if self.league_enabled:
-            from ..league.league_ops import stack_cohort_variables
-
-            self._cohort = self._sample_cohort()
-            # Cohort-swap hygiene: env block k plays whoever sits in slot k,
-            # so a game straddling the epoch boundary would silently switch
-            # opponents mid-game and credit the W/L/D (Elo, head-to-head,
-            # tier win rates) to an entry that played only the tail of it.
-            # The reference accepts that corruption (katago_loop.py:1057-1060
-            # reassigns _env_opponent_ids for every env each epoch); here
-            # the swapped blocks are reset instead — the boundary already
-            # bootstrapped those games' value targets via V(obs_T), so the
-            # discard is exactly the truncation path, and every recorded
-            # outcome was played wholly against the credited entry. A
-            # same-entry update-count change keeps the games (retrained
-            # weights mid-game match the reference's accepted ~1-epoch lag).
-            new_ids = tuple(e.id for e in self._cohort)
-            old_ids = getattr(self, "_cohort_slot_ids", None)
-            if old_ids is not None and new_ids != old_ids:
-                swapped = [k for k, (a, b) in enumerate(zip(old_ids, new_ids))
-                           if a != b]
-                self._reset_swapped_blocks(swapped)
-            self._cohort_slot_ids = new_ids
-            # Reuse the stacked on-device cohort when the sampled entries
-            # (and their update counts) are unchanged — re-stacking every
-            # epoch re-dispatched ~K model uploads per epoch.
-            ck = tuple((e.id, e.update_count) for e in self._cohort)
-            if getattr(self, "_cohort_key", None) == ck:
-                opp_vars = self._cohort_vars
-            else:
-                opp_vars = stack_cohort_variables(
-                    self.store, self._cohort, self._variables(),
-                    dtype=jnp.bfloat16,  # halves opponent HBM; action-identical
-                )
-                self._cohort_key, self._cohort_vars = ck, opp_vars
+            opp_vars = self._cohort_for_epoch()
             carry, traj, next_value, stats = self._rollout(
                 self._variables(), opp_vars, *self.env_carry,
                 self.learner_color, k_roll,
             )
             env_states, obs, mask, self.learner_color, _ = carry
+            if self.mesh is not None and jax.process_count() > 1:
+                # the compiler may leave stats leaves device-sharded; a
+                # multi-host device_get needs them replicated (every
+                # process runs this same tiny collective)
+                stats = self._replicate_out(stats)
             league_stats = jax.device_get(stats)
             stats = jax.tree.map(int, league_stats.base)
             pm = int(league_stats.parity_mismatch)
@@ -648,7 +738,10 @@ class SelfPlayTrainer:
         if self.epoch % tc.checkpoint_interval == 0:
             ckpt = self.save()
         self.observer.on_epoch(em.as_dict(), self.epoch * self.T, ckpt)
-        if self.observer.enabled:
+        # multi-host: env state shards span processes; live-board snapshots
+        # would need a process_allgather per epoch — skip them rather than
+        # raise-and-log every epoch (metrics/league telemetry still flow)
+        if self.observer.enabled and jax.process_count() == 1:
             # non-fatal telemetry policy (reference katago_loop.py:1731-1736):
             # live-board snapshots must never kill training — this was the
             # line a transient HBM spike turned into a fatal crash in the
@@ -664,7 +757,14 @@ class SelfPlayTrainer:
 
     def _league_epoch_end(self, league_stats) -> None:
         """Post-epoch league bookkeeping: Elo, snapshots/rotation, reviews,
-        historical refresh, gauntlet, tournament (katago_loop.py:1629-1827)."""
+        historical refresh, gauntlet, tournament (katago_loop.py:1629-1827).
+
+        Multi-host: process 0 only — league_stats is a replicated SPMD
+        output (identical everywhere), so recording it once is exact, and
+        the tournament/gauntlet run on process 0's local devices while the
+        other hosts park at the next epoch's first collective."""
+        if self.store is None:
+            return
         from ..league.league_ops import record_epoch_results
         from ..league.store import Role
 
@@ -738,7 +838,7 @@ class SelfPlayTrainer:
                 em.rollout_time, sps, em.update_time, _hbm_suffix(),
             )
         self.save()
-        if self.league_enabled:
+        if self.league_enabled and self.store is not None:
             # drain queued async weight flushes so sidecar processes see
             # the final dynamic-entry weights before this process exits;
             # a failed final flush must not abort the rest of the teardown
@@ -814,14 +914,16 @@ def main(argv=None):
             tc = dataclasses.replace(tc, seed=args.seed)
         config = dataclasses.replace(config, training=tc)
     if ctx.is_distributed and config.league is not None and config.league.enabled:
-        # league bookkeeping is host-side and per-process; running it on N
-        # hosts would apply Elo updates N times and diverge cohort sampling.
-        raise NotImplementedError(
-            "league mode is single-host in this build — run multi-host data "
-            "parallelism with [league] disabled, or league training on one "
-            "host (the same constraint as the reference's league-vs-DDP "
-            "incompatibility, katago_loop.py:472-478)"
-        )
+        # league bookkeeping (store/Elo/tournament) runs on process 0 only;
+        # cohort keys + weights are broadcast so every host steps the same
+        # SPMD program (SelfPlayTrainer._cohort_for_epoch). The reference
+        # cannot do this at all: its league mode is declared incompatible
+        # with DDP (katago_loop.py:472-478).
+        if ctx.is_main:
+            logger.info(
+                "multi-host league: this process owns the opponent store; "
+                "%d peer hosts receive cohorts by broadcast", ctx.num_processes - 1,
+            )
     if not ctx.is_main:
         import dataclasses
 

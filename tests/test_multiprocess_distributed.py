@@ -74,10 +74,150 @@ CONFIG = textwrap.dedent("""
 """)
 
 
+LEAGUE_CHILD = textwrap.dedent("""
+    import os, sys
+    pid = int(sys.argv[1]); port = sys.argv[2]; cfg = sys.argv[3]
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["KEISEI_COORDINATOR"] = f"localhost:{port}"
+    os.environ["KEISEI_NUM_PROCESSES"] = "2"
+    os.environ["KEISEI_PROCESS_ID"] = str(pid)
+    import jax
+    if jax.config.jax_platforms != "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends; clear_backends()
+    sys.path.insert(0, "@@REPO@@")
+    from keisei_tpu.parallel.distributed import (
+        get_distributed_context, setup_distributed)
+    ctx = get_distributed_context()
+    setup_distributed(ctx)
+    assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+    from keisei_tpu.training.config import load_config
+    from keisei_tpu.training.loop import SelfPlayTrainer
+    trainer = SelfPlayTrainer(load_config(cfg))
+    assert trainer.league_enabled
+    if pid == 0:
+        assert trainer.store is not None, "main process must own the store"
+    else:
+        assert trainer.store is None, "peers must not open the league store"
+    for _ in range(3):
+        em = trainer.run_epoch()
+    import numpy as np
+    leaves = jax.tree.leaves(trainer.state.params)
+    checksum = float(sum(np.abs(np.asarray(x), dtype=np.float64).sum()
+                         for x in leaves))
+    if pid == 0:
+        from keisei_tpu import db as kdb
+        pool = trainer.store.pool_size()
+        nres = len(kdb.read_league_data(trainer.store.db_path)["results"])
+    else:
+        pool = nres = -1
+    print(f"RESULT pid={pid} checksum={checksum:.10f} "
+          f"policy={em.policy_loss:.10f} pool={pool} results={nres}",
+          flush=True)
+""").replace("@@REPO@@", str(REPO))
+
+LEAGUE_CONFIG = textwrap.dedent("""
+    [model]
+    architecture = "mlp"
+    [model.params]
+    hidden_sizes = [16]
+    [training]
+    num_games = 8
+    max_ply = 32
+    steps_per_epoch = 4
+    checkpoint_interval = 1000
+    checkpoint_dir = "{ckpt}"
+    [training.algorithm_params]
+    batch_size = 16
+    epochs_per_batch = 1
+    [distributed]
+    num_devices = 8
+    [league]
+    enabled = true
+    opponents_per_epoch = 2
+    snapshot_interval = 2
+    epochs_per_seat = 100
+    tournament_enabled = false
+    [league.storage]
+    league_dir = "{league}"
+""")
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
+
+
+def _run_children(child_path, cfg_path):
+    """Launch 2 coordinator-joined children; return their stdouts.
+
+    Under xdist the ephemeral coordinator port can be sniped between
+    _free_port()'s close and the children's bind (other workers' server
+    tests race for ports too), and gloo rendezvous can time out on an
+    oversubscribed CPU — retry once with a fresh port before failing."""
+    last_failure = None
+    for _attempt in range(2):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(child_path), str(pid), str(port),
+                 str(cfg_path)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=str(REPO),
+            )
+            for pid in range(2)
+        ]
+        outs = []
+        failed = False
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, _ = p.communicate()
+                failed = True
+            outs.append(out)
+            failed = failed or p.returncode != 0
+        if not failed:
+            return outs
+        last_failure = "\n---\n".join(o[-3000:] for o in outs)
+    raise AssertionError(f"children failed twice:\n{last_failure}")
+
+
+def _parse_results(outs):
+    results = {}
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
+        kv = dict(part.split("=") for part in line.split()[1:])
+        results[kv.pop("pid")] = kv
+    return results
+
+
+@pytest.mark.integration
+def test_two_process_league_training(tmp_path):
+    """Multi-host LEAGUE training — the capability the reference lacks
+    (league mode is declared incompatible with DDP, katago_loop.py:472-478).
+    Process 0 owns the store and samples cohorts; keys + stacked weights
+    are broadcast; replicas must stay bit-identical and league bookkeeping
+    must land exactly once (on process 0)."""
+    cfg = tmp_path / "cfg.toml"
+    cfg.write_text(LEAGUE_CONFIG.format(
+        ckpt=str(tmp_path / "ckpt") + "/",
+        league=str(tmp_path / "league") + "/"))
+    child = tmp_path / "child.py"
+    child.write_text(LEAGUE_CHILD)
+
+    results = _parse_results(_run_children(child, cfg))
+    assert results["0"]["checksum"] == results["1"]["checksum"], results
+    assert results["0"]["policy"] == results["1"]["policy"], results
+    # snapshots at epoch 2 grew the pool beyond the bootstrap entry
+    # (process 0 only; with T=4 and max_ply=32 no game can finish in 3
+    # epochs, so the results table is exercised but legitimately empty)
+    assert int(results["0"]["pool"]) >= 2, results
+    assert int(results["0"]["results"]) >= 0, results
+    assert int(results["1"]["pool"]) == -1
 
 
 @pytest.mark.integration
