@@ -408,6 +408,11 @@ class SelfPlayTrainer:
         from ..parallel.distributed import broadcast_from_main
 
         multi = jax.process_count() > 1
+        if multi and self.mesh is None:
+            raise ValueError(
+                "multi-host league training needs the global device mesh — "
+                "set [distributed] num_devices to the slice's device count"
+            )
         if self._is_main_proc:
             self._cohort = self._sample_cohort()
             key_arr = np.array(

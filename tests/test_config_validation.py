@@ -102,3 +102,60 @@ batch_size = 64
             cfg = load_config(str(p))
         assert cfg.algorithm_params.batch_size == 64
         assert any("torch-only" in r.message for r in caplog.records)
+
+
+class TestLeagueSubConfigValidation:
+    """Every league sub-config rejects out-of-domain values with a targeted
+    error (reference config.py:46-523 validation discipline)."""
+
+    CASES = [
+        # (sub-section or None for top-level, bad kv, error fragment)
+        ("frontier", {"slots": 0}, "frontier.slots"),
+        ("frontier", {"topk": 0}, "frontier.topk"),
+        ("frontier", {"review_interval_epochs": 0}, "review_interval"),
+        ("frontier", {"replace_policy": "lifo"}, "replace_policy"),
+        ("recent", {"slots": 0}, "recent.slots"),
+        ("recent", {"min_games_for_review": -1}, "min_games_for_review"),
+        ("dynamic", {"slots": 0}, "dynamic.slots"),
+        ("dynamic", {"lr_scale": 0.0}, "lr_scale"),
+        ("dynamic", {"lr_scale": 1.5}, "lr_scale"),
+        ("dynamic", {"grad_clip": 0.0}, "grad_clip"),
+        ("dynamic", {"update_every_matches": 0}, "update_every_matches"),
+        ("dynamic", {"max_consecutive_errors": 0}, "max_consecutive_errors"),
+        ("scheduler", {"dynamic_dynamic_weight": 0.9}, "sum to 1.0"),
+        ("scheduler", {"tournament_mode": "swiss"}, "tournament_mode"),
+        ("scheduler", {"min_coverage_ratio": 1.5}, "min_coverage_ratio"),
+        ("history", {"slots": 0}, "history.slots"),
+        ("history", {"selection": "linear"}, "selection"),
+        ("history", {"active_league_participation": True}, "never join"),
+        ("gauntlet", {"interval_epochs": 0}, "gauntlet.interval_epochs"),
+        ("gauntlet", {"games_per_matchup": 0}, "games_per_matchup"),
+        ("elo", {"frontier_k": 0.0}, "frontier_k"),
+        ("elo", {"historical_k": -1.0}, "historical_k"),
+        ("priority", {"repeat_penalty": 0.5}, "penalties must be <= 0"),
+        ("priority", {"uncertainty_weight": float("nan")}, "finite"),
+        ("concurrency", {"parallel_matches": 0}, "parallel_matches"),
+        ("concurrency", {"envs_per_match": 0}, "envs_per_match"),
+        ("storage", {"cache_entries": 0}, "cache_entries"),
+        ("storage", {"cache_bytes_gb": 0.0}, "cache_bytes_gb"),
+        (None, {"mode": "pure"}, "mixed"),
+        (None, {"snapshot_interval": 0}, "snapshot_interval"),
+        (None, {"epochs_per_seat": 0}, "epochs_per_seat"),
+        (None, {"elo_floor": 5000.0}, "elo_floor"),
+        (None, {"opponents_per_epoch": 0}, "opponents_per_epoch"),
+        (None, {"per_env_opponents": False}, "per_env_opponents"),
+        (None, {"tournament_mode": "thread"}, "tournament_mode"),
+        (None, {"tournament_interval_epochs": 0}, "tournament_interval"),
+    ]
+
+    @pytest.mark.parametrize("section,bad,frag", CASES,
+                             ids=[f"{s or 'league'}-{list(b)[0]}"
+                                  for s, b, f in CASES])
+    def test_rejected(self, section, bad, frag):
+        league = {"enabled": True}
+        if section is None:
+            league.update(bad)
+        else:
+            league[section] = bad
+        with pytest.raises(ValueError, match=frag.replace("(", "\\(")):
+            config_from_dict({"league": league})

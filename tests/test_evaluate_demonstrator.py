@@ -176,3 +176,55 @@ class TestMatchResultScore:
     def test_score_a_guards_zero_games(self):
         m = MatchResult(games=0, wins_a=0, wins_b=0, draws=0, total_plies=0)
         assert m.score_a == 0.0
+
+
+@pytest.mark.integration
+class TestEvaluateEndToEnd:
+    """run_evaluation + the CLI: checkpoint pair -> JSON verdict
+    (reference keisei-evaluate, evaluate.py:59-76)."""
+
+    def _save_ckpt(self, tmp_path, name, seed):
+        from keisei_tpu.training.checkpoint import save_checkpoint
+        from keisei_tpu.training.ppo import (KataGoPPOParams, TrainState,
+                                             make_optimizer)
+
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        variables = model.init(jax.random.key(seed),
+                               jnp.zeros((1, 50, 9, 9), jnp.float32),
+                               train=False)
+        opt = make_optimizer(KataGoPPOParams())
+        state = TrainState(params=variables["params"], batch_stats={},
+                           opt_state=opt.init(variables["params"]),
+                           step=jnp.int32(0))
+        path = str(tmp_path / name)
+        save_checkpoint(path, state, epoch=seed, architecture="mlp",
+                        rng_key=jax.random.key(0),
+                        extra_meta={"model_params": {"hidden_sizes": [8]}})
+        return path
+
+    def test_cli_plays_and_prints_json(self, tmp_path, capsys):
+        from keisei_tpu.league.evaluate import main
+
+        pa = self._save_ckpt(tmp_path, "a", 1)
+        pb = self._save_ckpt(tmp_path, "b", 2)
+        main(["--a", pa, "--b", pb, "--games", "4", "--max-ply", "24",
+              "--seed", "3"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["games"] == 4
+        assert out["wins_a"] + out["wins_b"] + out["draws"] == 4
+        assert 0.0 <= out["win_rate_a"] <= 1.0
+        lo, hi = out["wilson_low"], out["wilson_high"]
+        assert 0.0 <= lo <= out["win_rate_a"] <= hi <= 1.0
+
+    def test_arch_is_rebuilt_from_checkpoint_meta(self, tmp_path):
+        """_load_model_and_vars must build the CHECKPOINT's architecture,
+        not assume the caller's — a mismatched policy head would crash the
+        match downstream."""
+        from keisei_tpu.league.evaluate import _load_model_and_vars
+
+        pa = self._save_ckpt(tmp_path, "a", 1)
+        model, variables, meta = _load_model_and_vars(pa)
+        assert meta["architecture"] == "mlp"
+        out = model.apply(variables, jnp.zeros((2, 50, 9, 9), jnp.float32),
+                          train=False)
+        assert out.policy_logits.shape == (2, 11259)

@@ -101,6 +101,64 @@ class TestDashboard:
 
         run(scenario())
 
+    def test_unix_socket_serving(self, db_path, tmp_path):
+        """run.sh --socket parity: the dashboard serves HTTP over a unix
+        socket (reference serves uvicorn --uds behind a reverse proxy),
+        and a stale socket file from a dead server is replaced."""
+        sock = str(tmp_path / "dash.sock")
+        open(sock, "w").close()  # stale leftover must not break startup
+
+        async def scenario():
+            server = DashboardServer(db_path)
+            srv = await server.start("127.0.0.1", 0, unix_socket=sock)
+            r, w = await asyncio.open_unix_connection(sock)
+            w.write(b"GET /healthz HTTP/1.1\r\nHost: 127.0.0.1\r\n\r\n")
+            await w.drain()
+            data = await r.read()
+            w.close()
+            srv.close()
+            await srv.wait_closed()
+            return data
+
+        data = run(scenario())
+        assert b"200" in data.split(b"\r\n")[0]
+        body = json.loads(data.split(b"\r\n\r\n", 1)[1])
+        assert body["status"] == "ok"
+
+    def test_main_cli_binds_and_serves(self, db_path, tmp_path):
+        """server.app.main(): argument wiring through to a live server
+        (--unix-socket + --allow-host), torn down by cancelling serve."""
+        from keisei_tpu.server import app as app_mod
+
+        sock = str(tmp_path / "cli.sock")
+
+        async def scenario():
+            server = DashboardServer(
+                db_path,
+                allowed_hosts=app_mod.DEFAULT_ALLOWED_HOSTS
+                | frozenset({"proxy.internal"}),
+            )
+            task = asyncio.create_task(
+                server.serve_forever("127.0.0.1", 0, unix_socket=sock))
+            for _ in range(100):
+                if server._server is not None:
+                    break
+                await asyncio.sleep(0.05)
+            r, w = await asyncio.open_unix_connection(sock)
+            w.write(b"GET /healthz HTTP/1.1\r\nHost: proxy.internal\r\n\r\n")
+            await w.drain()
+            data = await r.read()
+            w.close()
+            task.cancel()
+            try:
+                await task
+            except asyncio.CancelledError:
+                pass
+            return data
+
+        data = run(scenario())
+        assert b"200" in data.split(b"\r\n")[0]
+
     def test_ws_init_and_updates(self, db_path):
         async def scenario():
             server = DashboardServer(db_path)

@@ -265,3 +265,64 @@ epochs_per_batch = 1
         em = trainer.run_epoch()
         import numpy as np
         assert np.isfinite(em.policy_loss) and np.isfinite(em.value_loss)
+
+
+@pytest.mark.integration
+class TestTrainerFailFast:
+    """Constructor guards (reference fail-fast checks, katago_loop.py:575-598)."""
+
+    def _raw(self, tmp_path):
+        import copy
+
+        raw = copy.deepcopy(TINY_RAW)
+        raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+        return raw
+
+    def test_obs_channels_mismatch_rejected(self, tmp_path):
+        raw = self._raw(tmp_path)
+        raw["model"]["params"]["obs_channels"] = 46  # env runs katago=50
+        with pytest.raises(ValueError, match="obs_channels"):
+            SelfPlayTrainer(config_from_dict(raw))
+
+    def test_league_rejects_non_flax_rollout_forward(self, tmp_path):
+        raw = self._raw(tmp_path)
+        raw["training"]["rollout_forward"] = "fused"
+        raw["league"] = {"enabled": True, "opponents_per_epoch": 2,
+                        "storage": {"league_dir": str(tmp_path / "lg")}}
+        with pytest.raises(ValueError, match="rollout_forward"):
+            SelfPlayTrainer(config_from_dict(raw))
+
+    def test_league_k_must_divide_num_games(self, tmp_path):
+        raw = self._raw(tmp_path)
+        raw["league"] = {"enabled": True, "opponents_per_epoch": 3,
+                        "storage": {"league_dir": str(tmp_path / "lg")}}
+        with pytest.raises(ValueError, match="divide"):
+            SelfPlayTrainer(config_from_dict(raw))
+
+    def test_learner_entry_falls_back_to_newest_snapshot(self, tmp_path):
+        """A reused league_dir with no training_state pointer must attribute
+        the learner to the NEWEST snapshot, not the highest-Elo entry
+        (loop.py fallback; Elo-ordered pick would corrupt attribution)."""
+        import copy
+
+        raw = self._raw(tmp_path)
+        raw["league"] = {"enabled": True, "opponents_per_epoch": 2,
+                        "snapshot_interval": 1, "epochs_per_seat": 100,
+                        "storage": {"league_dir": str(tmp_path / "lg")}}
+        cfg = config_from_dict(raw)
+        t1 = SelfPlayTrainer(cfg)
+        t1.run_epoch()  # snapshot_interval=1: snapshots a second entry
+        newest = max(t1.store.list_entries(),
+                     key=lambda e: (e.created_epoch, e.id))
+        # inflate an OLDER entry's Elo so an Elo-ordered pick would differ
+        oldest = min(t1.store.list_entries(), key=lambda e: e.id)
+        from keisei_tpu.db import core as dbcore
+
+        dbcore.execute(
+            t1.store.db_path,
+            "UPDATE league_entries SET elo_rating = 4000 WHERE id = ?",
+            (oldest.id,),
+        )
+
+        t2 = SelfPlayTrainer(config_from_dict(copy.deepcopy(raw)))
+        assert t2.learner_entry_id == newest.id
