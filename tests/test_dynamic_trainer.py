@@ -261,3 +261,41 @@ class TestOptStateOrdering:
         trainer.record_rollout(entry.id, rollout, side="a")
         assert trainer.maybe_update(entry, seed=2)
         assert entry.id in trainer._opt_states
+
+
+@pytest.mark.integration
+class TestKataGoContractUpdate:
+    def test_wdl_ce_update_changes_weights(self, tmp_path):
+        """The katago-contract loss branch (WDL cross-entropy on valid
+        value categories, no score head, reference dynamic_trainer.py:
+        288-378) — the mlp fixtures only exercise the scalar branch."""
+        from keisei_tpu.league.config import DynamicConfig
+        from keisei_tpu.league.dynamic_trainer import DynamicTrainer
+
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "league"))
+        model, _ = build_model("se_resnet", {
+            "num_blocks": 1, "channels": 16, "se_reduction": 4,
+            "global_pool_channels": 8, "policy_channels": 4,
+            "value_fc_size": 16, "score_fc_size": 8,
+        })
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 50, 9, 9), jnp.float32),
+            train=False,
+        )
+        entry = store.add_entry(variables, architecture="se_resnet",
+                                model_params={}, created_epoch=0,
+                                role=Role.DYNAMIC)
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1,
+                            min_games_before_eviction=0)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=256,
+                                 contract="katago")
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        assert trainer.should_update(entry.id)
+        before = jax.tree.leaves(store.load_variables(entry))[0]
+        assert trainer.maybe_update(entry, seed=3)
+        store.wait_for_flushes()
+        e2 = store.get_entry(entry.id)
+        assert e2.update_count == 1
+        after = jax.tree.leaves(store.load_variables(e2))[0]
+        assert not np.allclose(np.asarray(before), np.asarray(after))

@@ -300,3 +300,45 @@ class TestSfenValidation:
         with pytest.raises(SfenError, match="dangling"):
             parse_sfen(
                 "lnsgkgsnl/1r5b1/ppppppppp+/9/9/9/PPPPPPPPP/1B5R1/LNSGKGSNL b - 1")
+
+
+class TestOracleImpasseEquivalence:
+    """Oracle CSA-24 scorer agrees with the device impasse_check on the
+    threshold-pinning fixtures (the oracle is the equivalence authority
+    for random playouts, so its own scorer needs the same pins)."""
+
+    FIXTURES = [
+        # (sfen, active, winner)  — from TestImpasseScoring (device pins)
+        ("K+R+B6/PPPPPPPPP/PPPPP4/9/9/9/ppppppppp/ppppppppp/k7r b - 1",
+         True, 0),
+        ("K+R+B6/PPPPPPPPP/PPPP5/9/9/9/ppppppppp/ppppppppp/k7r b - 1",
+         False, None),
+        ("K+R+B6/PPPPPPPPP/PPP6/9/9/9/ppppppppp/ppppppppp/k7r b 2P 1",
+         True, 0),
+        ("K+R+B6/PPPPPPPPP/PPP6/9/9/9/ppppppppp/ppppppppp/k7r b P 1",
+         False, None),
+        ("K+R+B6/PPPPPPPPP/PPPPP4/9/k8/9/ppppppppp/ppppppppp/8r b - 1",
+         False, None),
+    ]
+
+    @pytest.mark.parametrize("sfen,active,winner", FIXTURES)
+    def test_matches_device(self, sfen, active, winner):
+        import jax.numpy as jnp
+
+        from keisei_tpu.engine import core as C
+        from keisei_tpu.engine.oracle import OracleGame
+        from keisei_tpu.engine.sfen import parse_sfen
+
+        board, hands, stm = parse_sfen(sfen)
+        game = OracleGame(board=np.asarray(board), hands=np.asarray(hands),
+                          stm=int(stm))
+        got = game._check_impasse()
+        dev_active, dev_winner = C.impasse_check(jnp.asarray(board),
+                                                 jnp.asarray(hands))
+        assert bool(dev_active) == active
+        if not active:
+            assert got is None
+        else:
+            assert got is not None
+            reason, got_winner = got
+            assert got_winner == winner == int(dev_winner)

@@ -433,3 +433,54 @@ class TestPrepareChannelValidation:
         with pytest.raises(ValueError, match="50 observation channels"):
             prepare_sl_data([str(tmp_path)], str(tmp_path / "out"),
                             num_channels=46)
+
+
+class TestCSATerminationMarkers:
+    """Every CSA termination marker maps to the right outcome (parsers.py
+    CSA parity with the reference's CSAParser; the winner conventions are
+    subtle: %ILLEGAL_MOVE records the offending move, %TORYO does not)."""
+
+    HEAD = "V2.2\nN+B\nN-W\nPI\n+\n+7776FU\n-3334FU\n"
+
+    @pytest.mark.parametrize("marker,expected", [
+        ("%TORYO", "WIN_WHITE"),        # black to move resigns after 2 plies
+        ("%TIME_UP", "WIN_WHITE"),
+        ("%TSUMI", "WIN_WHITE"),        # black to move is mated
+        ("%ILLEGAL_MOVE", "WIN_BLACK"), # last mover (white) played illegal
+        ("%KACHI", "WIN_BLACK"),        # declaration win by black, to act
+        ("%SENNICHITE", "DRAW"),
+        ("%JISHOGI", "DRAW"),
+        ("%HIKIWAKE", "DRAW"),
+        ("%CHUDAN", "DRAW"),
+    ])
+    def test_marker_outcome(self, tmp_path, marker, expected):
+        from keisei_tpu.sl.parsers import CSAParser, GameOutcome
+
+        f = tmp_path / "m.csa"
+        f.write_text(self.HEAD + marker + "\n")
+        records = list(CSAParser().parse(f))
+        assert len(records) == 1
+        assert records[0].outcome == getattr(GameOutcome, expected)
+
+    def test_odd_ply_flips_winner(self, tmp_path):
+        from keisei_tpu.sl.parsers import CSAParser, GameOutcome
+
+        f = tmp_path / "m.csa"
+        f.write_text("V2.2\nPI\n+\n+7776FU\n%TORYO\n")
+        (rec,) = CSAParser().parse(f)
+        # after black's single move, WHITE is to move and resigns
+        assert rec.outcome == GameOutcome.WIN_BLACK
+
+    def test_rating_comments_extracted(self, tmp_path):
+        from keisei_tpu.sl.parsers import CSAParser
+
+        f = tmp_path / "r.csa"
+        f.write_text("V2.2\n'black_rate:foo:2345\n'white_rate:bar:1987.5\n"
+                     "PI\n+\n+7776FU\n-3334FU\n%TORYO\n")
+        (rec,) = CSAParser().parse(f)
+        assert rec.metadata["black_rating"] == "2345"
+        assert rec.metadata["white_rating"] == "1987"
+        from keisei_tpu.sl.parsers import GameFilter
+
+        assert GameFilter(min_ply=1, min_rating=2000).accepts(rec) is False
+        assert GameFilter(min_ply=1, min_rating=1900).accepts(rec)

@@ -220,3 +220,75 @@ class TestRecv:
         writer = asyncio.run(go())
         assert bytes(writer.sent) == encode_frame(
             OP_CLOSE, struct.pack(">H", 1000))
+
+
+class TestBrokenTransport:
+    """Error-path wrappers: a dying TCP connection must surface as
+    WebSocketClosed (and flip `closed`), never as a raw ConnectionError
+    that would crash the per-client server task."""
+
+    def test_send_on_broken_pipe_raises_websocketclosed(self):
+        class BrokenWriter(FakeWriter):
+            def write(self, data):
+                raise ConnectionResetError("peer vanished")
+
+        async def go():
+            reader = asyncio.StreamReader()
+            ws = WebSocket(reader, BrokenWriter())
+            with pytest.raises(WebSocketClosed):
+                await ws.send_text("hi")
+            assert ws.closed
+            # later sends fail fast without touching the transport
+            with pytest.raises(WebSocketClosed):
+                await ws.send_json({"a": 1})
+
+        asyncio.run(go())
+
+    def test_read_truncated_mid_frame_raises_websocketclosed(self):
+        # declared 16-bit length of 500 but the socket dies after 3 bytes
+        data = mask_frame(OP_TEXT, b"x" * 500)[: 4 + 2 + 3]
+
+        async def go():
+            ws, _ = make_ws(data)
+            with pytest.raises(WebSocketClosed):
+                await ws.recv()
+            assert ws.closed
+
+        asyncio.run(go())
+
+    def test_close_tolerates_dead_transport(self):
+        class BrokenWriter(FakeWriter):
+            def write(self, data):
+                raise ConnectionResetError("gone")
+
+            def close(self):
+                raise RuntimeError("already closed")
+
+        async def go():
+            reader = asyncio.StreamReader()
+            ws = WebSocket(reader, BrokenWriter())
+            await ws.close(code=1001)  # must not raise
+
+        asyncio.run(go())
+
+
+class TestClientHandshakeFailure:
+    def test_non_101_response_raises(self):
+        from keisei_tpu.server.ws_protocol import (WebSocketClientError,
+                                                   client_connect)
+
+        async def go():
+            async def handler(reader, writer):
+                await reader.readline()
+                writer.write(b"HTTP/1.1 403 Forbidden\r\n\r\n")
+                await writer.drain()
+                writer.close()
+
+            srv = await asyncio.start_server(handler, "127.0.0.1", 0)
+            port = srv.sockets[0].getsockname()[1]
+            with pytest.raises(WebSocketClientError, match="handshake"):
+                await client_connect("127.0.0.1", port, "/ws")
+            srv.close()
+            await srv.wait_closed()
+
+        asyncio.run(go())
