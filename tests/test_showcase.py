@@ -270,3 +270,33 @@ class TestQueueWedgeRecovery:
         assert played, "match was never claimed/played"
         assert status == "done", f"queue stuck in {status!r}"
         assert calls["n"] >= 2  # first attempt failed, retry completed it
+
+
+@pytest.mark.integration
+class TestRunnerLoop:
+    def test_run_loop_claims_plays_and_stops(self, pool2, tmp_path):
+        """The sidecar's real run() loop: startup sweep -> heartbeat ->
+        claim -> play -> complete, then a clean stop from another thread
+        (the SIGTERM handler calls the same request_stop)."""
+        import threading
+        import time as _time
+
+        db_path, store = pool2
+        qid = sc.queue_match(db_path, "1", "2", "fast")
+        runner = ShowcaseRunner(db_path, str(store.league_dir),
+                                max_ply=8, auto_showcase=False, store=store)
+        t = threading.Thread(target=runner.run, daemon=True)
+        t.start()
+        deadline = _time.monotonic() + 60
+        while _time.monotonic() < deadline:
+            if sc.get_queue_status(db_path, qid) == "done":
+                break
+            _time.sleep(0.2)
+        runner.request_stop()
+        t.join(timeout=30)
+        assert not t.is_alive()
+        assert sc.get_queue_status(db_path, qid) == "done"
+        game = sc.read_showcase_game(db_path, 1)
+        assert game["status"] in ("black_win", "white_win", "draw")
+        hb = sc.read_heartbeat(db_path)
+        assert hb is not None

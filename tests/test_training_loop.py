@@ -326,3 +326,24 @@ class TestTrainerFailFast:
 
         t2 = SelfPlayTrainer(config_from_dict(copy.deepcopy(raw)))
         assert t2.learner_entry_id == newest.id
+
+
+@pytest.mark.integration
+class TestRunTeardown:
+    def test_run_saves_final_checkpoint_and_stops_observer(self, tmp_path):
+        """trainer.run(): epoch loop + unconditional final save + observer
+        stop (the reference's teardown, katago_loop.py:1799-1827)."""
+        import copy
+
+        from keisei_tpu import db as kdb
+
+        raw = copy.deepcopy(TINY_RAW)
+        raw["training"]["checkpoint_dir"] = str(tmp_path / "ckpt")
+        raw["training"]["checkpoint_interval"] = 100  # only the final save
+        raw["display"] = {"db_path": str(tmp_path / "obs.db")}
+        trainer = SelfPlayTrainer(config_from_dict(raw))
+        trainer.run(num_epochs=1)
+        path = trainer.latest_checkpoint()
+        assert path is not None and path.endswith("epoch_000001")
+        st = kdb.read_training_state(str(tmp_path / "obs.db"))
+        assert st["status"] == "stopped"
