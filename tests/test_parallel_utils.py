@@ -129,3 +129,49 @@ class TestCompileCache:
         a = ensure_compile_cache(str(tmp_path / "c"))
         b = ensure_compile_cache(str(tmp_path / "other"))
         assert a == b  # second call honors the first
+
+
+class TestCohortBroadcastContract:
+    """broadcast_one_to_all requires every process to contribute a
+    structurally IDENTICAL tree; these pins keep the non-main template in
+    lockstep with what process 0 actually stacks (a silent divergence
+    would deadlock or corrupt the multi-host league broadcast)."""
+
+    def _store_with_entries(self, tmp_path, n=2):
+        from keisei_tpu.league.store import OpponentStore, Role
+        from keisei_tpu.models.registry import build_model
+
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        variables = None
+        entries = []
+        for i in range(n):
+            v = model.init(jax.random.key(i),
+                           jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+            variables = variables or v
+            entries.append(store.add_entry(
+                v, architecture="mlp", model_params={},
+                created_epoch=0, role=Role.DYNAMIC))
+        return store, variables, entries
+
+    def test_template_matches_stacked_structure(self, tmp_path):
+        from keisei_tpu.league.league_ops import (stack_cohort_variables,
+                                                  stacked_cohort_template)
+
+        store, variables, entries = self._store_with_entries(tmp_path)
+        stacked = stack_cohort_variables(store, entries, variables,
+                                         dtype=jnp.bfloat16)
+        template = stacked_cohort_template(variables, len(entries),
+                                           dtype=jnp.bfloat16)
+        assert (jax.tree.structure(stacked)
+                == jax.tree.structure(template))
+        for a, b in zip(jax.tree.leaves(stacked), jax.tree.leaves(template)):
+            assert a.shape == b.shape
+            assert a.dtype == b.dtype
+
+    def test_single_process_broadcast_is_identity(self):
+        from keisei_tpu.parallel.distributed import broadcast_from_main
+
+        tree = {"a": jnp.ones((2, 3)), "b": np.arange(4)}
+        out = broadcast_from_main(tree, is_source=True)
+        assert out is tree  # no numpy round trip, no device shuffle
