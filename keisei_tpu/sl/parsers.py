@@ -10,6 +10,7 @@ with a log, never fatal.
 from __future__ import annotations
 
 import logging
+import re
 from abc import ABC, abstractmethod
 from dataclasses import dataclass, field
 from enum import Enum
@@ -17,6 +18,15 @@ from pathlib import Path
 from typing import Iterator
 
 logger = logging.getLogger(__name__)
+
+# Metadata keys a parser may emit that carry a player-strength figure.
+# GameFilter consults all of them; a single weak player disqualifies a game.
+_RATING_KEYS = ("rating", "black_rating", "white_rating")
+
+# A metadata line is "key: value" where the key carries no digits — this is
+# what separates it from USI moves ("7g7f") and SFEN position strings, both
+# of which always contain digits before any ':' could appear.
+_META_LINE = re.compile(r"^(?P<key>[^:\d]+):(?P<val>.*)$")
 
 
 class GameOutcome(Enum):
@@ -41,7 +51,9 @@ class GameRecord:
 
 @dataclass
 class GameFilter:
-    """Quality gate before encoding (parsers.py:34-49)."""
+    """Quality gate before encoding (format contract: reference
+    keisei/sl/parsers.py:34-49 — same thresholds and rating keys, so the
+    same corpora survive filtering in both frameworks)."""
 
     min_ply: int = 40
     min_rating: int | None = None
@@ -49,12 +61,12 @@ class GameFilter:
     def accepts(self, record: GameRecord) -> bool:
         if len(record.moves) < self.min_ply:
             return False
-        if self.min_rating is not None:
-            for key in ("rating", "black_rating", "white_rating"):
-                val = record.metadata.get(key, "")
-                if val.isdigit() and int(val) < self.min_rating:
-                    return False
-        return True
+        if self.min_rating is None:
+            return True
+        # Only cleanly-numeric ratings count; absent or unparseable ones
+        # never disqualify a game (the corpus may predate rating tags).
+        reported = (record.metadata.get(k, "") for k in _RATING_KEYS)
+        return all(int(r) >= self.min_rating for r in reported if r.isdigit())
 
 
 class GameParser(ABC):
@@ -75,29 +87,42 @@ class SFENParser(GameParser):
     def parse(self, path: Path) -> Iterator[GameRecord]:
         text = path.read_text().replace("\r\n", "\n").replace("\r", "\n")
         for block in text.strip().split("\n\n"):
-            lines = [ln.strip() for ln in block.strip().split("\n") if ln.strip()]
-            if len(lines) < 2:
-                continue
-            metadata: dict[str, str] = {}
-            idx = 0
-            for ln in lines:
-                key, sep, val = ln.partition(":")
-                if sep and not any(c.isdigit() for c in key):
-                    metadata[key.strip()] = val.strip()
-                    idx += 1
-                else:
-                    break
-            try:
-                outcome = GameOutcome(metadata.get("result", ""))
-            except ValueError:
-                continue
-            pos_line = lines[idx] if idx < len(lines) else "startpos"
-            start_sfen = "" if pos_line == "startpos" else pos_line
-            idx += 1  # past the position line
-            moves = [ParsedMove(move_usi=ln) for ln in lines[idx:]]
-            if moves:
-                yield GameRecord(moves=moves, outcome=outcome,
-                                 metadata=metadata, start_sfen=start_sfen)
+            record = self._parse_block(block)
+            if record is not None:
+                yield record
+
+    @staticmethod
+    def _parse_block(block: str) -> GameRecord | None:
+        lines = [ln.strip() for ln in block.splitlines() if ln.strip()]
+        if len(lines) < 2:
+            return None
+
+        # Leading run of metadata lines, then the position line, then moves.
+        metadata: dict[str, str] = {}
+        body = iter(enumerate(lines))
+        pos_line = "startpos"
+        rest_at = len(lines)
+        for i, ln in body:
+            m = _META_LINE.match(ln)
+            if m is None:
+                pos_line, rest_at = ln, i + 1
+                break
+            metadata[m["key"].strip()] = m["val"].strip()
+
+        try:
+            outcome = GameOutcome(metadata.get("result", ""))
+        except ValueError:
+            return None  # unknown/absent result — unusable for labels
+
+        moves = [ParsedMove(move_usi=ln) for ln in lines[rest_at:]]
+        if not moves:
+            return None
+        return GameRecord(
+            moves=moves,
+            outcome=outcome,
+            metadata=metadata,
+            start_sfen="" if pos_line == "startpos" else pos_line,
+        )
 
 
 class CSAParser(GameParser):
