@@ -34,11 +34,17 @@ import os
 print(max(2, min(8, (os.cpu_count() or 4) - 2)))
 EOF
 )"
+# multiprocess-marked tests spawn coordinator-joined OS processes whose
+# Gloo rendezvous (hardcoded 30 s GetKeyValue deadline in XLA's CPU
+# collectives) flakes when xdist saturates the box — run them in their own
+# serial stage after the parallel tier.
 if [ "$MODE" = "full" ]; then
-    run python -m pytest --tb=short -q -n "$NPROC" -m "" || FAIL=1
+    run python -m pytest --tb=short -q -n "$NPROC" -m "not multiprocess" || FAIL=1
+    run python -m pytest --tb=short -q -m "multiprocess" || FAIL=1
     run python -m pytest tests/test_perft.py --tb=short -q -m "" || FAIL=1
 else
-    run python -m pytest -x --tb=short -q -n "$NPROC" -m "not slow" || FAIL=1
+    run python -m pytest -x --tb=short -q -n "$NPROC" -m "not slow and not multiprocess" || FAIL=1
+    run python -m pytest -x --tb=short -q -m "multiprocess" || FAIL=1
 fi
 
 # -- stage 3: multi-chip dryrun -----------------------------------------------

@@ -153,12 +153,14 @@ def _free_port() -> int:
 def _run_children(child_path, cfg_path):
     """Launch 2 coordinator-joined children; return their stdouts.
 
-    Under xdist the ephemeral coordinator port can be sniped between
-    _free_port()'s close and the children's bind (other workers' server
-    tests race for ports too), and gloo rendezvous can time out on an
-    oversubscribed CPU — retry once with a fresh port before failing."""
+    The ephemeral coordinator port can be sniped between _free_port()'s
+    close and the children's bind, and Gloo rendezvous (a hardcoded 30 s
+    GetKeyValue deadline inside XLA's CPU collectives) can still time out
+    on an oversubscribed box — so these tests carry the `multiprocess`
+    marker and run in a serial CI stage, with fresh-port retries as the
+    second line of defense."""
     last_failure = None
-    for _attempt in range(2):
+    for _attempt in range(3):
         port = _free_port()
         procs = [
             subprocess.Popen(
@@ -196,6 +198,7 @@ def _parse_results(outs):
 
 
 @pytest.mark.integration
+@pytest.mark.multiprocess
 def test_two_process_league_training(tmp_path):
     """Multi-host LEAGUE training — the capability the reference lacks
     (league mode is declared incompatible with DDP, katago_loop.py:472-478).
@@ -221,47 +224,13 @@ def test_two_process_league_training(tmp_path):
 
 
 @pytest.mark.integration
+@pytest.mark.multiprocess
 def test_two_process_training_replicas_identical(tmp_path):
     cfg = tmp_path / "cfg.toml"
     cfg.write_text(CONFIG.format(ckpt=str(tmp_path / "ckpt") + "/"))
     child = tmp_path / "child.py"
     child.write_text(CHILD)
 
-    # Under xdist the ephemeral coordinator port can be sniped between
-    # _free_port()'s close and the children's bind (other workers' server
-    # tests race for ports too), and gloo rendezvous can time out on an
-    # oversubscribed CPU — retry once with a fresh port before failing.
-    last_failure = None
-    for _attempt in range(2):
-        port = _free_port()
-        procs = [
-            subprocess.Popen(
-                [sys.executable, str(child), str(pid), str(port), str(cfg)],
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-                cwd=str(REPO),
-            )
-            for pid in range(2)
-        ]
-        outs = []
-        failed = False
-        for p in procs:
-            try:
-                out, _ = p.communicate(timeout=900)
-            except subprocess.TimeoutExpired:
-                p.kill()
-                out, _ = p.communicate()
-                failed = True
-            outs.append(out)
-            failed = failed or p.returncode != 0
-        if not failed:
-            break
-        last_failure = "\n---\n".join(o[-3000:] for o in outs)
-    else:
-        raise AssertionError(f"children failed twice:\n{last_failure}")
-
-    results = {}
-    for out in outs:
-        line = [ln for ln in out.splitlines() if ln.startswith("RESULT")][0]
-        kv = dict(part.split("=") for part in line.split()[1:])
-        results[kv["pid"]] = (kv["checksum"], kv["policy"])
-    assert results["0"] == results["1"], results
+    results = _parse_results(_run_children(child, cfg))
+    assert (results["0"]["checksum"], results["0"]["policy"]) == (
+        results["1"]["checksum"], results["1"]["policy"]), results
