@@ -263,6 +263,15 @@ class LeagueConfig:
     # often so match play does not dominate learner wall-clock.
     tournament_interval_epochs: int = 5
     tournament_mode: str = "in_process"
+    # Run post-epoch league maintenance (Elo recording, learner snapshots,
+    # tier reviews, gauntlet, in-process tournament rounds) on a FIFO
+    # background worker so its host-side time overlaps the next epoch's
+    # device time — the reference gets the same effect from a daemon
+    # thread + a second GPU (tournament.py:129, keisei-500k-league.toml).
+    # False = the round-2 synchronous behavior (tests use this for
+    # deterministic assertions; SelfPlayTrainer.drain_maintenance() is the
+    # async-mode synchronization point).
+    async_maintenance: bool = True
     dispatcher_max_queue_depth: int = 400
     max_staleness_epochs: int = 50
     frontier: FrontierStaticConfig = field(default_factory=FrontierStaticConfig)

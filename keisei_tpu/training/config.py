@@ -64,6 +64,12 @@ class TrainingConfig:
     #             an A/B self-play run validates training quality)
     #   "auto"  - "flax" today; reserved for flipping the default
     rollout_forward: str = "auto"
+    # Periodic epoch checkpoints run on a background writer thread (a
+    # device-side state copy is dispatched synchronously for donation
+    # safety; the slow D2H + disk write happen off the training path).
+    # Explicit SelfPlayTrainer.save() calls and the final teardown save are
+    # always blocking/durable regardless of this flag.
+    async_checkpoint: bool = True
 
     def __post_init__(self):
         if self.num_games <= 0:

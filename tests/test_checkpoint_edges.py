@@ -129,6 +129,7 @@ class TestRetention:
             json.dumps({"epoch": 0, "architecture": "mlp", "phase": "sl"}))
         for _ in range(4):
             trainer.run_epoch()
+        trainer.drain_maintenance()  # periodic saves are async by default
         names = sorted(os.listdir(tmp_path / "ck"))
         epochs = [n for n in names if n.startswith("epoch_")]
         assert len(epochs) == 2, f"retention failed: {names}"
@@ -139,6 +140,7 @@ class TestRetention:
         trainer = self._trainer(tmp_path, keep=0)
         for _ in range(3):
             trainer.run_epoch()
+        trainer.drain_maintenance()  # periodic saves are async by default
         epochs = [n for n in os.listdir(tmp_path / "ck")
                   if n.startswith("epoch_")]
         assert len(epochs) == 3

@@ -102,6 +102,7 @@ LEAGUE_CHILD = textwrap.dedent("""
         assert trainer.store is None, "peers must not open the league store"
     for _ in range(3):
         em = trainer.run_epoch()
+    trainer.drain_maintenance()  # league snapshots land on the worker
     import numpy as np
     leaves = jax.tree.leaves(trainer.state.params)
     checksum = float(sum(np.abs(np.asarray(x), dtype=np.float64).sum()

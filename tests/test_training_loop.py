@@ -97,7 +97,9 @@ class TestTrainerEndToEnd:
         assert em1.epoch == 1 and em2.epoch == 2
         assert np.isfinite(em1.policy_loss)
         assert len(sunk) == 2
-        # checkpoint written at epoch 2 (interval=2)
+        # checkpoint written at epoch 2 (interval=2) — async by default;
+        # drain_maintenance is the durability point
+        trainer.drain_maintenance()
         path = trainer.latest_checkpoint()
         assert path is not None
 
@@ -312,6 +314,7 @@ class TestTrainerFailFast:
         cfg = config_from_dict(raw)
         t1 = SelfPlayTrainer(cfg)
         t1.run_epoch()  # snapshot_interval=1: snapshots a second entry
+        t1.drain_maintenance()  # snapshot runs on the maintenance worker
         newest = max(t1.store.list_entries(),
                      key=lambda e: (e.created_epoch, e.id))
         # inflate an OLDER entry's Elo so an Elo-ordered pick would differ
