@@ -46,7 +46,15 @@ def main() -> None:
                          "(one-time XLA compiles land here)")
     ap.add_argument("--out", default="profiles/amortized-flagship")
     ap.add_argument("--workdir", default="/tmp/amortized-run")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke-testing only; real "
+                         "measurements run on the TPU)")
     args = ap.parse_args()
+
+    if args.cpu:
+        from keisei_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     logging.basicConfig(
         level=logging.INFO,
