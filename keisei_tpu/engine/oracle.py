@@ -114,6 +114,8 @@ class OracleGame:
     check_history: list = field(default_factory=list)
     reason: int = TY.NOT_TERMINATED
     winner: int = TY.WINNER_NONE
+    # telemetry: drop-mate exclusions in the most recent legal_moves() call
+    last_uchifuzume_excluded: int = 0
 
     def __post_init__(self):
         if self.hash_ is None:
@@ -253,12 +255,16 @@ class OracleGame:
     def legal_moves(self) -> list[Move]:
         color = self.stm
         out: list[Move] = []
+        # rule-firing telemetry for the equivalence census (engine/equiv.py):
+        # how many otherwise-legal pawn drops THIS call excluded as drop-mate
+        self.last_uchifuzume_excluded = 0
         for mv in self.pseudo_legal_board_moves() + self.pseudo_legal_drops():
             if mv[0] == "d" and mv[2] == TY.PAWN:
                 to = mv[1]
                 if self.pawn_on_col(color, to % 9):
                     continue
                 if self.is_uchi_fu_zume(to):
+                    self.last_uchifuzume_excluded += 1
                     continue
             board = self._board_after(mv)
             if not in_check(board, color):

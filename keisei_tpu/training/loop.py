@@ -874,12 +874,20 @@ class SelfPlayTrainer:
             return
         while self._maint_futures and self._maint_futures[0].done():
             self._maint_futures.popleft().result()  # surface worker crashes
-        if len(self._maint_futures) >= 3:
+        if len(self._maint_futures) >= 4:
+            # BACKPRESSURE: each queued snapshot task pins a device-side
+            # copy of the full parameters, so an unbounded backlog is an
+            # HBM leak — and league bookkeeping falling ever further behind
+            # silently corrupts the pool cadence. Degrade honestly instead:
+            # block training until the worker catches up (the throughput
+            # hit shows up in maint_time / the amortized log line).
             logger.warning(
-                "league maintenance backlog: %d epochs queued — maintenance "
-                "is slower than training; stale tournament rounds will be "
-                "skipped", len(self._maint_futures),
+                "league maintenance backlog hit %d epochs — maintenance is "
+                "slower than training; BLOCKING until the worker drains",
+                len(self._maint_futures),
             )
+            while len(self._maint_futures) > 1:
+                self._maint_futures.popleft().result()
         self._maint_futures.append(self._maint_executor.submit(
             self._league_maintenance, epoch, cohort, learner_id,
             league_stats, vars_copy,
@@ -912,8 +920,14 @@ class SelfPlayTrainer:
 
         try:
             if vars_copy is not None:
+                # pipeline the D2H: start every leaf's transfer before
+                # waiting on any (leaf-by-leaf device_get serializes one
+                # tunnel round-trip per leaf — 245 leaves at flagship)
+                for leaf in jax.tree.leaves(vars_copy):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()
                 entry = self.pool.snapshot_learner(
-                    jax.tree.map(jax.device_get, vars_copy),
+                    jax.device_get(vars_copy),
                     self.config.model.architecture,
                     dict(self.config.model.params), epoch,
                 )

@@ -154,6 +154,33 @@ class TestAsyncLeagueMaintenance:
                      key=lambda e: (e.created_epoch, e.id))
         assert newest.created_epoch == 2
 
+    def test_backlog_blocks_instead_of_growing(self, tmp_path):
+        """When maintenance runs slower than training, the queue must not
+        grow without bound (each queued snapshot pins a device-side copy
+        of the parameters): at 4 queued epochs the trainer blocks until
+        the worker drains."""
+        import time as _time
+
+        trainer = SelfPlayTrainer(config_from_dict(_league_raw(tmp_path)))
+        orig = trainer._league_maintenance
+
+        def slow(*a, **kw):
+            _time.sleep(0.5)
+            return orig(*a, **kw)
+
+        trainer._league_maintenance = slow
+        for _ in range(8):
+            trainer.run_epoch()
+            assert len(trainer._maint_futures) <= 4
+        trainer.drain_maintenance()
+        # every epoch's snapshot was still processed, in order (tier
+        # reviews may retire overflow, so assert on the newest entry, not
+        # the active count)
+        newest = max(trainer.store.list_entries(),
+                     key=lambda e: (e.created_epoch, e.id))
+        assert newest.created_epoch == 8
+        assert trainer.learner_entry_id == newest.id
+
     def test_run_teardown_drains_everything(self, tmp_path):
         raw = _league_raw(tmp_path)
         raw["training"]["checkpoint_interval"] = 2
