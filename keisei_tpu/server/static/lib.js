@@ -77,15 +77,15 @@
   }
 
   /** Advantage marker for a live-game thumbnail (reference gameThumbnail.js
-   *  getAdvantage): confident when the black win probability leaves
-   *  [0.35, 0.65] — the reference's |value| > 0.3 band in [-1, 1]. */
+   *  getAdvantage): confident when |value| > 0.3. Compared in value space —
+   *  converting to probability first ((v+1)/2) moves the boundary by one
+   *  ulp, so |value| exactly 0.3 would wrongly read as confident. */
   function gameAdvantage(g) {
-    const p = stmBlackProb(g);
-    if (p == null) return { confident: false, favours: null };
-    return {
-      confident: Math.abs(p - 0.5) > 0.15,
-      favours: p > 0.5 ? "black" : "white",
-    };
+    if (g.value_estimate == null) return { confident: false, favours: null };
+    const v = g.current_player === "black"
+      ? g.value_estimate : -g.value_estimate;
+    return { confident: Math.abs(v) > 0.3,
+             favours: v > 0 ? "black" : "white" };
   }
 
   /** Filter freshly-pushed move rows against the already-held list.

@@ -262,10 +262,11 @@ test("moveDots classifies win-prob swings from the mover's perspective", () => {
 
 test("moveDots thresholds: 10 and 25 points, sign by mover", () => {
   const mk = (cp, v) => ({ current_player: cp, value_estimate: v });
-  // black then black-mover gain of exactly +0.10 -> strong
+  // NOTE: p=0.60 exactly would sit one ulp above the -0.10 threshold
+  // (2*0.6-1 rounds to 0.19999999999999996), so use a clear crossing
   const dots = KT.moveDots([
-    mk("white", 0.0),          // black, p=0.5
-    mk("black", -(2 * 0.6 - 1)), // white, p=0.60 -> white gain -0.10 = mistake
+    mk("white", 0.0),            // black, p=0.5
+    mk("black", -(2 * 0.61 - 1)), // white, p=0.61 -> white gain -0.11 = mistake
   ]);
   assert.deepEqual(dots, ["normal", "mistake"]);
 });
