@@ -39,7 +39,17 @@ EOF
 # collectives) flakes when xdist saturates the box — run them in their own
 # serial stage after the parallel tier.
 if [ "$MODE" = "full" ]; then
-    run python -m pytest --tb=short -q -n "$NPROC" -m "not multiprocess" || FAIL=1
+    # the main tier runs single-process UNDER the line-coverage monitor so
+    # full CI also produces the committed coverage report and enforces the
+    # floor (subprocess-based multiprocess tests are invisible to it and
+    # run in their own serial stage below)
+    FLOOR="$(cat profiles/coverage_floor.txt 2>/dev/null || echo 0)"
+    note "linecov floor: ${FLOOR}%"
+    run env LINECOV_OUT=docs/ci/linecov.json python scripts/linecov.py \
+        --floor "$FLOOR" --tb=short -q -m "not slow and not multiprocess" || FAIL=1
+    python scripts/linecov.py --report docs/ci/linecov.json \
+        > docs/ci/coverage.txt 2>&1 || true
+    run python -m pytest --tb=short -q -m "slow" || FAIL=1
     run python -m pytest --tb=short -q -m "multiprocess" || FAIL=1
     run python -m pytest tests/test_perft.py --tb=short -q -m "" || FAIL=1
 else

@@ -92,7 +92,9 @@ def report(hits: dict[str, list[int] | set[int]]):
         print(f"{frac * 100:5.1f}%  {nh:5d}/{ne:<5d}  {rel}")
         if frac < 0.95 and missed:
             print(f"        missed: {_ranges(missed)}")
-    print(f"\nTOTAL {total_hit}/{total} = {total_hit / max(total, 1) * 100:.1f}%")
+    pct = total_hit / max(total, 1) * 100
+    print(f"\nTOTAL {total_hit}/{total} = {pct:.1f}%")
+    return pct
 
 
 def _ranges(lines: list[int]) -> str:
@@ -112,19 +114,30 @@ def _ranges(lines: list[int]) -> str:
 
 
 def main():
-    if len(sys.argv) >= 3 and sys.argv[1] == "--report":
-        with open(sys.argv[2]) as f:
-            report(json.load(f))
-        return 0
+    # --floor N: exit nonzero when total package coverage drops below N%
+    # (the CI regression gate; see scripts/ci_local.sh full mode)
+    floor = None
+    argv = sys.argv[1:]
+    if "--floor" in argv:
+        i = argv.index("--floor")
+        floor = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    if len(argv) >= 2 and argv[0] == "--report":
+        with open(argv[1]) as f:
+            pct = report(json.load(f))
+        return 0 if floor is None or pct >= floor else 1
     hits = _install()
     import pytest
 
-    rc = pytest.main(sys.argv[1:])
+    rc = pytest.main(argv)
     sys.monitoring.set_events(TOOL, 0)
     with open(OUT, "w") as f:
         json.dump({k: sorted(v) for k, v in hits.items()}, f)
     print(f"\nline hits written to {OUT}")
-    report(hits)
+    pct = report(hits)
+    if floor is not None and pct < floor:
+        print(f"COVERAGE FLOOR FAILED: {pct:.1f}% < {floor:.1f}%")
+        return rc or 1
     return rc
 
 
