@@ -120,11 +120,21 @@ class SLDataset:
             "score_target": float(rec["score"]),
         }
 
-    def batches(self, batch_size: int, rng: np.random.Generator,
-                drop_last: bool = True):
-        """Shuffled minibatches as stacked numpy arrays (one epoch)."""
-        order = rng.permutation(len(self))
-        end = len(self) - (len(self) % batch_size) if drop_last else len(self)
+    def batches(self, batch_size: int, rng: np.random.Generator | None = None,
+                drop_last: bool = True, order: np.ndarray | None = None):
+        """Minibatches as stacked numpy arrays (one epoch).
+
+        With `order=None` the epoch is shuffled by `rng`; passing an explicit
+        index array iterates exactly those positions in that order (used for
+        held-out evaluation splits, where the subset must stay fixed and
+        disjoint from the training ids)."""
+        if order is None:
+            if rng is None:
+                raise ValueError("batches() needs rng when order is None")
+            order = rng.permutation(len(self))
+        else:
+            order = np.asarray(order, dtype=np.int64)
+        end = len(order) - (len(order) % batch_size) if drop_last else len(order)
         for start in range(0, end, batch_size):
             ids = order[start : start + batch_size]
             obs = np.empty((len(ids), OBS_SIZE), np.float32)

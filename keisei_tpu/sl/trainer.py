@@ -41,15 +41,24 @@ class SLConfig:
 
 class SLTrainer:
     def __init__(self, config: SLConfig, architecture: str, model_params: dict,
-                 dataset: SLDataset):
+                 dataset: SLDataset,
+                 train_indices: np.ndarray | None = None):
+        """`train_indices` restricts each training epoch to that subset of
+        dataset positions (the complement can then serve as a held-out
+        evaluation split for `evaluate()`); None trains on everything."""
         self.config = config
         self.architecture = architecture
         self.model_params = dict(model_params)
         self.dataset = dataset
+        self.train_indices = (
+            None if train_indices is None
+            else np.asarray(train_indices, np.int64))
         self.model, _ = build_model(architecture, model_params)
         self.contract = get_model_contract(architecture)
 
-        steps_per_epoch = max(len(dataset) // config.batch_size, 1)
+        n_train = (len(dataset) if self.train_indices is None
+                   else len(self.train_indices))
+        steps_per_epoch = max(n_train // config.batch_size, 1)
         schedule = optax.cosine_decay_schedule(
             config.learning_rate, config.epochs * steps_per_epoch,
             alpha=config.min_lr_fraction,
@@ -126,10 +135,79 @@ class SLTrainer:
 
         return step
 
+    def _make_eval_step(self):
+        model = self.model
+        contract = self.contract
+
+        def step(state: TrainState, batch):
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            out = model.apply(variables, batch["obs"], train=False)
+            B = batch["obs"].shape[0]
+            flat = out.policy_logits.reshape(B, -1).astype(jnp.float32)
+            top1 = (flat.argmax(axis=-1) == batch["policy"]).sum()
+            # top-5: is the target's logit within the 5 largest?
+            kth = jax.lax.top_k(flat, 5)[0][:, -1]
+            tgt = jnp.take_along_axis(flat, batch["policy"][:, None], axis=1)[:, 0]
+            top5 = (tgt >= kth).sum()
+            logp = jax.nn.log_softmax(flat, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, batch["policy"][:, None], axis=1)[:, 0].sum()
+            if contract == "katago":
+                vacc = (out.value_logits.argmax(axis=-1)
+                        == batch["value"]).sum()
+                smse = ((out.score_lead[:, 0].astype(jnp.float32)
+                         - batch["score"]) ** 2).sum()
+            else:
+                target = jnp.asarray([1.0, 0.0, -1.0])[batch["value"]]
+                pred = jnp.clip(jnp.round(out.value[:, 0]), -1, 1)
+                vacc = (pred == target).sum()
+                smse = jnp.float32(0.0)
+            return {"top1": top1, "top5": top5, "nll": nll,
+                    "value_acc": vacc, "score_se": smse}
+
+        return step
+
+    def evaluate(self, indices: np.ndarray,
+                 batch_size: int | None = None) -> dict[str, float]:
+        """Held-out metrics over a fixed index set: policy top-1/top-5
+        accuracy, policy NLL, value-head accuracy, score MSE."""
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = jax.jit(self._make_eval_step())
+        bs = batch_size or self.config.batch_size
+        totals = {"top1": 0.0, "top5": 0.0, "nll": 0.0,
+                  "value_acc": 0.0, "score_se": 0.0}
+        n = 0
+        # drop_last keeps the jitted eval step at one static batch shape
+        for batch in self.dataset.batches(bs, order=indices, drop_last=True):
+            jb = {
+                "obs": jnp.asarray(batch["observation"]).reshape(-1, 50, 9, 9),
+                "policy": jnp.asarray(batch["policy_target"], jnp.int32),
+                "value": jnp.asarray(batch["value_target"], jnp.int32),
+                "score": jnp.asarray(batch["score_target"], jnp.float32),
+            }
+            m = self._eval_step(self.state, jb)
+            for k in totals:
+                totals[k] += float(m[k])
+            n += len(jb["policy"])
+        if n == 0:
+            raise ValueError("evaluation split smaller than one batch")
+        return {
+            "positions": n,
+            "policy_top1": totals["top1"] / n,
+            "policy_top5": totals["top5"] / n,
+            "policy_nll": totals["nll"] / n,
+            "value_acc": totals["value_acc"] / n,
+            "score_mse": totals["score_se"] / n,
+        }
+
     def train_epoch(self) -> dict[str, float]:
         totals = {"policy_loss": 0.0, "value_loss": 0.0, "score_loss": 0.0}
         n = 0
-        for batch in self.dataset.batches(self.config.batch_size, self.rng):
+        order = (None if self.train_indices is None
+                 else self.rng.permutation(self.train_indices))
+        for batch in self.dataset.batches(self.config.batch_size, self.rng,
+                                          order=order):
             jb = {
                 "obs": jnp.asarray(batch["observation"]).reshape(-1, 50, 9, 9),
                 "policy": jnp.asarray(batch["policy_target"], jnp.int32),

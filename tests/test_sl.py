@@ -83,18 +83,45 @@ class TestParsers:
 
 
 class TestUSIGeometry:
-    def test_roundtrip_against_spectator_decode(self):
+    def test_exhaustive_roundtrip_against_spectator_decode(self):
+        """EVERY spatial action x both colors: decode -> USI -> encode is
+        the identity on the on-board set (reference parity: the exhaustive
+        encode/decode roundtrips in spatial_action_mapper.rs:356+). The
+        on-board count per color is pinned so geometry drift (a ray slot
+        silently falling off the board) fails loudly."""
         from keisei_tpu.env.spectator_data import decode_action_np, move_usi
 
-        rng = np.random.default_rng(3)
-        for _ in range(300):
-            action = int(rng.integers(0, 11259))
-            stm = int(rng.integers(0, 2))
-            is_drop, frm, to, promote, piece = decode_action_np(action, stm)
-            if not is_drop and (to < 0 or to > 80 or frm == to):
-                continue  # off-board geometry
-            usi = move_usi(action, stm)
-            assert usi_to_action(usi, stm) == action, (usi, stm)
+        on_board = {0: 0, 1: 0}
+        for stm in (0, 1):
+            for action in range(11259):
+                is_drop, frm, to, promote, piece = decode_action_np(
+                    action, stm)
+                if not is_drop and (to < 0 or to > 80 or frm == to):
+                    continue  # off-board geometry (ray past the edge)
+                on_board[stm] += 1
+                usi = move_usi(action, stm)
+                assert usi_to_action(usi, stm) == action, (usi, stm)
+        # 11,259 = 81 dests x 139 slots; exactly 5,015 survive the board
+        # for each color (geometry is color-mirrored, so the counts match)
+        assert on_board == {0: 5015, 1: 5015}
+
+    def test_distinct_usi_per_action(self):
+        """No two on-board actions of one color may print the same USI —
+        otherwise usi_to_action could not be a left inverse and SL replay
+        would silently relabel moves."""
+        from keisei_tpu.env.spectator_data import decode_action_np, move_usi
+
+        for stm in (0, 1):
+            seen: dict[str, int] = {}
+            for action in range(11259):
+                is_drop, frm, to, promote, piece = decode_action_np(
+                    action, stm)
+                if not is_drop and (to < 0 or to > 80 or frm == to):
+                    continue
+                usi = move_usi(action, stm)
+                assert usi not in seen, (usi, seen[usi], action, stm)
+                seen[usi] = action
+            assert len(seen) == 5015
 
 
 @pytest.mark.integration
@@ -484,3 +511,81 @@ class TestCSATerminationMarkers:
 
         assert GameFilter(min_ply=1, min_rating=2000).accepts(rec) is False
         assert GameFilter(min_ply=1, min_rating=1900).accepts(rec)
+
+
+class TestTrainerEval:
+    """Held-out evaluation + train-split restriction (evaluate(),
+    train_indices, batches(order=...))."""
+
+    @staticmethod
+    def _synthetic_dataset(tmp_path, n=96, patterns=8, seed=0):
+        """Records whose policy/value targets are a deterministic function
+        of the observation (pattern id one-hot in the first plane), so a
+        small MLP can memorize them and evaluate() has a known optimum."""
+        rng = np.random.default_rng(seed)
+        obs = np.zeros((n, 4050), np.float32)
+        pol = np.empty(n, np.int64)
+        val = np.empty(n, np.int64)
+        sc = np.empty(n, np.float32)
+        for i in range(n):
+            p = i % patterns
+            obs[i, p] = 1.0
+            obs[i, 100 + p] = 0.5
+            pol[i] = 137 * p + 11           # distinct, < 11259
+            val[i] = p % 3
+            sc[i] = float(p) - 3.5
+        order = rng.permutation(n)
+        out = tmp_path / "synth"
+        out.mkdir()
+        write_shard(out / "shard_00000.bin", obs[order], pol[order],
+                    val[order], sc[order])
+        write_meta(out, [n])
+        return SLDataset(str(out))
+
+    def test_batches_explicit_order_yields_exactly_those_records(
+            self, tmp_path):
+        ds = self._synthetic_dataset(tmp_path, n=16, patterns=16)
+        want = np.array([5, 3, 11, 0, 7, 2], np.int64)
+        got = []
+        for batch in ds.batches(3, order=want, drop_last=True):
+            got.extend(batch["policy_target"].tolist())
+        assert got == [int(ds[i]["policy_target"]) for i in want]
+
+    def test_batches_requires_rng_or_order(self, tmp_path):
+        ds = self._synthetic_dataset(tmp_path, n=8, patterns=8)
+        with pytest.raises(ValueError, match="rng"):
+            next(ds.batches(4))
+
+    def test_evaluate_and_split_on_memorizable_corpus(self, tmp_path):
+        from keisei_tpu.sl.trainer import SLConfig, SLTrainer
+
+        ds = self._synthetic_dataset(tmp_path, n=96, patterns=8)
+        train_idx = np.arange(0, 64)
+        eval_idx = np.arange(64, 96)
+        cfg = SLConfig(learning_rate=3e-3, batch_size=32, epochs=40, seed=1)
+        tr = SLTrainer(cfg, "mlp", {"hidden_sizes": [64]}, ds,
+                       train_indices=train_idx)
+
+        before = tr.evaluate(eval_idx)
+        assert before["positions"] == 32
+        assert set(before) == {"positions", "policy_top1", "policy_top5",
+                               "policy_nll", "value_acc", "score_mse"}
+        # untrained: essentially chance over 11,259 actions
+        assert before["policy_top1"] < 0.2
+        assert before["policy_nll"] > 2.0
+
+        tr.train()
+        after = tr.evaluate(eval_idx)
+        # 8 repeated patterns are memorizable; held-out split shares them
+        assert after["policy_top1"] == 1.0
+        assert after["policy_top5"] >= after["policy_top1"]
+        assert after["policy_nll"] < before["policy_nll"]
+
+    def test_evaluate_rejects_subbatch_split(self, tmp_path):
+        from keisei_tpu.sl.trainer import SLConfig, SLTrainer
+
+        ds = self._synthetic_dataset(tmp_path, n=16, patterns=8)
+        tr = SLTrainer(SLConfig(batch_size=8, epochs=1), "mlp",
+                       {"hidden_sizes": [8]}, ds)
+        with pytest.raises(ValueError, match="split"):
+            tr.evaluate(np.arange(4))
