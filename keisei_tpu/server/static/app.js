@@ -583,7 +583,7 @@ function renderLeague() {
     return `<tr data-entry="${e.id}" class="${e.id === learnerId ? "learner" : ""}${e.id === S.selectedEntry ? " selected" : ""}">
       <td class="num">${rank}</td>
       <td>${e.display_name || "entry " + e.id}${e.id === learnerId ? " ◀" : ""}</td>
-      <td>${(e.role || "").replace("_static", "").replace("_fixed", "")}</td>
+      <td>${roleBadge(e.role, e.status)}${(e.role || "").replace("_static", "").replace("_fixed", "")}</td>
       <td>${Math.round(e.elo_rating)}</td>
       <td class="${dlt > 0.5 ? "up" : dlt < -0.5 ? "down" : ""}">${
         dlt ? (dlt > 0 ? "+" : "") + Math.round(dlt) : ""}</td>
@@ -634,18 +634,51 @@ function renderLeague() {
   renderRecentMatches();
 }
 
-// league-wide recent-matches feed (reference RecentMatches.svelte): who
-// played whom, result from A's perspective, and how often the pair clashed
+// role badge (reference roleIcons.js): tier icon + tooltip, retired-aware
+function roleBadge(role, status) {
+  const info = KT.roleInfo(role, status);
+  return `<span class="role-icon ${info.cssClass}" title="${info.tooltip}"` +
+    ` aria-label="${info.label}">${info.icon}</span>`;
+}
+
 function renderRecentMatches() {
+  // reference RecentMatches.svelte: winner-first rows under epoch
+  // separators, with role badges, pre-match Elo, per-side Elo deltas,
+  // win %, an upset badge, and the pair's total clash count
   const el = document.getElementById("recent-matches");
   if (!el) return;
-  const rows = KT.recentMatches(S.league.results, S.league.entries, 20);
-  el.innerHTML = rows.map(r => {
-    const cls = r.winner === "a" ? "win" : r.winner === "b" ? "loss" : "";
-    return `<li class="${cls}">ep ${r.epoch} · ` +
-      `<b>${r.aName}</b> ${r.wa}-${r.wb}${r.d ? "-" + r.d : ""} ${r.bName}` +
-      ` · ${r.type}${r.clashes > 1 ? ` · <span class="hint">×${r.clashes}</span>` : ""}</li>`;
-  }).join("") || '<li style="border:none;color:var(--dim)">no matches yet</li>';
+  const rows = KT.recentMatches(S.league.results, S.league.entries, 30);
+  const out = [];
+  let lastEpoch = null;
+  for (const r of rows) {
+    if (r.epoch !== lastEpoch) {
+      out.push(`<li class="epoch-sep">epoch ${r.epoch}</li>`);
+      lastEpoch = r.epoch;
+    }
+    const delta = (v) => v === 0 ? "" :
+      `<span class="elo-delta ${v > 0 ? "pos" : "neg"}">` +
+      `${v > 0 ? "+" : ""}${v}</span>`;
+    const elo = (v) => v == null ? "" : `<span class="hint">(${v})</span>`;
+    out.push(
+      `<li class="${r.draw ? "" : r.winner === "a" ? "win" : "loss"}">` +
+      `<div class="match-top">` +
+      `<b>${roleBadge(r.winnerRole, r.winnerStatus)}${r.winnerName}</b>` +
+      `${elo(r.winnerElo)} <span class="hint">vs</span> ` +
+      `${roleBadge(r.loserRole, r.loserStatus)}${r.loserName}` +
+      `${elo(r.loserElo)}` +
+      (r.upset ? ' <span class="upset-badge" title="Upset: winner started ' +
+        '100+ Elo below">!</span>' : "") +
+      ` <span class="match-score${r.draw ? " tied" : ""}">` +
+      `${r.w}-${r.l}${r.d ? "-" + r.d : ""}</span></div>` +
+      `<div class="match-detail hint">${r.type || "match"}` +
+      ` · ${r.winPct}%` +
+      (r.eloWinner || r.eloLoser
+        ? ` · ${delta(r.eloWinner)} / ${delta(r.eloLoser)}` : "") +
+      (r.clashes > 1 ? ` · ×${r.clashes} lifetime` : "") +
+      `</div></li>`);
+  }
+  el.innerHTML = out.join("") ||
+    '<li style="border:none;color:var(--dim)">no matches yet</li>';
 }
 
 function renderTournamentPanel() {
@@ -1010,7 +1043,51 @@ const ABOUT_SECTIONS = [
     </ol>
     <p>There is no database of expert games and no search tree at training
     time — improvement comes entirely from the gap between what the network
-    expected and what its own games delivered.</p>` },
+    expected and what its own games delivered.</p>
+    <svg class="about-svg" viewBox="0 0 760 210" role="img"
+         aria-labelledby="loop-t loop-d">
+      <title id="loop-t">Self-play loop</title>
+      <desc id="loop-d">Network produces masked move probabilities, an
+      action is sampled, the rules engine applies it and returns the next
+      observation; transitions accumulate in an on-device buffer consumed
+      by the PPO update, which writes new weights back to the
+      network.</desc>
+      <defs><marker id="ab-arr" viewBox="0 0 10 10" refX="9" refY="5"
+        markerWidth="7" markerHeight="7" orient="auto-start-reverse">
+        <path d="M0,0 L10,5 L0,10 z" class="ab-arrhead"/></marker></defs>
+      <rect x="6" y="6" width="560" height="198" rx="10" class="ab-region"/>
+      <text x="286" y="198" text-anchor="middle" class="ab-n">one fused
+        lax.scan program on the TPU — the host never enters this loop</text>
+      <rect x="30" y="60" width="150" height="64" rx="8" class="ab-box"/>
+      <text x="105" y="86" text-anchor="middle" class="ab-t">SE-ResNet</text>
+      <text x="105" y="103" text-anchor="middle" class="ab-n">bf16 forward
+        on the MXU</text>
+      <rect x="390" y="60" width="150" height="64" rx="8" class="ab-box"/>
+      <text x="465" y="86" text-anchor="middle" class="ab-t">Rules engine</text>
+      <text x="465" y="103" text-anchor="middle" class="ab-n">dense legality,
+        branchless</text>
+      <path d="M180 76 H 388" class="ab-arrow" marker-end="url(#ab-arr)"/>
+      <text x="285" y="68" text-anchor="middle" class="ab-n">sampled action
+        (masked)</text>
+      <path d="M390 108 H 182" class="ab-arrow" marker-end="url(#ab-arr)"/>
+      <text x="285" y="126" text-anchor="middle" class="ab-n">observation +
+        legal mask</text>
+      <rect x="600" y="28" width="140" height="56" rx="8" class="ab-box"/>
+      <text x="670" y="51" text-anchor="middle" class="ab-t">Buffer</text>
+      <text x="670" y="68" text-anchor="middle" class="ab-n">on-device
+        trajectory</text>
+      <path d="M540 70 C 570 60, 580 56, 598 54" class="ab-arrow"
+        marker-end="url(#ab-arr)"/>
+      <rect x="600" y="124" width="140" height="56" rx="8" class="ab-box"/>
+      <text x="670" y="147" text-anchor="middle" class="ab-t">PPO update</text>
+      <text x="670" y="164" text-anchor="middle" class="ab-n">fused GAE +
+        minibatch scan</text>
+      <path d="M670 84 V 122" class="ab-arrow" marker-end="url(#ab-arr)"/>
+      <path d="M600 170 C 300 200, 120 170, 103 126" class="ab-arrow ab-dash"
+        marker-end="url(#ab-arr)"/>
+      <text x="330" y="176" text-anchor="middle" class="ab-n">new weights for
+        the next rollout</text>
+    </svg>` },
 
   { id: "ab-league", label: "Why a league?", minLevel: 2,
     section: "Level 2 · The learning loop", html: `
@@ -1066,7 +1143,52 @@ const ABOUT_SECTIONS = [
     <p>Smaller models (10×128) train the fast demo configs, and the model
     registry also carries MLP / scalar-ResNet / tiny-transformer baselines
     used by the test suite. All run in bfloat16 on the TPU's matrix units
-    with float32 only where numerics demand it.</p>` },
+    with float32 only where numerics demand it.</p>
+    <svg class="about-svg" viewBox="0 0 760 290" role="img"
+         aria-labelledby="arch-t arch-d">
+      <title id="arch-t">Network architecture</title>
+      <defs><marker id="ab-arr2" viewBox="0 0 10 10" refX="9" refY="5"
+        markerWidth="7" markerHeight="7" orient="auto-start-reverse">
+        <path d="M0,0 L10,5 L0,10 z" class="ab-arrhead"/></marker></defs>
+      <desc id="arch-d">Observation tensor flows through a stem convolution
+      and a 40-block SE-ResNet trunk, then splits into a spatial policy
+      head and, via a global pool, the value and score heads.</desc>
+      <rect x="255" y="10" width="250" height="38" rx="8" class="ab-box"/>
+      <text x="380" y="34" text-anchor="middle" class="ab-t">Observation
+        (B, 50, 9, 9)</text>
+      <path d="M380 48 V 66" class="ab-arrow" marker-end="url(#ab-arr2)"/>
+      <rect x="255" y="68" width="250" height="38" rx="8" class="ab-box"/>
+      <text x="380" y="92" text-anchor="middle" class="ab-t">Stem: conv 3×3
+        → BN → ReLU</text>
+      <path d="M380 106 V 124" class="ab-arrow" marker-end="url(#ab-arr2)"/>
+      <rect x="243" y="134" width="274" height="50" rx="8" class="ab-box ab-ghost"/>
+      <rect x="249" y="130" width="274" height="50" rx="8" class="ab-box ab-ghost"/>
+      <rect x="255" y="126" width="274" height="50" rx="8" class="ab-box"/>
+      <text x="392" y="148" text-anchor="middle" class="ab-t">Trunk: 40 ×
+        SE-ResNet block</text>
+      <text x="392" y="166" text-anchor="middle" class="ab-n">256 channels,
+        bf16, ~7.65 GFLOP/position</text>
+      <path d="M300 184 C 240 204, 180 208, 160 218" class="ab-arrow"
+        marker-end="url(#ab-arr2)"/>
+      <path d="M400 184 V 216" class="ab-arrow" marker-end="url(#ab-arr2)"/>
+      <rect x="60" y="220" width="200" height="58" rx="8" class="ab-box"/>
+      <text x="160" y="244" text-anchor="middle" class="ab-t">Policy head</text>
+      <text x="160" y="262" text-anchor="middle" class="ab-n">1×1 convs →
+        81×139 = 11,259 logits</text>
+      <rect x="310" y="220" width="180" height="58" rx="8" class="ab-box"/>
+      <text x="400" y="244" text-anchor="middle" class="ab-t">Global pool</text>
+      <text x="400" y="262" text-anchor="middle" class="ab-n">board mean +
+        max per channel</text>
+      <path d="M490 244 H 538" class="ab-arrow" marker-end="url(#ab-arr2)"/>
+      <rect x="540" y="192" width="190" height="44" rx="8" class="ab-box"/>
+      <text x="635" y="212" text-anchor="middle" class="ab-t">Value head</text>
+      <text x="635" y="228" text-anchor="middle" class="ab-n">win / draw /
+        loss (fp32)</text>
+      <rect x="540" y="244" width="190" height="44" rx="8" class="ab-box"/>
+      <text x="635" y="264" text-anchor="middle" class="ab-t">Score head</text>
+      <text x="635" y="280" text-anchor="middle" class="ab-n">material-lead
+        estimate (fp32)</text>
+    </svg>` },
 
   { id: "ab-block", label: "Inside a block", minLevel: 3,
     section: "Level 3 · Inside the network", html: `
@@ -1084,7 +1206,46 @@ const ABOUT_SECTIONS = [
       and maxima and feeds them back as per-channel biases, so global state
       (material count, phase of the game) reaches every square without
       needing 40 layers of propagation.</li>
-    </ul>` },
+    </ul>
+    <svg class="about-svg" viewBox="0 0 760 170" role="img"
+         aria-labelledby="blk-t blk-d">
+      <title id="blk-t">Inside a residual block</title>
+      <defs><marker id="ab-arr3" viewBox="0 0 10 10" refX="9" refY="5"
+        markerWidth="7" markerHeight="7" orient="auto-start-reverse">
+        <path d="M0,0 L10,5 L0,10 z" class="ab-arrhead"/></marker></defs>
+      <desc id="blk-d">Input passes through two convolution-normalization
+      stages; a squeeze-and-excitation path pools the board, computes
+      per-channel weights through a two-layer net, and rescales the output
+      before the skip connection is added back.</desc>
+      <rect x="10" y="60" width="80" height="44" rx="8" class="ab-box"/>
+      <text x="50" y="86" text-anchor="middle" class="ab-t">input</text>
+      <path d="M90 82 H 118" class="ab-arrow" marker-end="url(#ab-arr3)"/>
+      <rect x="120" y="60" width="140" height="44" rx="8" class="ab-box"/>
+      <text x="190" y="79" text-anchor="middle" class="ab-t">conv 3×3</text>
+      <text x="190" y="96" text-anchor="middle" class="ab-n">BN → ReLU</text>
+      <path d="M260 82 H 288" class="ab-arrow" marker-end="url(#ab-arr3)"/>
+      <rect x="290" y="60" width="140" height="44" rx="8" class="ab-box"/>
+      <text x="360" y="79" text-anchor="middle" class="ab-t">conv 3×3</text>
+      <text x="360" y="96" text-anchor="middle" class="ab-n">BN</text>
+      <path d="M430 82 H 458" class="ab-arrow" marker-end="url(#ab-arr3)"/>
+      <rect x="460" y="60" width="130" height="44" rx="8" class="ab-box"/>
+      <text x="525" y="79" text-anchor="middle" class="ab-t">SE rescale</text>
+      <text x="525" y="96" text-anchor="middle" class="ab-n">per-channel ×</text>
+      <rect x="430" y="10" width="200" height="36" rx="8" class="ab-box ab-side"/>
+      <text x="530" y="33" text-anchor="middle" class="ab-n">pool board →
+        2-layer net → channel weights</text>
+      <path d="M400 60 C 410 40, 420 32, 428 28" class="ab-arrow"/>
+      <path d="M550 46 V 58" class="ab-arrow" marker-end="url(#ab-arr3)"/>
+      <path d="M590 82 H 638" class="ab-arrow" marker-end="url(#ab-arr3)"/>
+      <circle cx="655" cy="82" r="15" class="ab-box"/>
+      <text x="655" y="87" text-anchor="middle" class="ab-t">+</text>
+      <path d="M50 104 C 50 150, 600 150, 650 97" class="ab-arrow ab-dash"
+        marker-end="url(#ab-arr3)"/>
+      <text x="350" y="158" text-anchor="middle" class="ab-n">skip connection
+        — the gradient highway that makes 40 blocks trainable</text>
+      <path d="M670 82 H 708" class="ab-arrow" marker-end="url(#ab-arr3)"/>
+      <text x="730" y="87" text-anchor="middle" class="ab-t">ReLU</text>
+    </svg>` },
 
   { id: "ab-heads", label: "Three heads", minLevel: 3,
     section: "Level 3 · Inside the network", html: `

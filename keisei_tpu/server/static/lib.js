@@ -333,9 +333,39 @@
     }).map(([e]) => e);
   }
 
+  /** Role badge descriptor for a league entry (reference roleIcons.js,
+   *  per tiered-opponent-pool spec §15.3: frontier=shield, recent=spark,
+   *  dynamic=crossed swords, historical=scroll). Roles are matched by
+   *  prefix because tier names carry suffixes ("frontier_static"). A
+   *  retired entry shows the retired badge regardless of role. */
+  const ROLE_INFO = [
+    ["frontier", { icon: "🛡", label: "Frontier", cssClass: "role-frontier",
+      tooltip: "Frontier — strongest fixed checkpoints, the bar to clear" }],
+    ["recent", { icon: "✦", label: "Recent", cssClass: "role-recent",
+      tooltip: "Recent — the last few snapshots of the training policy" }],
+    ["dynamic", { icon: "⚔", label: "Dynamic", cssClass: "role-dynamic",
+      tooltip: "Dynamic — evolving opponents that keep learning" }],
+    ["historical", { icon: "📜", label: "Historical",
+      cssClass: "role-historical",
+      tooltip: "Historical — archived milestone policies" }],
+  ];
+  const ROLE_RETIRED = { icon: "⏸", label: "Retired",
+    cssClass: "role-retired", tooltip: "Retired — out of the active pool" };
+  const ROLE_UNKNOWN = { icon: "?", label: "Unknown",
+    cssClass: "role-unknown", tooltip: "Unknown role" };
+
+  function roleInfo(role, status) {
+    if (status === "retired") return ROLE_RETIRED;
+    const hit = ROLE_INFO.find(([p]) => (role || "").startsWith(p));
+    return hit ? hit[1] : ROLE_UNKNOWN;
+  }
+
   /** League-wide recent-matches feed (reference RecentMatches.svelte):
-   *  newest-first render rows with both players resolved and the pair's
-   *  total clash count across ALL results (not just the shown window). */
+   *  newest-first render rows with both players resolved, the pair's
+   *  total clash count across ALL results (not just the shown window),
+   *  and winner-perspective fields — winner first (A on a draw), pre-match
+   *  Elo, per-side Elo deltas, win percentage, and an upset flag when the
+   *  winner started 100+ Elo below the loser. */
   function recentMatches(results, entries, max = 30) {
     const byId = new Map((entries || []).map((e) => [e.id, e]));
     const clash = new Map();
@@ -351,15 +381,48 @@
       .slice()
       .sort((a, b) => b.id - a.id)
       .slice(0, max)
-      .map((r) => ({
-        rid: r.id, epoch: r.epoch, type: r.match_type || "",
-        aId: r.entry_a_id, bId: r.entry_b_id,
-        aName: name(r.entry_a_id), bName: name(r.entry_b_id),
-        wa: r.wins_a, wb: r.wins_b, d: r.draws,
-        winner: r.wins_a > r.wins_b ? "a" : r.wins_a < r.wins_b ? "b" : "draw",
-        clashes: clash.get(
-          [r.entry_a_id, r.entry_b_id].sort((x, y) => x - y).join("-")) || 0,
-      }));
+      .map((r) => {
+        const wa = r.wins_a, wb = r.wins_b, d = r.draws || 0;
+        const draw = wa === wb;
+        const aWon = wa > wb;
+        const ea = byId.get(r.entry_a_id), eb = byId.get(r.entry_b_id);
+        const preA = r.elo_before_a != null ? Math.round(r.elo_before_a) : null;
+        const preB = r.elo_before_b != null ? Math.round(r.elo_before_b) : null;
+        const dA = r.elo_after_a != null && r.elo_before_a != null
+          ? Math.round(r.elo_after_a - r.elo_before_a) : 0;
+        const dB = r.elo_after_b != null && r.elo_before_b != null
+          ? Math.round(r.elo_after_b - r.elo_before_b) : 0;
+        const first = aWon || draw;   // winner (or A on a draw) leads
+        const w = first ? wa : wb, l = first ? wb : wa;
+        const total = wa + wb + d;
+        const winnerElo = first ? preA : preB;
+        const loserElo = first ? preB : preA;
+        return {
+          rid: r.id, epoch: r.epoch, type: r.match_type || "",
+          aId: r.entry_a_id, bId: r.entry_b_id,
+          aName: name(r.entry_a_id), bName: name(r.entry_b_id),
+          wa, wb, d,
+          winner: aWon ? "a" : draw ? "draw" : "b",
+          clashes: clash.get(
+            [r.entry_a_id, r.entry_b_id].sort((x, y) => x - y).join("-")) || 0,
+          draw,
+          winnerId: first ? r.entry_a_id : r.entry_b_id,
+          loserId: first ? r.entry_b_id : r.entry_a_id,
+          winnerName: name(first ? r.entry_a_id : r.entry_b_id),
+          loserName: name(first ? r.entry_b_id : r.entry_a_id),
+          winnerRole: (first ? ea : eb) ? (first ? ea : eb).role : null,
+          loserRole: (first ? eb : ea) ? (first ? eb : ea).role : null,
+          winnerStatus: (first ? ea : eb) ? (first ? ea : eb).status : null,
+          loserStatus: (first ? eb : ea) ? (first ? eb : ea).status : null,
+          winnerElo, loserElo,
+          eloWinner: first ? dA : dB,
+          eloLoser: first ? dB : dA,
+          w, l, total,
+          winPct: total > 0 ? Math.round((w / total) * 100) : 0,
+          upset: !draw && winnerElo != null && loserElo != null
+            && loserElo - winnerElo >= 100,
+        };
+      });
   }
 
   /** Showcase scorecard (reference MatchScorecard.svelte): both players
@@ -594,7 +657,7 @@
            collapseEvents, h2hFor, winRate, pvRatio,
            indicator, heartbeatFresh, configSummary,
            sortEntries, entryRecords, eloDeltas, groupEntriesByTier,
-           recentMatches, scorecard, movePattern,
+           roleInfo, recentMatches, scorecard, movePattern,
            niceTicks, ema, downsample, nearestIndex, fmt,
            timeFormat, safeParse, METRIC_HELP,
            ABOUT_LEVELS, clampAboutLevel, visibleAboutToc, groupToc,

@@ -105,6 +105,65 @@ test("recentMatches resolves names, winners, and pair clash counts", () => {
   assert.equal(rows[1].aName, "Beta");
 });
 
+test("recentMatches winner-perspective: Elo, deltas, win%, upset", () => {
+  const entries = [
+    { id: 1, display_name: "Alpha", role: "frontier_static",
+      status: "active" },
+    { id: 2, display_name: "Beta", role: "dynamic", status: "active" },
+  ];
+  const results = [{
+    id: 10, epoch: 5, entry_a_id: 1, entry_b_id: 2,
+    wins_a: 1, wins_b: 3, draws: 1, match_type: "ladder",
+    elo_before_a: 1712.6, elo_after_a: 1701.2,
+    elo_before_b: 1561.4, elo_after_b: 1572.8,
+  }];
+  const [r] = KT.recentMatches(results, entries, 5);
+  // B won from 151 Elo below A: an upset, shown winner-first
+  assert.equal(r.winnerName, "Beta");
+  assert.equal(r.loserName, "Alpha");
+  assert.equal(r.winnerRole, "dynamic");
+  assert.equal(r.loserRole, "frontier_static");
+  assert.deepEqual([r.winnerElo, r.loserElo], [1561, 1713]);
+  assert.deepEqual([r.eloWinner, r.eloLoser], [11, -11]);
+  assert.deepEqual([r.w, r.l, r.total], [3, 1, 5]);
+  assert.equal(r.winPct, 60);
+  assert.equal(r.upset, true);
+  assert.equal(r.draw, false);
+});
+
+test("recentMatches: draws keep A first; missing Elo degrades", () => {
+  const entries = [
+    { id: 1, display_name: "Alpha" }, { id: 2, display_name: "Beta" },
+  ];
+  const [d] = KT.recentMatches(
+    [{ id: 3, epoch: 1, entry_a_id: 2, entry_b_id: 1,
+       wins_a: 2, wins_b: 2, draws: 0,
+       elo_before_a: 1400.0, elo_after_a: 1400.0,
+       elo_before_b: 1900.0, elo_after_b: 1900.0 }], entries, 5);
+  assert.equal(d.winnerName, "Beta");   // A-side leads on a draw
+  assert.equal(d.draw, true);
+  assert.equal(d.upset, false);
+  assert.deepEqual([d.eloWinner, d.eloLoser], [0, 0]);
+  const [m] = KT.recentMatches(
+    [{ id: 1, epoch: 0, entry_a_id: 7, entry_b_id: 8,
+       wins_a: 2, wins_b: 0, draws: 0 }], [], 5);
+  assert.equal(m.winnerElo, null);
+  assert.deepEqual([m.eloWinner, m.eloLoser], [0, 0]);
+  assert.equal(m.upset, false);
+  assert.equal(m.winnerName, "#7");
+});
+
+test("roleInfo maps tier prefixes; retired overrides; unknown falls through",
+     () => {
+  assert.equal(KT.roleInfo("frontier_static", "active").icon, "🛡");
+  assert.equal(KT.roleInfo("recent_fixed", null).label, "Recent");
+  assert.equal(KT.roleInfo("dynamic", "active").cssClass, "role-dynamic");
+  assert.equal(KT.roleInfo("historical", null).icon, "📜");
+  assert.equal(KT.roleInfo("frontier_static", "retired").label, "Retired");
+  assert.equal(KT.roleInfo("mystery", null).label, "Unknown");
+  assert.equal(KT.roleInfo(null, null).label, "Unknown");
+});
+
 test("scorecard matches TEXT showcase ids to integer entries", () => {
   const entries = [
     { id: 3, display_name: "Kuro", elo_rating: 1612.4, role: "frontier_static",

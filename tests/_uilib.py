@@ -356,6 +356,41 @@ def sort_entries(entries, key, direction, style_of=None, aux=None) -> list:
     return [e for _, _, e in sorted(decorated, key=functools.cmp_to_key(cmp))]
 
 
+ROLE_INFO = [
+    ("frontier", {"icon": "🛡", "label": "Frontier",
+                  "cssClass": "role-frontier",
+                  "tooltip": "Frontier — strongest fixed checkpoints, "
+                             "the bar to clear"}),
+    ("recent", {"icon": "✦", "label": "Recent", "cssClass": "role-recent",
+                "tooltip": "Recent — the last few snapshots of the "
+                           "training policy"}),
+    ("dynamic", {"icon": "⚔", "label": "Dynamic", "cssClass": "role-dynamic",
+                 "tooltip": "Dynamic — evolving opponents that keep "
+                            "learning"}),
+    ("historical", {"icon": "📜", "label": "Historical",
+                    "cssClass": "role-historical",
+                    "tooltip": "Historical — archived milestone policies"}),
+]
+ROLE_RETIRED = {"icon": "⏸", "label": "Retired", "cssClass": "role-retired",
+                "tooltip": "Retired — out of the active pool"}
+ROLE_UNKNOWN = {"icon": "?", "label": "Unknown", "cssClass": "role-unknown",
+                "tooltip": "Unknown role"}
+
+
+def _js_round(x):
+    # JS Math.round semantics: half-up toward +inf (Python round is half-even)
+    return math.floor(x + 0.5)
+
+
+def role_info(role, status=None) -> dict:
+    if status == "retired":
+        return ROLE_RETIRED
+    for prefix, info in ROLE_INFO:
+        if (role or "").startswith(prefix):
+            return info
+    return ROLE_UNKNOWN
+
+
 def recent_matches(results, entries, max_rows: int = 30) -> list:
     by_id = {e["id"]: e for e in entries or []}
     clash: dict = {}
@@ -371,15 +406,51 @@ def recent_matches(results, entries, max_rows: int = 30) -> list:
     out = []
     for r in rows:
         k = "-".join(map(str, sorted([r["entry_a_id"], r["entry_b_id"]])))
+        wa, wb, d = r.get("wins_a"), r.get("wins_b"), r.get("draws") or 0
+        draw = wa == wb
+        a_won = wa > wb
+        first = a_won or draw
+        ea, eb = by_id.get(r["entry_a_id"]), by_id.get(r["entry_b_id"])
+        pre_a = (_js_round(r["elo_before_a"])
+                 if r.get("elo_before_a") is not None else None)
+        pre_b = (_js_round(r["elo_before_b"])
+                 if r.get("elo_before_b") is not None else None)
+        d_a = (_js_round(r["elo_after_a"] - r["elo_before_a"])
+               if r.get("elo_after_a") is not None
+               and r.get("elo_before_a") is not None else 0)
+        d_b = (_js_round(r["elo_after_b"] - r["elo_before_b"])
+               if r.get("elo_after_b") is not None
+               and r.get("elo_before_b") is not None else 0)
+        w, l = (wa, wb) if first else (wb, wa)
+        total = wa + wb + d
+        winner_elo = pre_a if first else pre_b
+        loser_elo = pre_b if first else pre_a
+        ew, el_ = (ea, eb) if first else (eb, ea)
         out.append({
             "rid": r["id"], "epoch": r.get("epoch"),
             "type": r.get("match_type") or "",
             "aId": r["entry_a_id"], "bId": r["entry_b_id"],
             "aName": name(r["entry_a_id"]), "bName": name(r["entry_b_id"]),
-            "wa": r.get("wins_a"), "wb": r.get("wins_b"), "d": r.get("draws"),
-            "winner": ("a" if r["wins_a"] > r["wins_b"]
-                       else "b" if r["wins_a"] < r["wins_b"] else "draw"),
+            "wa": wa, "wb": wb, "d": d,
+            "winner": "a" if a_won else ("draw" if draw else "b"),
             "clashes": clash.get(k, 0),
+            "draw": draw,
+            "winnerId": r["entry_a_id"] if first else r["entry_b_id"],
+            "loserId": r["entry_b_id"] if first else r["entry_a_id"],
+            "winnerName": name(r["entry_a_id"] if first else r["entry_b_id"]),
+            "loserName": name(r["entry_b_id"] if first else r["entry_a_id"]),
+            "winnerRole": ew.get("role") if ew else None,
+            "loserRole": el_.get("role") if el_ else None,
+            "winnerStatus": ew.get("status") if ew else None,
+            "loserStatus": el_.get("status") if el_ else None,
+            "winnerElo": winner_elo, "loserElo": loser_elo,
+            "eloWinner": d_a if first else d_b,
+            "eloLoser": d_b if first else d_a,
+            "w": w, "l": l, "total": total,
+            "winPct": _js_round((w / total) * 100) if total > 0 else 0,
+            "upset": (not draw and winner_elo is not None
+                      and loser_elo is not None
+                      and loser_elo - winner_elo >= 100),
         })
     return out
 

@@ -262,6 +262,27 @@ class TestStaticUI:
         for o, c in ("{}", "()", "[]"):
             assert src.count(o) == src.count(c), f"unbalanced {o}{c}"
 
+    def test_about_svg_diagrams_are_wellformed(self):
+        """The About view embeds inline SVG diagrams inside JS template
+        literals, where a malformed attribute would silently break the
+        whole <svg> subtree at render time. Parse each as XML and pin
+        that every marker reference resolves within ITS OWN svg (ids are
+        document-global, and level-gating can hide a sibling diagram)."""
+        import re
+        import xml.etree.ElementTree as ET
+        src = (self._static_dir() / "app.js").read_text()
+        svgs = re.findall(r'<svg class="about-svg".*?</svg>', src, re.S)
+        assert len(svgs) >= 3  # loop, architecture, residual block
+        for svg in svgs:
+            ET.fromstring(svg)  # raises on malformed XML / dup attributes
+            ids = set(re.findall(r'id="(ab-arr\d*)"', svg))
+            refs = set(re.findall(r'url\(#(ab-arr\d*)\)', svg))
+            assert refs <= ids, f"marker refs {refs - ids} not defined locally"
+        css = (self._static_dir() / "style.css").read_text()
+        for cls in ("about-svg", "ab-box", "ab-t", "ab-n", "ab-arrow",
+                    "ab-arrhead"):
+            assert f".{cls}" in css, f"missing style for .{cls}"
+
     def test_ws_commands_used_by_ui_are_handled(self):
         static = self._static_dir()
         js = (static / "app.js").read_text()

@@ -180,6 +180,64 @@ class TestLeagueShaping:
         assert rows[0]["clashes"] == 1
         assert rows[1]["aName"] == "Beta"
 
+    def test_recent_matches_winner_perspective(self):  # lib.test.mjs:108
+        """Winner-first fields: pre-match Elo, per-side deltas, win%, and
+        the upset flag when the winner started 100+ Elo below."""
+        entries = [
+            {"id": 1, "display_name": "Alpha", "role": "frontier_static",
+             "status": "active"},
+            {"id": 2, "display_name": "Beta", "role": "dynamic",
+             "status": "active"},
+        ]
+        results = [{
+            "id": 10, "epoch": 5, "entry_a_id": 1, "entry_b_id": 2,
+            "wins_a": 1, "wins_b": 3, "draws": 1, "match_type": "ladder",
+            "elo_before_a": 1712.6, "elo_after_a": 1701.2,
+            "elo_before_b": 1561.4, "elo_after_b": 1572.8,
+        }]
+        (r,) = KT.recent_matches(results, entries, 5)
+        # B won from 151 Elo below A: an upset, shown winner-first
+        assert r["winnerName"] == "Beta" and r["loserName"] == "Alpha"
+        assert r["winnerRole"] == "dynamic" and r["loserRole"] == "frontier_static"
+        assert (r["winnerElo"], r["loserElo"]) == (1561, 1713)
+        assert (r["eloWinner"], r["eloLoser"]) == (11, -11)
+        assert (r["w"], r["l"], r["total"]) == (3, 1, 5)
+        assert r["winPct"] == 60
+        assert r["upset"] is True and r["draw"] is False
+
+    def test_recent_matches_draw_keeps_a_first_and_no_upset(self):
+        entries = [{"id": 1, "display_name": "Alpha"},
+                   {"id": 2, "display_name": "Beta"}]
+        results = [{"id": 3, "epoch": 1, "entry_a_id": 2, "entry_b_id": 1,
+                    "wins_a": 2, "wins_b": 2, "draws": 0,
+                    "elo_before_a": 1400.0, "elo_after_a": 1400.0,
+                    "elo_before_b": 1900.0, "elo_after_b": 1900.0}]
+        (r,) = KT.recent_matches(results, entries, 5)
+        assert r["winnerName"] == "Beta"  # A-side leads on a draw
+        assert r["draw"] is True and r["upset"] is False
+        assert (r["eloWinner"], r["eloLoser"]) == (0, 0)
+
+    def test_recent_matches_missing_elo_fields(self):
+        """Rows written before schema v8 carry no elo_before/after — the
+        feed must degrade to null Elo, zero deltas, and no upset."""
+        (r,) = KT.recent_matches(
+            [{"id": 1, "epoch": 0, "entry_a_id": 7, "entry_b_id": 8,
+              "wins_a": 2, "wins_b": 0, "draws": 0}], [], 5)
+        assert r["winnerElo"] is None and r["loserElo"] is None
+        assert (r["eloWinner"], r["eloLoser"]) == (0, 0)
+        assert r["upset"] is False
+        assert r["winnerName"] == "#7"
+
+    def test_role_info(self):  # lib.test.mjs:156
+        assert KT.role_info("frontier_static", "active")["icon"] == "🛡"
+        assert KT.role_info("recent_fixed", None)["label"] == "Recent"
+        assert KT.role_info("dynamic", "active")["cssClass"] == "role-dynamic"
+        assert KT.role_info("historical", None)["icon"] == "📜"
+        # retired overrides role; unknown falls through
+        assert KT.role_info("frontier_static", "retired")["label"] == "Retired"
+        assert KT.role_info("mystery", None)["label"] == "Unknown"
+        assert KT.role_info(None, None)["label"] == "Unknown"
+
     def test_scorecard(self):  # lib.test.mjs:108
         entries = [{"id": 3, "display_name": "Kuro", "elo_rating": 1612.4,
                     "role": "frontier_static", "architecture": "se_resnet"}]
@@ -500,7 +558,7 @@ class TestSourcePin:
     node suite where available, eyeball the diff) and update the hash."""
 
     EXPECTED_SHA256 = (
-        "000293bc9b32a46e045e85037c9ea70ada2c701d27b4917c7f1e14df6130f0e0")
+        "3c299c585774966b9b239311700252d4747963962b5bbcd7ab7d1953e0f2fbad")
 
     def test_lib_js_pinned(self):
         normalized = re.sub(rb"\s+", b" ", LIB_JS.read_bytes()).strip()
@@ -516,8 +574,10 @@ class TestSourcePin:
         """Every exported lib.js symbol has a twin (snake_case) or is a
         shared constant — catches new helpers added without canary tests."""
         src = LIB_JS.read_text(encoding="utf-8")
-        exports = re.search(r"return \{([^}]*)\};?\s*\}\);", src, re.S)
-        names = [n.strip() for n in exports.group(1).split(",") if n.strip()]
+        # helpers may themselves end in `return {...}; });` — the module
+        # export is the LAST such object in the factory
+        exports = re.findall(r"return \{([^}]*)\};?\s*\}\);", src, re.S)
+        names = [n.strip() for n in exports[-1].split(",") if n.strip()]
 
         def snake(n):
             return re.sub(r"(?<!^)(?=[A-Z])", "_", n).lower()
