@@ -822,23 +822,52 @@ function renderMatchupMatrix() {
     map.set(key(r.entry_b_id, r.entry_a_id), { w: r.wins_b, l: r.wins_a, d: r.draws, g: r.games });
   }
   const short = e => (e.display_name || "#" + e.id).split(" ")[0];
-  let html = '<table class="matrix"><tr><th></th>' +
-    entries.map(e => `<th title="${e.display_name || e.id}">${short(e)}</th>`).join("") + "</tr>";
-  for (const a of entries) {
-    html += `<tr><th title="${a.display_name || a.id}">${short(a)}</th>`;
-    for (const b of entries) {
-      if (a.id === b.id) { html += '<td style="background:var(--line)"></td>'; continue; }
+  // diverging two-hue scale around the 50% midpoint (never a hue sweep):
+  // losing cells step into --bad, winning into --good, alpha ∝ |wr - 0.5|
+  const cellBg = (wr) => {
+    const a = Math.min(0.55, Math.abs(wr - 0.5) * 1.3 + 0.08);
+    return wr >= 0.5
+      ? `color-mix(in srgb, var(--good) ${Math.round(a * 100)}%, transparent)`
+      : `color-mix(in srgb, var(--bad) ${Math.round(a * 100)}%, transparent)`;
+  };
+  let html = '<table class="matrix" id="mm-table"><tr><th></th>' +
+    entries.map((e, j) => `<th data-col="${j}" title="${e.display_name || e.id}">${short(e)}</th>`).join("") + "</tr>";
+  entries.forEach((a, i) => {
+    html += `<tr><th data-row="${i}" title="${a.display_name || a.id}">${short(a)}</th>`;
+    entries.forEach((b, j) => {
+      if (a.id === b.id) { html += `<td data-row="${i}" data-col="${j}" style="background:var(--line)"></td>`; return; }
       const r = map.get(key(a.id, b.id));
-      if (!r || !r.g) { html += "<td>·</td>"; continue; }
+      if (!r || !r.g) { html += `<td data-row="${i}" data-col="${j}">·</td>`; return; }
       const wr = (r.w + 0.5 * r.d) / r.g;
-      const hue = Math.round(wr * 120);  // 0 red -> 120 green
-      html += `<td style="background:hsla(${hue},45%,40%,0.55)" ` +
+      html += `<td data-row="${i}" data-col="${j}" style="background:${cellBg(wr)}" ` +
         `title="${short(a)} vs ${short(b)}: ${r.w}-${r.l}-${r.d} (${r.g} games)">` +
         `${Math.round(wr * 100)}</td>`;
-    }
+    });
     html += "</tr>";
-  }
-  el.innerHTML = html + "</table>";
+  });
+  html += "</table>";
+  // legend: two hues + neutral midpoint, never color-alone (cells carry
+  // the numeric win % and a full tooltip)
+  html += '<div class="matrix-legend" aria-label="color legend">' +
+    `<span class="legend-swatch" style="background:${cellBg(0)}"></span>0%` +
+    '<span class="legend-swatch" style="background:transparent;border:1px solid var(--line)"></span>50%' +
+    `<span class="legend-swatch" style="background:${cellBg(1)}"></span>100%` +
+    '<span class="hint">row player’s score vs column player</span></div>';
+  el.innerHTML = html;
+  // hover crosshair: highlight the full row + column under the pointer
+  const table = el.querySelector("#mm-table");
+  table.addEventListener("mouseover", (ev) => {
+    const t = ev.target.closest("[data-row],[data-col]");
+    const row = t ? t.dataset.row : null, col = t ? t.dataset.col : null;
+    for (const c of table.querySelectorAll("td,th")) {
+      c.classList.toggle("mm-hl",
+        (row != null && c.dataset.row === row) ||
+        (col != null && c.dataset.col === col));
+    }
+  });
+  table.addEventListener("mouseleave", () => {
+    for (const c of table.querySelectorAll(".mm-hl")) c.classList.remove("mm-hl");
+  });
 }
 
 // ---------------------------------------------------------------------------
