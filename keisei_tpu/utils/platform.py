@@ -31,3 +31,18 @@ def force_cpu(virtual_devices: int | None = None) -> None:
         from jax.extend.backend import clear_backends
 
         clear_backends()
+
+
+def enable_compile_cache() -> None:
+    """Point JAX at the shared persistent compilation cache used by the
+    training CLI (training/loop.py main). Standalone tools (bench sweeps,
+    corpus generation, profilers) share the production-shape programs,
+    whose b40c256 compiles run minutes each — without this every script
+    invocation recompiles from scratch."""
+    import jax
+
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        cache_dir = os.path.expanduser("~/.cache/keisei-tpu-jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

@@ -142,6 +142,10 @@ def main() -> None:
 
         force_cpu()
 
+    from keisei_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     from keisei_tpu.engine import tables as T
     from keisei_tpu.engine import types as TY
     from keisei_tpu.env.spectator_data import move_usi

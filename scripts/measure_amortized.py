@@ -61,6 +61,10 @@ def main() -> None:
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
 
+    from keisei_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     import tomllib
 
     from keisei_tpu.training.config import config_from_dict

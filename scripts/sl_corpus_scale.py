@@ -116,6 +116,10 @@ def main() -> None:
 
     logging.basicConfig(level=logging.INFO)
 
+    from keisei_tpu.utils.platform import enable_compile_cache
+
+    enable_compile_cache()
+
     report: dict = {"corpus": args.corpus, "config": args.config}
     meta_path = os.path.join(args.corpus, "corpus_meta.json")
     if os.path.exists(meta_path):
