@@ -934,12 +934,29 @@ function renderScorecard(m) {
   </div>`;
 }
 
+// screen-reader move announcer (reference ShowcaseView aria-live region):
+// announce only when the displayed ply changes, never on poll re-renders
+let lastAnnouncedPly = null;
+function announceMove(m, dots) {
+  const el = document.getElementById("sc-announcer");
+  if (!el || !m || m.ply === lastAnnouncedPly) return;
+  lastAnnouncedPly = m.ply;
+  const q = dots && dots[dots.length - 1];
+  el.textContent = `ply ${m.ply}: ${moverOf(m)} played ${m.usi_notation}` +
+    (m.in_check ? ", check" : "") +
+    (q && q !== "normal" ? `, ${q}` : "");
+}
+
 function renderShowcase() {
   renderShowcaseStatus(); renderQueue();
+  document.getElementById("sc-offline").classList.toggle(
+    "hidden", !!S.showcase.alive);
   if (!views.showcase.classList.contains("active")) return;
   const moves = S.showcase.moves;
   const m = displayedMove();
   renderScorecard(m);
+  document.getElementById("sc-live").setAttribute(
+    "aria-pressed", String(S.reviewPly == null));
   const boardEl = document.getElementById("sc-board");
   const slider = document.getElementById("sc-slider");
   slider.max = Math.max(moves.length - 1, 0);
@@ -963,6 +980,8 @@ function renderShowcase() {
       document.getElementById("sc-evaltext").textContent =
         `black ${(p * 100).toFixed(0)}%`;
     }
+    const idx = moves.indexOf(m);
+    announceMove(m, KT.moveDots(moves.slice(0, idx + 1)));
   } else {
     boardEl.innerHTML = '<p style="color:var(--dim)">no active showcase game</p>';
   }
