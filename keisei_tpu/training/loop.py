@@ -246,6 +246,9 @@ class SelfPlayTrainer:
         self._maint_executor = None
         self._maint_futures: deque = deque()
         self._maint_busy_s = 0.0  # cumulative worker busy time (telemetry)
+        # per-phase worker seconds (record/snapshot/review/tournament/...) —
+        # the amortized harness dumps this so a slow worker is attributable
+        self._maint_phase_s: dict = {}
 
         if self.league_enabled:
             self._init_league()
@@ -904,6 +907,18 @@ class SelfPlayTrainer:
 
         t0 = time.monotonic()
         lc = self.config.league
+        _last = t0
+
+        def mark(phase: str) -> None:
+            nonlocal _last
+            now = time.monotonic()
+            took = now - _last
+            self._maint_phase_s[phase] = self._maint_phase_s.get(phase, 0.0) + took
+            if took > 2.0:
+                logger.info("league maintenance: %s took %.1fs (epoch %d)",
+                            phase, took, epoch)
+            _last = now
+
         role_k = {
             Role.FRONTIER_STATIC: lc.elo.frontier_k,
             Role.DYNAMIC: lc.elo.dynamic_k,
@@ -917,6 +932,7 @@ class SelfPlayTrainer:
             )
         except Exception:
             logger.exception("league result recording failed — continuing")
+        mark("record_results")
 
         try:
             if vars_copy is not None:
@@ -939,18 +955,21 @@ class SelfPlayTrainer:
                         self.config.display.db_path, epoch,
                         epoch * self.T, learner_entry_id=entry.id,
                     )
+            mark("snapshot")
             self.store.carry_forward_elo(epoch)
             self.pool.maybe_review_frontier(epoch)
             # retired/evicted entries release dynamic-trainer caches
             self.dyn_trainer.retain_only(
                 {e.id for e in self.store.list_by_role(Role.DYNAMIC)}
             )
+            mark("elo_review")
             if self.historical.is_due_for_refresh(epoch):
                 self.historical.refresh(epoch)
             if self.gauntlet.is_due(epoch):
                 self.gauntlet.run_gauntlet(
                     epoch, self.store.get_entry(self.learner_entry_id)
                 )
+            mark("historical_gauntlet")
             if self.tournament is not None and self.tournament.is_due(epoch):
                 # skip rounds that went stale in a backlog: training has
                 # already queued (or will queue) a fresher one
@@ -962,6 +981,7 @@ class SelfPlayTrainer:
                 else:
                     self.observer.heartbeat(epoch, epoch * self.T, "tournament")
                     self.tournament.run_round(epoch)
+            mark("tournament")
             if self.dispatcher is not None:
                 self.dispatcher.enqueue_round(epoch)
         except Exception:

@@ -142,6 +142,10 @@ def main() -> None:
         "steady_steps_per_s": round(steady, 1),
         "amortized_over_steady": round(ratio, 4),
         "maintenance_worker_busy_s": round(trainer._maint_busy_s, 2),
+        "maintenance_phase_s": {
+            k: round(v, 2) for k, v in sorted(
+                trainer._maint_phase_s.items(), key=lambda kv: -kv[1])
+        },
         "events_measured": {
             "tournament_rounds": n_tournaments,
             "snapshots": n_snapshots,

@@ -191,3 +191,22 @@ class TestAsyncLeagueMaintenance:
         ck = tmp_path / "ck"
         assert (ck / "epoch_000002" / "keisei_meta.json").exists()
         assert not trainer._maint_futures
+
+
+class TestMaintenancePhaseTelemetry:
+    def test_phase_seconds_accumulate_and_cover_known_phases(self, tmp_path):
+        """_maint_phase_s attributes worker time to named phases — the
+        amortized harness (scripts/measure_amortized.py) dumps it so a slow
+        worker is diagnosable instead of a single opaque busy total."""
+        trainer = SelfPlayTrainer(config_from_dict(_league_raw(tmp_path)))
+        trainer.run_epoch()
+        trainer.run_epoch()
+        trainer.drain_maintenance()
+        phases = trainer._maint_phase_s
+        # every named phase ran (snapshot_interval=1 in the fixture)
+        for key in ("record_results", "snapshot", "elo_review",
+                    "historical_gauntlet", "tournament"):
+            assert key in phases, f"missing phase {key}: {phases}"
+            assert phases[key] >= 0.0
+        # phase sum is bounded by the worker's total busy time
+        assert sum(phases.values()) <= trainer._maint_busy_s + 1e-6
