@@ -166,11 +166,14 @@ def main():
                 "n_envs": N,
                 "recorded": time.strftime("%Y-%m-%d"),
             }
-        if FLOORS_PATH.exists() and not args.full:
+        if FLOORS_PATH.exists():
             old = json.loads(FLOORS_PATH.read_text())
-            for k in ("league_steps_s",):
-                if k in old:
-                    floors[k] = old[k]  # keep un-remeasured pins
+            for k, v in old.items():
+                if k not in floors:
+                    floors[k] = v  # keep every un-remeasured pin
+                    # (e.g. league_steps_s without --full, and the
+                    # N=256 matched-batch pins recorded by
+                    # scripts/profile_league_scaling.py)
         FLOORS_PATH.write_text(json.dumps(floors, indent=2) + "\n")
         print(f"recorded {len(floors)} pins -> {FLOORS_PATH}")
         for k, v in measures.items():

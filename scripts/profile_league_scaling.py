@@ -113,16 +113,23 @@ def _flagship_params():
             "value_fc_size": 256, "score_fc_size": 128, "obs_channels": 50}
 
 
-def forward_ms(batch: int, dtype: str,
-               l_short: int = 2, l_long: int = 10, repeats: int = 3):
+def forward_ms(batch: int, dtype: str, repeats: int = 3,
+               verbose: bool = True, lengths: tuple = (2, 10, 26)):
     """Isolated b40c256 forward latency via scan differencing (the same
     methodology as the rollout numbers: a whole-call timing carries a
     ~30 ms dispatch+sync floor that swamps small batches). `dtype` is the
     WEIGHT dtype — compute is always bf16 (se_resnet.py dtype default);
     bf16 weights only halve the weight-stream HBM reads, exactly the
     difference between learner and opponent forwards in the league step.
-    Each scan iteration feeds on the previous policy output so XLA cannot
-    collapse the chain."""
+
+    The chain feeds each forward's policy output back into the next
+    input at full magnitude (renormalized) so no algebraic simplification
+    can sever the iteration dependency, and the measurement self-checks:
+    raw per-call walls are printed and the three-length slope must be
+    positive and consistent, else the value is reported as NaN. (The first
+    committed run of this script produced ~0/negative deltas — the scan
+    body had been elided — which the old two-length median silently
+    accepted; see docs/league-compact-rollout.md.)"""
     import statistics as st
 
     import jax
@@ -135,21 +142,31 @@ def forward_ms(batch: int, dtype: str,
     variables = model.init(jax.random.key(1), dummy, train=False)
     if dtype == "bf16":
         variables = jax.tree.map(lambda x: x.astype(jnp.bfloat16), variables)
-    obs = jnp.zeros((batch, 50, 9, 9), jnp.float32)
+    obs = jax.random.normal(jax.random.key(2), (batch, 50, 9, 9),
+                            jnp.float32)
 
     def build(L):
         def chain(v, o):
             def body(carry, _):
                 out = model.apply(v, carry, train=False)
-                probe = out.policy_logits.astype(jnp.float32).mean()
-                return carry + 1e-12 * probe, None
+                # fold the policy plane back into the input at O(1)
+                # magnitude: (B, 9, 9, 139) -> mean over move types ->
+                # (B, 1, 9, 9), broadcast-added then renormalized
+                probe = out.policy_logits.astype(jnp.float32)
+                plane = probe.mean(axis=-1)[:, None, :, :]
+                nxt = carry + plane
+                nxt = nxt / (1.0 + jnp.abs(nxt).mean())
+                return nxt, None
 
             final, _ = jax.lax.scan(body, o, None, length=L)
             return final.sum()
 
         return jax.jit(chain)
 
-    f_short, f_long = build(l_short), build(l_long)
+    # three lengths: slope consistency is the elision detector (two-length
+    # mode skips the consistency cross-check to save a minutes-long tunnel
+    # compile; positivity + the printed raw walls still catch elision)
+    fns = {L: build(L) for L in lengths}
 
     def timed(fn):
         # scalar host fetch (block_until_ready no-ops through axon)
@@ -157,13 +174,27 @@ def forward_ms(batch: int, dtype: str,
         float(fn(variables, obs))
         return time.perf_counter() - t0
 
-    timed(f_short)  # compile
-    timed(f_long)
-    samples = []
+    for L in lengths:
+        timed(fns[L])  # compile
+    pairs = list(zip(lengths[:-1], lengths[1:]))
+    per_pair = {p: [] for p in pairs}
     for _ in range(repeats):
-        ts, tl = timed(f_short), timed(f_long)
-        samples.append((tl - ts) / (l_long - l_short))
-    return st.median(samples) * 1000
+        raw = {L: timed(fns[L]) for L in lengths}
+        if verbose:
+            print(f"    raw walls bs={batch}/{dtype}: " + " ".join(
+                f"L={L}:{raw[L] * 1000:.1f}ms" for L in lengths),
+                flush=True)
+        for lo, hi in pairs:
+            per_pair[(lo, hi)].append((raw[hi] - raw[lo]) / (hi - lo))
+    med = [st.median(per_pair[p]) for p in pairs]
+    bad = any(m <= 0 for m in med) or (
+        len(med) > 1 and not (0.5 < med[0] / med[1] < 2.0))
+    if bad:
+        print(f"    WARNING bs={batch}/{dtype}: inconsistent slopes "
+              f"{[round(m * 1000, 3) for m in med]} ms/iter — chain elided "
+              "or noise-dominated; reporting NaN", flush=True)
+        return float("nan")
+    return sum(med) / len(med) * 1000
 
 
 def main():
@@ -209,19 +240,29 @@ def main():
 
     # component model: self-play step = fwd(N, fp32);
     # league step = fwd(N/2, fp32) + (K/2=2) * fwd(N/4, bf16)
-    for batch, dt in ((1024, "fp32"), (512, "fp32"), (256, "fp32"),
-                      (128, "fp32"), (256, "bf16"), (64, "bf16"),
-                      (128, "bf16")):
-        ms = retry(forward_ms, batch, dt)
+    # exactly the six shapes the two step structures use — every compile
+    # here is minutes through the tunnel, so no speculative extras; the
+    # first config runs the full three-length elision cross-check, the
+    # rest reuse the validated methodology at two lengths
+    configs = ((1024, "fp32"), (512, "fp32"), (256, "fp32"),
+               (128, "fp32"), (256, "bf16"), (64, "bf16"))
+    for i, (batch, dt) in enumerate(configs):
+        lens = (2, 10, 26) if i == 0 else (2, 10)
+        ms = retry(lambda b, d: forward_ms(b, d, lengths=lens), batch, dt)
         report["forward_ms"][f"{batch}/{dt}"] = round(ms, 3)
         print(f"forward bs={batch} {dt}: {ms:.2f} ms", flush=True)
+
+    import math
 
     for n in (256, 1024):
         full = report["forward_ms"][f"{n}/fp32"]
         half = report["forward_ms"][f"{n // 2}/fp32"]
         blk = report["forward_ms"][f"{n // 4}/bf16"]
-        report["rollout"][str(n)]["predicted_ratio_model"] = round(
-            full / (half + 2 * blk), 4)
+        pred = (full / (half + 2 * blk)
+                if all(map(math.isfinite, (full, half, blk)))
+                and half + 2 * blk > 0 else None)
+        report["rollout"][str(n)]["predicted_ratio_model"] = (
+            round(pred, 4) if pred is not None else None)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out + ".json", "w") as f:
