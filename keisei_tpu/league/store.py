@@ -109,6 +109,10 @@ class Role:
 class EntryStatus:
     ACTIVE = "active"
     RETIRED = "retired"
+    # row allocated, weights still being written — invisible to every
+    # reader (all list/count paths filter on 'active'); swept at trainer
+    # startup by reconcile_update_counts if a crash stranded one
+    MATERIALIZING = "materializing"
 
 
 # Themed display names: deterministic per entry id (the reference draws from
@@ -298,7 +302,23 @@ class OpponentStore:
         ONLY the process that owns dynamic updates (the trainer) may call
         this, and only before its first update: a sidecar reconciling
         against a LIVE trainer would clamp a bump whose async flush is
-        simply still in flight."""
+        simply still in flight.
+
+        Also sweeps 'materializing' orphans: add_entry allocates the row
+        before its (lock-free) weight write and flips it 'active' after;
+        a crash in between strands a row no reader can see."""
+        orphans = dbcore.fetch_all(
+            self.db_path,
+            "SELECT id FROM league_entries WHERE status = ?",
+            (EntryStatus.MATERIALIZING,),
+        )
+        for row in orphans:
+            logger.warning(
+                "entry %d: stranded mid-add by a crash — sweeping", row["id"])
+            dbcore.execute(
+                self.db_path,
+                "DELETE FROM league_entries WHERE id = ?", (row["id"],))
+            shutil.rmtree(self._entry_dir(row["id"]), ignore_errors=True)
         rows = dbcore.fetch_all(
             self.db_path,
             "SELECT id, update_count, checkpoint_path FROM league_entries "
@@ -533,24 +553,45 @@ class OpponentStore:
         elo_rating: float = 1000.0,
     ) -> OpponentEntry:
         """Snapshot `variables` into the pool. Weights land on disk before
-        the row commits."""
+        the row turns 'active'.
+
+        The multi-second Orbax write happens OUTSIDE any DB transaction:
+        the row is allocated 'materializing' in one short BEGIN IMMEDIATE,
+        the 200+ MB tree is written with no lock held, and a second short
+        transaction flips it 'active'. Holding the write lock across the
+        save (the original shape) starved every other writer in the
+        process past the 5 s busy_timeout — live telemetry snapshots and
+        heartbeats failed with `database is locked` whenever the
+        maintenance worker snapshotted the learner (found by the r3
+        amortized-throughput run). Readers never see the intermediate row
+        (all list/count paths filter status='active'); a crash mid-save
+        leaves a 'materializing' orphan that reconcile_update_counts
+        sweeps at next trainer startup."""
         entry_id = None
         with self._lock:
-            conn = db.connect(self.db_path)
             try:
-                conn.execute("BEGIN IMMEDIATE")
-                cur = conn.execute(
-                    "INSERT INTO league_entries (display_name, architecture, "
-                    "model_params, checkpoint_path, elo_rating, created_epoch, "
-                    "role, status, parent_entry_id, lineage_group, "
-                    "protection_remaining, flavour_facts) "
-                    "VALUES ('', ?, ?, '', ?, ?, ?, 'active', ?, ?, ?, '[]')",
-                    (architecture, json.dumps(model_params), elo_rating,
-                     created_epoch, role, parent_entry_id, lineage_group,
-                     protection_remaining),
-                )
-                entry_id = int(cur.lastrowid)
-                weights_path = os.path.join(self._entry_dir(entry_id), "weights")
+                conn = db.connect(self.db_path)
+                try:
+                    conn.execute("BEGIN IMMEDIATE")
+                    cur = conn.execute(
+                        "INSERT INTO league_entries (display_name, "
+                        "architecture, model_params, checkpoint_path, "
+                        "elo_rating, created_epoch, role, status, "
+                        "parent_entry_id, lineage_group, "
+                        "protection_remaining, flavour_facts) "
+                        "VALUES ('', ?, ?, '', ?, ?, ?, 'materializing', "
+                        "?, ?, ?, '[]')",
+                        (architecture, json.dumps(model_params), elo_rating,
+                         created_epoch, role, parent_entry_id, lineage_group,
+                         protection_remaining),
+                    )
+                    entry_id = int(cur.lastrowid)
+                    conn.commit()
+                finally:
+                    conn.close()
+
+                weights_path = os.path.join(
+                    self._entry_dir(entry_id), "weights")
                 self._save_variables(weights_path, variables, meta={
                     "architecture": architecture,
                     "model_params": model_params,
@@ -558,23 +599,38 @@ class OpponentStore:
                     "league_entry_id": entry_id,
                     "format_version": 1,
                 })
+
                 name = display_name_for(entry_id)
                 facts = flavour_facts_for(entry_id, created_epoch)
                 lineage = lineage_group or f"L{entry_id}"
-                conn.execute(
-                    "UPDATE league_entries SET checkpoint_path = ?, "
-                    "display_name = ?, flavour_facts = ?, lineage_group = ? "
-                    "WHERE id = ?",
-                    (weights_path, name, json.dumps(facts), lineage, entry_id),
-                )
-                conn.commit()
+                conn = db.connect(self.db_path)
+                try:
+                    conn.execute("BEGIN IMMEDIATE")
+                    conn.execute(
+                        "UPDATE league_entries SET checkpoint_path = ?, "
+                        "display_name = ?, flavour_facts = ?, "
+                        "lineage_group = ?, status = 'active' WHERE id = ?",
+                        (weights_path, name, json.dumps(facts), lineage,
+                         entry_id),
+                    )
+                    conn.commit()
+                finally:
+                    conn.close()
             except Exception:
-                conn.rollback()
                 if entry_id is not None:
-                    shutil.rmtree(self._entry_dir(entry_id), ignore_errors=True)
+                    try:
+                        dbcore.execute(
+                            self.db_path,
+                            "DELETE FROM league_entries WHERE id = ?",
+                            (entry_id,),
+                        )
+                    except Exception:
+                        logger.exception(
+                            "entry %d: failed-add row cleanup also failed "
+                            "(will be swept at next startup)", entry_id)
+                    shutil.rmtree(self._entry_dir(entry_id),
+                                  ignore_errors=True)
                 raise
-            finally:
-                conn.close()
         logger.info("league: added entry %d (%s) role=%s", entry_id, name, role)
         return self.get_entry(entry_id)
 

@@ -37,6 +37,83 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def report_from_log(log_path: str, warmup: int, steps_per_epoch: int,
+                    out: str) -> dict:
+    """Rebuild the amortized report from a (possibly truncated) run log.
+
+    The per-epoch print lines carry everything the end-of-run report
+    computes (rollout/update/maint seconds + cumulative wall), and the
+    maintenance worker logs each phase's duration; this recovers the
+    artifact when a run is stopped early — the stop point simply bounds
+    epochs_measured."""
+    import re
+
+    epoch_re = re.compile(
+        r"^epoch (\d+): rollout=([\d.]+)s update=([\d.]+)s "
+        r"maint=([\d.]+)s wall=([\d.]+)s pool=(\S+)")
+    phase_re = re.compile(
+        r"league maintenance: (\w+) took ([\d.]+)s \(epoch (\d+)\)")
+    rows, phases = [], []
+    with open(log_path) as f:
+        for line in f:
+            m = epoch_re.match(line)
+            if m:
+                rows.append({
+                    "epoch": int(m.group(1)),
+                    "rollout_time": float(m.group(2)),
+                    "update_time": float(m.group(3)),
+                    "maint_time": float(m.group(4)),
+                    "wall": float(m.group(5)),
+                    "pool": m.group(6),
+                })
+                continue
+            m = phase_re.search(line)
+            if m:
+                phases.append({"phase": m.group(1),
+                               "seconds": float(m.group(2)),
+                               "epoch": int(m.group(3))})
+    if len(rows) <= warmup:
+        raise SystemExit(f"only {len(rows)} epoch rows; warmup={warmup}")
+
+    meas = rows[warmup:]
+    warm_wall = rows[warmup - 1]["wall"] if warmup else 0.0
+    measured_wall = rows[-1]["wall"] - warm_wall
+    measured_steps = steps_per_epoch * len(meas)
+    amortized = measured_steps / measured_wall
+    steady_epoch = statistics.median(
+        r["rollout_time"] + r["update_time"] + r["maint_time"] for r in meas)
+    steady = steps_per_epoch / steady_epoch
+    phase_s: dict[str, float] = {}
+    for p in phases:
+        if p["epoch"] > warmup:
+            phase_s[p["phase"]] = phase_s.get(p["phase"], 0.0) + p["seconds"]
+    report = {
+        "source_log": log_path,
+        "epochs_total": len(rows),
+        "epochs_warmup": warmup,
+        "epochs_measured": len(meas),
+        "steps_per_epoch": steps_per_epoch,
+        "measured_wall_s": round(measured_wall, 2),
+        "warmup_wall_s": round(warm_wall, 2),
+        "amortized_steps_per_s": round(amortized, 1),
+        "steady_epoch_s_median": round(steady_epoch, 3),
+        "steady_steps_per_s": round(steady, 1),
+        "amortized_over_steady": round(amortized / steady, 4),
+        "maintenance_phase_s_measured_window": {
+            k: round(v, 1) for k, v in
+            sorted(phase_s.items(), key=lambda kv: -kv[1])},
+        "maintenance_events": phases,
+        "epoch_rows": rows,
+    }
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out + ".json", "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items()
+                      if k not in ("epoch_rows", "maintenance_events")},
+                     indent=1))
+    return report
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="configs/katago-league.toml")
@@ -49,7 +126,20 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke-testing only; real "
                          "measurements run on the TPU)")
+    ap.add_argument("--from-log", default=None, metavar="LOG",
+                    help="skip running; rebuild the report from LOG's "
+                         "epoch lines (steps_per_epoch from --config)")
     args = ap.parse_args()
+
+    if args.from_log:
+        import tomllib
+
+        with open(args.config, "rb") as f:
+            raw = tomllib.load(f)
+        tc = raw["training"]
+        steps = int(tc["steps_per_epoch"]) * int(tc["num_games"])
+        report_from_log(args.from_log, args.warmup, steps, args.out)
+        return
 
     if args.cpu:
         from keisei_tpu.utils.platform import force_cpu

@@ -129,3 +129,84 @@ class TestRetireVisibility:
         assert {e.id for e in retired} == {a.id}
         # weights stay on disk for the historical library
         assert os.path.isdir(store.get_entry(a.id).checkpoint_path)
+
+
+class TestAddEntryLockDiscipline:
+    """add_entry must not hold the DB write lock across the (multi-second
+    at flagship scale) weight save — regression for the live failure where
+    telemetry snapshot/heartbeat writes hit `database is locked` whenever
+    the maintenance worker snapshotted the learner."""
+
+    def test_db_writable_by_others_during_weight_save(self, store, variables,
+                                                      monkeypatch):
+        import sqlite3
+
+        real = store._save_variables
+        observed = {}
+
+        def slow_save(path, variables, meta=None):
+            # an independent writer (what the trainer's telemetry thread
+            # is) must get the write lock immediately while the save runs
+            conn = sqlite3.connect(store.db_path, timeout=0.5)
+            try:
+                conn.execute("BEGIN IMMEDIATE")
+                conn.execute(
+                    "UPDATE training_state SET current_epoch = 77 WHERE id = 1")
+                conn.commit()
+                observed["write_ok"] = True
+            finally:
+                conn.close()
+            return real(path, variables, meta)
+
+        monkeypatch.setattr(store, "_save_variables", slow_save)
+        entry = add(store, variables)
+        assert observed.get("write_ok"), "writer blocked during weight save"
+        assert entry.status == "active"
+
+    def test_reader_never_sees_materializing_row(self, store, variables,
+                                                 monkeypatch):
+        real = store._save_variables
+        seen = {}
+
+        def spying_save(path, variables, meta=None):
+            seen["listed"] = [e.id for e in store.list_entries()]
+            seen["pool_size"] = store.pool_size()
+            return real(path, variables, meta)
+
+        first = add(store, variables)
+        monkeypatch.setattr(store, "_save_variables", spying_save)
+        second = add(store, variables)
+        # while the second entry's weights were being written, only the
+        # first (committed) entry was visible
+        assert seen["listed"] == [first.id]
+        assert seen["pool_size"] == 1
+        assert {e.id for e in store.list_entries()} == {first.id, second.id}
+
+    def test_stranded_materializing_row_swept_at_startup(self, store,
+                                                         variables):
+        from keisei_tpu.db import core as dbcore
+
+        keep = add(store, variables)
+        # simulate a crash between row allocation and activation
+        conn = dbcore.connect(store.db_path)
+        try:
+            cur = conn.execute(
+                "INSERT INTO league_entries (display_name, architecture, "
+                "model_params, checkpoint_path, elo_rating, created_epoch, "
+                "role, status, parent_entry_id, lineage_group, "
+                "protection_remaining, flavour_facts) VALUES "
+                "('', 'mlp', '{}', '', 1000.0, 0, 'dynamic', "
+                "'materializing', NULL, NULL, 0, '[]')")
+            orphan_id = int(cur.lastrowid)
+            conn.commit()
+        finally:
+            conn.close()
+        orphan_dir = store._entry_dir(orphan_id)
+        os.makedirs(orphan_dir, exist_ok=True)
+
+        assert {e.id for e in store.list_entries()} == {keep.id}
+        store.reconcile_update_counts()
+        assert not os.path.isdir(orphan_dir)
+        with pytest.raises(KeyError):
+            store.get_entry(orphan_id)
+        assert {e.id for e in store.list_entries()} == {keep.id}
