@@ -28,7 +28,10 @@ def read_league_data(db_path: str, max_results: int = 500) -> dict[str, list[dic
     try:
         entries = []
         for r in conn.execute(
-            f"SELECT {_ENTRY_COLS} FROM league_entries ORDER BY elo_rating DESC"
+            # materializing = mid-add placeholder (blank name/path) — never
+            # part of the dashboard payload; retired rows are intentional
+            f"SELECT {_ENTRY_COLS} FROM league_entries "
+            f"WHERE status != 'materializing' ORDER BY elo_rating DESC"
         ):
             e = dict(r)
             for json_col in ("flavour_facts", "model_params"):

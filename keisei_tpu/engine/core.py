@@ -18,7 +18,6 @@ the oracle plus the reference's perft fixtures.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ actually fired (profiles/oracle-campaign.json is the committed artifact).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ import logging
 import math
 from dataclasses import asdict, dataclass
 
-import jax
-import jax.numpy as jnp
 
 from ..models.registry import build_model
 from ..training.checkpoint import load_meta

@@ -46,9 +46,19 @@ class HistoricalLibrary:
         ]
 
     def _candidates(self) -> list[OpponentEntry]:
-        """All entries, retired (stable) first, then by age."""
+        """Fully-materialized entries, retired (stable) first, then by age.
+
+        The status filter is structural, not incidental: add_entry inserts
+        a 'materializing' row (blank checkpoint_path) before the multi-
+        second weight save completes, and a milestone slot snapping onto
+        that row would hand the gauntlet an unloadable path (and a failed
+        add's cleanup DELETE would leave the slot dangling). Today the
+        single maintenance thread happens to serialize refresh()/add_entry,
+        but the invariant must hold at the query level."""
         rows = dbcore.fetch_all(
-            self.store.db_path, "SELECT * FROM league_entries ORDER BY id"
+            self.store.db_path,
+            "SELECT * FROM league_entries "
+            "WHERE status IN ('active', 'retired') ORDER BY id",
         )
         entries = [OpponentEntry.from_row(r) for r in rows]
         entries.sort(key=lambda e: (0 if e.status == "retired" else 1,

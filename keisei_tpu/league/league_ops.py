@@ -12,7 +12,7 @@ import logging
 import jax
 import jax.numpy as jnp
 
-from .store import OpponentEntry, OpponentStore, Role
+from .store import OpponentEntry, OpponentStore
 
 logger = logging.getLogger(__name__)
 

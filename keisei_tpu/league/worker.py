@@ -24,7 +24,7 @@ from ..db import queue as dbq
 from .config import LeagueConfig
 from .dynamic_trainer import DynamicTrainer
 from .scheduler import is_training_match
-from .store import OpponentStore, Role
+from .store import OpponentStore
 from .tournament import LeagueTournament
 
 logger = logging.getLogger(__name__)

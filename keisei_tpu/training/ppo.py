@@ -15,7 +15,6 @@ gradients are f32).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any
 
 import jax

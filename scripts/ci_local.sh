@@ -14,7 +14,21 @@ LOG="docs/ci/$(date -u +%Y-%m-%d)-${MODE}.log"
 : > "$LOG"
 
 note() { echo "== $*" | tee -a "$LOG"; }
-run() { note "$*"; "$@" 2>&1 | tail -40 >> "$LOG"; return "${PIPESTATUS[0]}"; }
+run() {
+    note "$*"
+    local out rc
+    out="$(mktemp)"
+    "$@" >"$out" 2>&1
+    rc=$?
+    tail -40 "$out" >> "$LOG"
+    # the pytest pass-count line can scroll out of the tail window when
+    # warnings/teardown output follow it (round-3 VERDICT weak #2) —
+    # always restate the summary explicitly
+    grep -E '[0-9]+ (passed|failed|error)' "$out" | tail -2 >> "$LOG" || true
+    echo "== stage exit: $rc" | tee -a "$LOG"
+    rm -f "$out"
+    return "$rc"
+}
 
 FAIL=0
 
@@ -23,8 +37,9 @@ if python -m ruff --version >/dev/null 2>&1; then
     run python -m ruff check keisei_tpu/ tests/ scripts/ bench.py __graft_entry__.py \
         || FAIL=1
 else
-    note "ruff unavailable — falling back to compileall"
-    run python -m compileall -q keisei_tpu/ tests/ scripts/ bench.py __graft_entry__.py \
+    # ruff is not installable in this image; scripts/lint.py vendors the
+    # high-signal pyflakes-class checks (F401/F811/E711/E712/F632/B006/W605)
+    run python scripts/lint.py keisei_tpu tests scripts bench.py __graft_entry__.py \
         || FAIL=1
 fi
 

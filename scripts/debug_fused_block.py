@@ -20,14 +20,12 @@ from keisei_tpu.utils.cache import ensure_compile_cache
 
 ensure_compile_cache()
 
-import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

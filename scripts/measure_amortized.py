@@ -43,9 +43,11 @@ def report_from_log(log_path: str, warmup: int, steps_per_epoch: int,
 
     The per-epoch print lines carry everything the end-of-run report
     computes (rollout/update/maint seconds + cumulative wall), and the
-    maintenance worker logs each phase's duration; this recovers the
-    artifact when a run is stopped early — the stop point simply bounds
-    epochs_measured."""
+    maintenance worker logs each phase taking >2.0s (loop.py mark()); the
+    rebuilt phase sums therefore UNDERCOUNT short phases vs the live
+    report's _maint_phase_s — see phase_log_threshold_s in the output.
+    This recovers the artifact when a run is stopped early — the stop
+    point simply bounds epochs_measured."""
     import re
 
     epoch_re = re.compile(
@@ -99,6 +101,11 @@ def report_from_log(log_path: str, warmup: int, steps_per_epoch: int,
         "steady_epoch_s_median": round(steady_epoch, 3),
         "steady_steps_per_s": round(steady, 1),
         "amortized_over_steady": round(amortized / steady, 4),
+        # loop.py only logs phases taking >2.0s, so these sums UNDERCOUNT
+        # total maintenance vs the live report's _maint_phase_s (which sums
+        # everything); the threshold is recorded so consumers don't compare
+        # the two 1:1
+        "phase_log_threshold_s": 2.0,
         "maintenance_phase_s_measured_window": {
             k: round(v, 1) for k, v in
             sorted(phase_s.items(), key=lambda kv: -kv[1])},
@@ -137,7 +144,9 @@ def main() -> None:
         with open(args.config, "rb") as f:
             raw = tomllib.load(f)
         tc = raw["training"]
-        steps = int(tc["steps_per_epoch"]) * int(tc["num_games"])
+        # mirror the live path's fallback: effective_steps_per_epoch =
+        # steps_per_epoch or max_ply (training/config.py:96-97)
+        steps = int(tc.get("steps_per_epoch") or tc["max_ply"]) * int(tc["num_games"])
         report_from_log(args.from_log, args.warmup, steps, args.out)
         return
 

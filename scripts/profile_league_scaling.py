@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -249,18 +250,19 @@ def main():
     for i, (batch, dt) in enumerate(configs):
         lens = (2, 10, 26) if i == 0 else (2, 10)
         ms = retry(lambda b, d: forward_ms(b, d, lengths=lens), batch, dt)
-        report["forward_ms"][f"{batch}/{dt}"] = round(ms, 3)
+        # NaN (elision-check tripped) must not reach json.dump — a bare
+        # NaN literal is invalid strict JSON and breaks non-Python readers
+        report["forward_ms"][f"{batch}/{dt}"] = (
+            round(ms, 3) if math.isfinite(ms) else None)
         print(f"forward bs={batch} {dt}: {ms:.2f} ms", flush=True)
-
-    import math
 
     for n in (256, 1024):
         full = report["forward_ms"][f"{n}/fp32"]
         half = report["forward_ms"][f"{n // 2}/fp32"]
         blk = report["forward_ms"][f"{n // 4}/bf16"]
-        pred = (full / (half + 2 * blk)
-                if all(map(math.isfinite, (full, half, blk)))
-                and half + 2 * blk > 0 else None)
+        finite = all(isinstance(v, (int, float)) and math.isfinite(v)
+                     for v in (full, half, blk))  # entries may be None
+        pred = full / (half + 2 * blk) if finite and half + 2 * blk > 0 else None
         report["rollout"][str(n)]["predicted_ratio_model"] = (
             round(pred, 4) if pred is not None else None)
 

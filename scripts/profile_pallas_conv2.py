@@ -22,7 +22,6 @@ ensure_compile_cache()
 
 import functools
 import statistics
-import sys
 import time
 from pathlib import Path
 

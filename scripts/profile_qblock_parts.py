@@ -31,7 +31,6 @@ ensure_compile_cache()
 
 import functools
 import statistics
-import sys
 import time
 
 import jax
@@ -43,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 from keisei_tpu.ops.qblock import (  # noqa: E402
     BANDS,
     _ROW_OFFSETS,
-    _interior_mask,
     _qconv_rows,
     _quantize_tile,
     _store_banded,

@@ -17,7 +17,6 @@ from keisei_tpu.utils.cache import ensure_compile_cache
 ensure_compile_cache()
 
 import statistics
-import sys
 import time
 from pathlib import Path
 

@@ -17,7 +17,6 @@ import sys
 
 # make the repo root importable when run as scripts/<name>.py
 import pathlib
-import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 from keisei_tpu.db import core as db_core

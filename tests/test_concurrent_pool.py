@@ -1,13 +1,11 @@
 """ConcurrentMatchPool: P pairings in one batch, per-slot attribution."""
 
-import numpy as np
 import pytest
 
 import jax
 import jax.numpy as jnp
 
 from keisei_tpu.league.concurrent import ConcurrentMatchPool
-from keisei_tpu.league.match import play_match
 from keisei_tpu.models.registry import build_model
 
 

@@ -1,7 +1,6 @@
 """Observability DB: schema init, telemetry round-trips, queue atomicity."""
 
 import json
-import sqlite3
 import threading
 
 import pytest

@@ -9,13 +9,12 @@ limiting, per-entry disable, and the global error-window circuit breaker
 
 import time
 
-import jax
 import jax.numpy as jnp
 import pytest
 
 from keisei_tpu.league.config import DynamicConfig
 from keisei_tpu.league.dynamic_trainer import DynamicTrainer
-from keisei_tpu.league.store import OpponentStore, Role
+from keisei_tpu.league.store import OpponentStore
 from keisei_tpu.models.registry import build_model
 
 

@@ -5,7 +5,6 @@ vectorized (81, 139) legality tensor, incremental hashes, termination
 reasons, observations, and rewards must match the scalar oracle exactly.
 """
 
-import copy
 
 import jax
 import jax.numpy as jnp

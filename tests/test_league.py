@@ -9,7 +9,6 @@ import jax.numpy as jnp
 from keisei_tpu import db
 from keisei_tpu.league import (
     EntryStatus,
-    MatchResult,
     OpponentStore,
     Role,
     compute_elo_update,

@@ -85,6 +85,10 @@ class TestLeagueModeTrainer:
         trainer = SelfPlayTrainer(cfg)
         trainer.run_epoch()
         trainer.run_epoch()  # epoch 2: history refresh + gauntlet due
+        # async_maintenance (default) queues the refresh/gauntlet on the
+        # worker; drain_maintenance() is the documented visibility point
+        # (loop.py:991) — without it this assert races the worker thread
+        trainer.drain_maintenance()
         slots = db.read_historical_slots(trainer.store.db_path)
         assert slots, "historical library never refreshed"
         rows = db.connect(trainer.store.db_path).execute(

@@ -25,9 +25,6 @@ from keisei_tpu.league.scheduler import (
 )
 from keisei_tpu.league.store import OpponentStore, Role
 from keisei_tpu.league.tiers import (
-    DELAY,
-    PROMOTE,
-    RETIRE,
     FrontierManager,
     FrontierPromoter,
     TieredPool,

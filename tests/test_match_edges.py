@@ -11,7 +11,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from keisei_tpu.env.vec_env import EnvCore
 from keisei_tpu.league.match import make_match_runner, play_match
 from keisei_tpu.models.registry import build_model
 

@@ -8,7 +8,6 @@ import pytest
 from keisei_tpu import db
 from keisei_tpu.server.app import DashboardServer
 from keisei_tpu.server.ws_protocol import (
-    WebSocketClosed,
     accept_key,
     client_connect,
     encode_frame,

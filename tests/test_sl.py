@@ -1,7 +1,6 @@
 """SL pipeline: parsers, USI->action geometry, real encoder, shards,
 trainer, and the SL -> RL transition."""
 
-import copy
 
 import numpy as np
 import pytest

@@ -182,6 +182,37 @@ class TestAddEntryLockDiscipline:
         assert seen["pool_size"] == 1
         assert {e.id for e in store.list_entries()} == {first.id, second.id}
 
+    def test_historical_and_dashboard_skip_materializing_row(self, store,
+                                                             variables):
+        """The structural invariant (ADVICE r3 medium): a mid-add
+        'materializing' row (blank checkpoint_path) must be invisible to
+        HistoricalLibrary._candidates() — a milestone slot snapping onto
+        it would hand the gauntlet an unloadable path — and to the
+        dashboard's read_league_data() entries payload."""
+        from keisei_tpu import db as kdb
+        from keisei_tpu.db import core as dbcore
+        from keisei_tpu.league.config import HistoricalLibraryConfig
+        from keisei_tpu.league.historical import HistoricalLibrary
+
+        keep = add(store, variables)
+        conn = dbcore.connect(store.db_path)
+        try:
+            conn.execute(
+                "INSERT INTO league_entries (display_name, architecture, "
+                "model_params, checkpoint_path, elo_rating, created_epoch, "
+                "role, status, parent_entry_id, lineage_group, "
+                "protection_remaining, flavour_facts) VALUES "
+                "('', 'mlp', '{}', '', 1000.0, 0, 'dynamic', "
+                "'materializing', NULL, NULL, 0, '[]')")
+            conn.commit()
+        finally:
+            conn.close()
+
+        lib = HistoricalLibrary(store, HistoricalLibraryConfig())
+        assert [e.id for e in lib._candidates()] == [keep.id]
+        data = kdb.read_league_data(store.db_path)
+        assert [e["id"] for e in data["entries"]] == [keep.id]
+
     def test_stranded_materializing_row_swept_at_startup(self, store,
                                                          variables):
         from keisei_tpu.db import core as dbcore

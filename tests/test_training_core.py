@@ -15,7 +15,6 @@ from keisei_tpu.training.ppo import (
     get_learning_rate,
     make_optimizer,
     make_ppo_update,
-    make_select_actions,
     set_learning_rate,
 )
 from keisei_tpu.training.rollout import make_selfplay_rollout
