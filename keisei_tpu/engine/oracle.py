@@ -355,6 +355,21 @@ class OracleGame:
             return TY.PERPETUAL_CHECK, self.stm
         return TY.REPETITION, TY.WINNER_NONE
 
+    def impasse_scores(self) -> tuple[int, int]:
+        """CSA-24 entering-king scores (black, white): every board piece
+        anywhere at its IMPASSE value (R/B = 5, king = 0, else 1 — promoted
+        at BASE value) plus hand pieces (reference rules.rs:376-423
+        compute_impasse_score)."""
+        scores = [0, 0]
+        for s in range(81):
+            cell = int(self.board[s])
+            if cell >= 0:
+                scores[cell // 16] += int(TY.IMPASSE_VALUE[cell % 16])
+        for color in range(2):
+            for hp in range(7):
+                scores[color] += int(self.hands[color, hp]) * int(TY.HAND_IMPASSE_VALUE[hp])
+        return scores[0], scores[1]
+
     def _check_impasse(self):
         bk, wk = find_king(self.board, 0), find_king(self.board, 1)
         if bk < 0 or wk < 0:
@@ -362,19 +377,15 @@ class OracleGame:
         if bk // 9 > 2 or wk // 9 < 6:
             return None
         counts = [0, 0]
-        scores = [0, 0]
         for s in range(81):
             cell = int(self.board[s])
             if cell < 0:
                 continue
-            color, kind = cell // 16, cell % 16
+            color = cell // 16
             row = s // 9
             if (color == 0 and row <= 2) or (color == 1 and row >= 6):
                 counts[color] += 1
-            scores[color] += int(TY.IMPASSE_VALUE[kind])
-        for color in range(2):
-            for hp in range(7):
-                scores[color] += int(self.hands[color, hp]) * int(TY.HAND_IMPASSE_VALUE[hp])
+        scores = self.impasse_scores()
         if counts[0] < 10 or counts[1] < 10:
             return None
         if scores[0] >= 24 and scores[1] >= 24:
