@@ -69,6 +69,8 @@ def main(argv=None):
                    help="shard the env batch over a D-device data mesh "
                    "(one command on a real pod; 0 = single device)")
     p.add_argument("--num-envs", type=int, default=N)
+    p.add_argument("--quick", action="store_true",
+                   help="headline only — skip the league context measurement")
     args_cli = p.parse_args(argv)
     n = args_cli.num_envs
 
@@ -97,7 +99,7 @@ def main(argv=None):
         mask = shard_env_batch(mesh, mask)
         variables = replicate(mesh, variables)
 
-    if args_cli.league:
+    def measure_league():
         from keisei_tpu.training.league_rollout import (
             make_league_rollout, parity_colors, stack_opponent_variables,
         )
@@ -105,11 +107,12 @@ def main(argv=None):
         K = 4  # flagship league cohort (configs/katago-league.toml)
         opp_vars = stack_opponent_variables([variables] * K)
         color = parity_colors(n)
+        o, c = opp_vars, color
         if mesh is not None:
             from keisei_tpu.parallel.mesh import replicate, shard_env_batch
 
-            opp_vars = replicate(mesh, opp_vars)
-            color = shard_env_batch(mesh, color)
+            o = replicate(mesh, opp_vars)
+            c = shard_env_batch(mesh, color)
 
         def make_timed(T):
             rollout = make_league_rollout(env_core, model, adapter, T, K)
@@ -123,11 +126,12 @@ def main(argv=None):
 
             return run
 
-        a = (variables, opp_vars, env_states, obs, mask, color, rng)
-        steps_per_sec = _measure(make_timed, a, n)
-        metric = ("league split-merge env steps/sec (full rules + b40c256 "
-                  "learner + K=4 opponent cohort, compact parity-locked)")
-    else:
+        a = (variables, o, env_states, obs, mask, c, rng)
+        return _measure(make_timed, a, n), (
+            "league split-merge env steps/sec (full rules + b40c256 "
+            "learner + K=4 opponent cohort, compact parity-locked)")
+
+    def measure_selfplay():
         def make_timed(T):
             rollout = make_selfplay_rollout(env_core, model, adapter, T)
 
@@ -142,18 +146,61 @@ def main(argv=None):
             return run
 
         a = (variables, env_states, obs, mask, rng)
-        steps_per_sec = _measure(make_timed, a, n)
-        metric = ("self-play env steps/sec/chip (full rules + SE-ResNet "
-                  "b40c256 sampling in loop)")
+        return _measure(make_timed, a, n), (
+            "self-play env steps/sec/chip (full rules + SE-ResNet "
+            "b40c256 sampling in loop)")
 
-    if mesh is not None:
-        metric += f" [mesh={args_cli.mesh}]"
-    print(json.dumps({
-        "metric": metric,
-        "value": round(steps_per_sec, 1),
-        "unit": "env_steps/s",
-        "vs_baseline": round(steps_per_sec / BASELINE, 4),
-    }))
+    def emit(steps_per_sec, metric, **extra):
+        if mesh is not None:
+            metric += f" [mesh={args_cli.mesh}]"
+        print(json.dumps({
+            "metric": metric,
+            "value": round(steps_per_sec, 1),
+            "unit": "env_steps/s",
+            "vs_baseline": round(steps_per_sec / BASELINE, 4),
+            **extra,
+        }), flush=True)
+
+    if args_cli.league:
+        emit(*measure_league())
+        return
+
+    # headline measured FIRST so a context-measurement failure can't lose it
+    headline = measure_selfplay()
+
+    if not args_cli.quick:
+        # round-3 VERDICT #5: the round artifact must carry the full proven
+        # story, not just rollout — league steps/s (measured live) plus the
+        # committed end-to-end amortized number (rollout+update+maintenance;
+        # re-measuring THAT needs a multi-hour training run, so the bench
+        # republishes the committed artifact with its provenance)
+        try:
+            lv, lm = measure_league()
+            emit(lv, lm, context=True)
+        except Exception as e:  # pragma: no cover - context must not kill bench
+            print(json.dumps({"metric": "league context measurement failed",
+                              "error": repr(e)[:200], "context": True}),
+                  flush=True)
+        try:
+            with open("profiles/amortized-flagship.json") as f:
+                am = json.load(f)
+            print(json.dumps({
+                "metric": ("end-to-end amortized env steps/sec "
+                           "(rollout+update+maintenance, "
+                           f"{am['epochs_measured']}-epoch flagship league "
+                           "run incl. tournaments/snapshots/checkpoints)"),
+                "value": am["amortized_steps_per_s"],
+                "steady_steps_per_s": am["steady_steps_per_s"],
+                "unit": "env_steps/s",
+                "source": "profiles/amortized-flagship.json (committed run)",
+                "context": True,
+            }), flush=True)
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": "amortized context unavailable",
+                              "error": repr(e)[:200], "context": True}),
+                  flush=True)
+
+    emit(*headline)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,7 @@ class TournamentWorker:
         self.poll_interval_s = poll_interval_s
         self.pairings_done = 0
         self._stop = False
+        self._cpu_warned: set = set()
         # reuse the tournament's pairing machinery (runner cache, Elo txn)
         self._tourney = LeagueTournament(self.store, self.config)
         self._tourney.dynamic_trainer = DynamicTrainer(
@@ -57,6 +58,42 @@ class TournamentWorker:
     def request_stop(self, *_args) -> None:
         logger.info("worker %s: stop requested", self.worker_id)
         self._stop = True
+
+    # conv-stem param estimate above which a CPU worker is orders slower
+    # than the in-process pooled path (b40c256 ~ 47M; b10c128 ~ 3M)
+    CPU_FEASIBLE_PARAMS = 10_000_000
+
+    def _warn_if_infeasible_on_cpu(self, entry) -> None:
+        """Round-3 VERDICT weak #8: a flagship pairing on a CPU-pinned
+        worker silently runs orders slower than in_process mode. Estimate
+        the residual-stem parameter count from the entry's model_params and
+        warn LOUDLY (once per model signature) when it exceeds the CPU
+        feasibility threshold."""
+        try:
+            if jax.default_backend() != "cpu":
+                return
+            mp = entry.model_params or {}
+            blocks = int(mp.get("num_blocks", 0))
+            ch = int(mp.get("channels", 0))
+            approx = 18 * blocks * ch * ch  # 2 conv3x3 per SE block
+        except Exception:
+            return
+        if approx <= self.CPU_FEASIBLE_PARAMS:
+            return
+        sig = (entry.architecture, blocks, ch)
+        if sig in self._cpu_warned:
+            return
+        self._cpu_warned.add(sig)
+        logger.warning(
+            "worker %s is pinned to the host CPU but pairing model %s "
+            "b%dc%d (~%.0fM params) is far beyond the CPU feasibility "
+            "threshold — each match will be orders of magnitude slower "
+            "than the trainer's in_process tournament path. Use "
+            "tournament_mode='in_process' on the single-chip box, or run "
+            "this worker with --device default on a machine with its own "
+            "accelerator.",
+            self.worker_id, entry.architecture, blocks, ch, approx / 1e6,
+        )
 
     def _heartbeat(self) -> None:
         try:
@@ -98,6 +135,7 @@ class TournamentWorker:
             try:
                 a = self.store.get_entry(pairing["entry_a_id"])
                 b = self.store.get_entry(pairing["entry_b_id"])
+                self._warn_if_infeasible_on_cpu(a)
                 if is_training_match(a, b):
                     # the worker's dynamic trainer needs a model; built per
                     # architecture inside _play_pairing's runner cache — give

@@ -251,3 +251,39 @@ class TestWorkerProcessSignals:
         finally:
             if proc.poll() is None:
                 proc.kill()
+
+
+class TestCpuFeasibilityWarning:
+    """Round-3 VERDICT weak #8: flagship pairings on a CPU-pinned worker
+    must warn loudly instead of silently crawling."""
+
+    def _worker(self, setup):
+        return TournamentWorker(setup.db_path, setup.league_dir,
+                                worker_id="wcpu", store=setup)
+
+    def _entry(self, setup, blocks, channels):
+        e = setup.list_entries()[0]
+        return e.__class__(**{**e.__dict__,
+                              "architecture": "se_resnet",
+                              "model_params": {"num_blocks": blocks,
+                                               "channels": channels}})
+
+    def test_flagship_on_cpu_warns_once_per_signature(self, setup, caplog):
+        worker = self._worker(setup)
+        big = self._entry(setup, 40, 256)   # ~47M params
+        import logging
+        with caplog.at_level(logging.WARNING, "keisei_tpu.league.worker"):
+            worker._warn_if_infeasible_on_cpu(big)
+            worker._warn_if_infeasible_on_cpu(big)  # same signature: silent
+        hits = [r for r in caplog.records if "CPU feasibility" in r.message]
+        assert len(hits) == 1
+        assert "b40c256" in hits[0].message
+
+    def test_small_model_on_cpu_is_silent(self, setup, caplog):
+        worker = self._worker(setup)
+        small = self._entry(setup, 10, 128)  # ~3M params
+        import logging
+        with caplog.at_level(logging.WARNING, "keisei_tpu.league.worker"):
+            worker._warn_if_infeasible_on_cpu(small)
+            worker._warn_if_infeasible_on_cpu(setup.list_entries()[0])  # mlp
+        assert not [r for r in caplog.records if "CPU feasibility" in r.message]
