@@ -5,9 +5,13 @@ carries its own protocol layer (~150 lines): HTTP Upgrade handshake,
 frame encode/decode (text/binary/ping/pong/close, client-masked frames,
 64-bit lengths), and a small WebSocket object with locked writes.
 
-Scope: server side only; no extensions (permessage-deflate), no
-fragmentation reassembly beyond continuation frames — sufficient for the
-dashboard's JSON message protocol.
+Scope: server side only; no extensions (permessage-deflate); fragmented
+messages are reassembled from continuation frames up to max_frame_bytes
+total, with control frames handled mid-message. These limits are TESTED
+boundaries (tests/test_ws_protocol_fuzz.py): oversized declared lengths
+fail before buffering, interleaved/invalid/truncated frames raise instead
+of hanging, and a new data frame inside an unfinished message is rejected
+per RFC 6455 5.4.
 """
 
 from __future__ import annotations
@@ -150,6 +154,13 @@ class WebSocket:
                 raise WebSocketClosed("client closed")
 
             if opcode in (OP_TEXT, OP_BINARY):
+                if message_op is not None:
+                    # RFC 6455 5.4: a new data frame before the previous
+                    # message's FIN is a protocol violation — fail loudly
+                    # instead of silently dropping the half-built message
+                    self.closed = True
+                    raise WebSocketClosed(
+                        "new data frame interleaved into unfinished message")
                 message_op = opcode
                 message = payload
             elif opcode == OP_CONT and message_op is not None:
