@@ -172,6 +172,34 @@ def main() -> None:
             "reason": "promoted on review: 62% win rate over 24 games",
         })
 
+    # --- historical milestones + gauntlet + tournament round stats ---
+    # (feeds renderTournamentPanel: milestone table + last-gauntlet column)
+    for slot, (target_ep, entry_id) in enumerate(
+            [(1, 1), (12, 2), (36, 4), (72, 6), (108, 8)]):
+        db_core.execute(
+            path,
+            "INSERT OR REPLACE INTO historical_library (slot_index, "
+            "target_epoch, entry_id, actual_epoch, selected_at, selection_mode) "
+            "VALUES (?, ?, ?, ?, '2026-08-16T09:00:00Z', 'snap')",
+            (slot, target_ep, entry_id, entry_id * 12),
+        )
+        for ep in (60, 120):
+            w = rng.randint(8, 14)
+            loss = rng.randint(1, 16 - w)
+            db_core.write_row(path, "gauntlet_results", {
+                "epoch": ep, "entry_id": 1, "historical_slot": slot,
+                "historical_entry_id": entry_id, "wins": w, "losses": loss,
+                "draws": 16 - w - loss, "elo_before": 1150.0,
+                "elo_after": 1150.0 + (w - loss) * 2.5,
+            })
+    db_core.execute(
+        path,
+        "INSERT OR REPLACE INTO tournament_stats (id, round_duration_s, "
+        "pairings_requested, pairings_completed, total_games, total_plies, "
+        "active_slots, model_load_time_s, model_load_count, games_per_min) "
+        "VALUES (1, 48.5, 12, 12, 96, 14200, 8, 3.2, 6, 119.0)",
+    )
+
     # --- showcase: one completed game with heatmaps ---
     qid = db_core.write_row(path, "showcase_queue", {
         "entry_id_1": "1", "entry_id_2": "3", "speed": "normal",
