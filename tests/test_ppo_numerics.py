@@ -16,6 +16,7 @@ import pytest
 from keisei_tpu.models.base import KataGoOutput
 from keisei_tpu.training.checkpoint import CheckpointError, jnp_like
 from keisei_tpu.training.ppo import (
+    KataGoPPOParams,
     compute_value_cats,
     masked_log_softmax,
     masked_policy_sample,
@@ -144,3 +145,26 @@ class TestJnpLike:
     def test_shape_mismatch_is_checkpoint_error(self):
         with pytest.raises(CheckpointError, match="shape"):
             jnp_like(jnp.zeros((3, 2)), np.ones((2, 3)))
+
+
+class TestParamsValidation:
+    """__post_init__ guards (defaults match katago_ppo.py:81-116)."""
+
+    @pytest.mark.parametrize("kwargs,msg", [
+        ({"batch_size": 0}, "batch_size"),
+        ({"batch_size": -4}, "batch_size"),
+        ({"epochs_per_batch": 0}, "epochs_per_batch"),
+        ({"gamma": -0.1}, "gamma"),
+        ({"gamma": 1.5}, "gamma"),
+        ({"gae_lambda": 2.0}, "gae_lambda"),
+        ({"clip_epsilon": -0.2}, "clip_epsilon"),
+        ({"learning_rate": 0.0}, "learning_rate"),
+        ({"grad_clip": 0.0}, "grad_clip"),
+    ])
+    def test_invalid_values_rejected(self, kwargs, msg):
+        with pytest.raises(ValueError, match=msg):
+            KataGoPPOParams(**kwargs)
+
+    def test_boundary_values_accepted(self):
+        # gamma/lambda of exactly 0 and 1 are valid; clip 0 is valid
+        KataGoPPOParams(gamma=0.0, gae_lambda=1.0, clip_epsilon=0.0)
