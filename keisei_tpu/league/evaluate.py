@@ -34,12 +34,19 @@ class EvalResult:
 
     @classmethod
     def from_match(cls, m: MatchResult) -> EvalResult:
-        wr = m.score_a
+        return cls.from_counts(m.wins_a, m.wins_b, m.draws, m.games)
+
+    @classmethod
+    def from_counts(cls, wins_a: int, wins_b: int, draws: int,
+                    games: int) -> EvalResult:
+        """Aggregate W/L/D counts (e.g. summed over repeated matches) into
+        a scored result; draws count 0.5 (evaluate.py:36-41)."""
+        wr = (wins_a + 0.5 * draws) / max(games, 1)
         return cls(
-            games=m.games, wins_a=m.wins_a, wins_b=m.wins_b, draws=m.draws,
+            games=games, wins_a=wins_a, wins_b=wins_b, draws=draws,
             win_rate_a=wr, elo_delta=elo_delta(wr),
-            wilson_low=wilson_interval(wr, m.games)[0],
-            wilson_high=wilson_interval(wr, m.games)[1],
+            wilson_low=wilson_interval(wr, games)[0],
+            wilson_high=wilson_interval(wr, games)[1],
         )
 
 

@@ -178,35 +178,68 @@ def snapshot_rungs(db_path: str, league_dir: str, every: int) -> list[dict]:
 
 
 def run_ladder(db_path: str, league_dir: str, *, games: int, headline_games: int,
-               every: int, max_ply: int, temperature: float, seed: int) -> dict:
+               every: int, max_ply: int, temperature: float, seed: int,
+               repeats: int = 1, prior: dict | None = None,
+               progress_path: str | None = None) -> dict:
     from keisei_tpu.utils.cache import ensure_compile_cache
     ensure_compile_cache()
     from keisei_tpu.env.vec_env import EnvCore
     from keisei_tpu.league.evaluate import EvalResult, _load_model_and_vars
     from keisei_tpu.league.match import _make_chunk, play_match
 
+    league_dir = os.path.abspath(league_dir)  # Orbax requires absolute paths
     rungs = snapshot_rungs(db_path, league_dir, every)
     final = rungs[-1]
     wpath = lambda e: os.path.join(league_dir, str(e["entry_id"]), "weights")  # noqa: E731
 
+    # resume support: rungs already played at this sample size (from a
+    # previous partial run's JSON) are reused, and each completed rung is
+    # checkpointed to `progress_path` so a killed run loses at most one rung
+    prior = prior or {}
+    done_rungs = {r["epoch"]: r for r in prior.get("ladder") or []
+                  if r.get("games", 0) >= repeats * games}
+
+    def save_progress(partial: dict) -> None:
+        if progress_path:
+            merged = {**prior, **partial}
+            with open(progress_path, "w") as f:
+                json.dump(merged, f, indent=1)
+
     model, vars_final, meta = _load_model_and_vars(wpath(final))
     print(f"final snapshot: entry {final['entry_id']} (epoch {final['epoch']}); "
-          f"{len(rungs) - 1} ladder rungs x {games} games, "
-          f"headline vs epoch-{rungs[0]['epoch']} x {headline_games} games")
+          f"{len(rungs) - 1} ladder rungs x {repeats}x{games} games, "
+          f"headline vs epoch-{rungs[0]['epoch']} x "
+          f"{-(-headline_games // games)}x{games} games")
 
-    # one EnvCore + one jitted chunk for every rung: weights are traced
-    # arguments, so rung N reuses rung 0's compilation
+    # One EnvCore + one jitted chunk for every rung AND every repeat:
+    # weights and the RNG key are traced arguments, so everything after the
+    # first match reuses one compilation. `repeats` exists because match
+    # batch size participates in the program hash — when only the
+    # persistent compile cache is reachable (e.g. the remote-compile
+    # channel is down), N must match a previously compiled runner (the
+    # in-campaign gauntlet's games_per_matchup), and repeats with distinct
+    # seeds widen the sample at fixed N.
     core = EnvCore(games, max_ply, 50)
     chunk = _make_chunk(core, model, model, 64, temperature)
 
+    def play_sum(vars_b, base_seed: int, n_repeats: int) -> "EvalResult":
+        w = losses = d = g = 0
+        for j in range(n_repeats):
+            m = play_match(model, vars_final, model, vars_b,
+                           num_games=games, max_ply=max_ply,
+                           temperature=temperature, seed=base_seed + 1000 * j,
+                           env_core=core, chunk_fn=chunk)
+            w, losses, d, g = w + m.wins_a, losses + m.wins_b, d + m.draws, g + m.games
+        return EvalResult.from_counts(w, losses, d, g)
+
     ladder = []
     for i, rung in enumerate(rungs[:-1]):
+        if rung["epoch"] in done_rungs:
+            ladder.append(done_rungs[rung["epoch"]])
+            print(f"  rung epoch {rung['epoch']:>5}: reused prior result")
+            continue
         _, vars_b, _ = _load_model_and_vars(wpath(rung))
-        m = play_match(model, vars_final, model, vars_b,
-                       num_games=games, max_ply=max_ply,
-                       temperature=temperature, seed=seed + i,
-                       env_core=core, chunk_fn=chunk)
-        r = EvalResult.from_match(m)
+        r = play_sum(vars_b, seed + i, repeats)
         ladder.append({"epoch": rung["epoch"], "entry_id": rung["entry_id"],
                        "wins": r.wins_a, "losses": r.wins_b, "draws": r.draws,
                        "games": r.games, "score": round(r.win_rate_a, 4),
@@ -215,16 +248,20 @@ def run_ladder(db_path: str, league_dir: str, *, games: int, headline_games: int
                        "elo_delta": round(r.elo_delta, 1)})
         print(f"  rung epoch {rung['epoch']:>5}: score {r.win_rate_a:.3f} "
               f"[{r.wilson_low:.3f}, {r.wilson_high:.3f}] "
-              f"(+{r.elo_delta:.0f} Elo, {r.wins_a}W/{r.wins_b}L/{r.draws}D)")
+              f"({r.elo_delta:+.0f} Elo, {r.wins_a}W/{r.wins_b}L/{r.draws}D)")
+        save_progress({"ladder": ladder})
 
-    hl_core = EnvCore(headline_games, max_ply, 50)
-    hl_chunk = _make_chunk(hl_core, model, model, 64, temperature)
+    # headline reuses the SAME compiled chunk: ceil(headline_games/games)
+    # repeats at batch `games` rather than one big batch (see play_sum note)
+    prior_hl = prior.get("headline")
+    if prior_hl and prior_hl.get("games", 0) >= headline_games \
+            and prior_hl.get("final_epoch") == final["epoch"]:
+        print("  headline: reused prior result")
+        return {"ladder": ladder, "headline": prior_hl,
+                "final_snapshot": {"architecture": meta.get("architecture"),
+                                   **{k: final[k] for k in ("epoch", "entry_id")}}}
     _, vars_e0, _ = _load_model_and_vars(wpath(rungs[0]))
-    m = play_match(model, vars_final, model, vars_e0,
-                   num_games=headline_games, max_ply=max_ply,
-                   temperature=temperature, seed=seed + 10_000,
-                   env_core=hl_core, chunk_fn=hl_chunk)
-    r = EvalResult.from_match(m)
+    r = play_sum(vars_e0, seed + 10_000, -(-headline_games // games))
     headline = {"final_epoch": final["epoch"], "vs_epoch": rungs[0]["epoch"],
                 "wins": r.wins_a, "losses": r.wins_b, "draws": r.draws,
                 "games": r.games, "score": round(r.win_rate_a, 4),
@@ -235,7 +272,7 @@ def run_ladder(db_path: str, league_dir: str, *, games: int, headline_games: int
                 "temperature": temperature, "max_ply": max_ply, "seed": seed}
     print(f"headline: final (epoch {final['epoch']}) vs epoch {rungs[0]['epoch']}: "
           f"score {r.win_rate_a:.3f} [{r.wilson_low:.3f}, {r.wilson_high:.3f}] "
-          f"over {r.games} games -> +{r.elo_delta:.0f} Elo; "
+          f"over {r.games} games -> {r.elo_delta:+.0f} Elo; "
           f"Wilson-separated from 0.5: {r.wilson_low > 0.5}")
     return {"ladder": ladder, "headline": headline,
             "final_snapshot": {"architecture": meta.get("architecture"),
@@ -432,8 +469,18 @@ def render_md(data: dict) -> str:
             out.append(f"| {r['epoch']} | {r['score']:.1%} | "
                        f"[{r['wilson_low']:.1%}, {r['wilson_high']:.1%}] | "
                        f"{r['wins']}/{r['losses']}/{r['draws']} | "
-                       f"+{r['elo_delta']:.0f} |")
+                       f"{r['elo_delta']:+.0f} |")
         out.append("")
+        sep = [r["epoch"] for r in ladder if r["wilson_low"] > 0.5]
+        n_g = ladder[0]["games"]
+        out.append(
+            f"Reading: the final model is Wilson-separated from parity "
+            f"against {len(sep)} of {len(ladder)} rungs "
+            f"(epochs {', '.join(str(e) for e in sep)}); the remaining "
+            f"rungs sit inside the {n_g}-game noise floor around 0.5 — "
+            f"the expected near-twin regime, where point estimates "
+            f"scatter on both sides of parity (league self-play is not "
+            f"perfectly transitive game-to-game).\n")
     if pooled:
         p0, p1 = agg(pooled[:max(1, len(pooled) // 3)]), \
             agg(pooled[-max(1, len(pooled) // 3):])
@@ -477,7 +524,12 @@ def main(argv=None):
     p.add_argument("--json", default=DEFAULT_JSON)
     p.add_argument("--svg", default=DEFAULT_SVG)
     p.add_argument("--md", default=DEFAULT_MD)
-    p.add_argument("--games", type=int, default=64)
+    p.add_argument("--games", type=int, default=64,
+                   help="match batch size; N participates in the program "
+                   "hash, so match a previously compiled runner's N to stay "
+                   "inside the persistent compile cache")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="matches per rung (distinct seeds, same compilation)")
     p.add_argument("--headline-games", type=int, default=256)
     p.add_argument("--rung-every", type=int, default=100)
     p.add_argument("--max-ply", type=int, default=512)
@@ -502,7 +554,8 @@ def main(argv=None):
             args.db, args.league_dir, games=args.games,
             headline_games=args.headline_games, every=args.rung_every,
             max_ply=args.max_ply, temperature=args.temperature,
-            seed=args.seed))
+            seed=args.seed, repeats=args.repeats,
+            prior=data, progress_path=args.json))
     os.makedirs(os.path.dirname(args.json), exist_ok=True)
     with open(args.json, "w") as f:
         json.dump(data, f, indent=1)

