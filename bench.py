@@ -168,23 +168,25 @@ def main(argv=None):
     # headline measured FIRST so a context-measurement failure can't lose it
     headline = measure_selfplay()
 
+    context = {}
     if not args_cli.quick:
         # round-3 VERDICT #5: the round artifact must carry the full proven
         # story, not just rollout — league steps/s (measured live) plus the
         # committed end-to-end amortized number (rollout+update+maintenance;
         # re-measuring THAT needs a multi-hour training run, so the bench
-        # republishes the committed artifact with its provenance)
+        # republishes the committed artifact with its provenance). All of it
+        # rides the single headline JSON line (the driver contract) as a
+        # "context" key rather than extra lines.
         try:
             lv, lm = measure_league()
-            emit(lv, lm, context=True)
+            context["league_split_merge"] = {
+                "metric": lm, "value": round(lv, 1), "unit": "env_steps/s"}
         except Exception as e:  # pragma: no cover - context must not kill bench
-            print(json.dumps({"metric": "league context measurement failed",
-                              "error": repr(e)[:200], "context": True}),
-                  flush=True)
+            context["league_split_merge"] = {"error": repr(e)[:200]}
         try:
             with open("profiles/amortized-flagship.json") as f:
                 am = json.load(f)
-            print(json.dumps({
+            context["amortized_end_to_end"] = {
                 "metric": ("end-to-end amortized env steps/sec "
                            "(rollout+update+maintenance, "
                            f"{am['epochs_measured']}-epoch flagship league "
@@ -193,14 +195,11 @@ def main(argv=None):
                 "steady_steps_per_s": am["steady_steps_per_s"],
                 "unit": "env_steps/s",
                 "source": "profiles/amortized-flagship.json (committed run)",
-                "context": True,
-            }), flush=True)
+            }
         except Exception as e:  # pragma: no cover
-            print(json.dumps({"metric": "amortized context unavailable",
-                              "error": repr(e)[:200], "context": True}),
-                  flush=True)
+            context["amortized_end_to_end"] = {"error": repr(e)[:200]}
 
-    emit(*headline)
+    emit(*headline, **({"context": context} if context else {}))
 
 
 if __name__ == "__main__":

@@ -136,6 +136,7 @@ class TournamentWorker:
                 a = self.store.get_entry(pairing["entry_a_id"])
                 b = self.store.get_entry(pairing["entry_b_id"])
                 self._warn_if_infeasible_on_cpu(a)
+                self._warn_if_infeasible_on_cpu(b)
                 if is_training_match(a, b):
                     # the worker's dynamic trainer needs a model; built per
                     # architecture inside _play_pairing's runner cache — give

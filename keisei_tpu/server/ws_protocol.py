@@ -166,6 +166,10 @@ class WebSocket:
             elif opcode == OP_CONT and message_op is not None:
                 message += payload
             else:
+                # orphan continuation / reserved opcode: protocol-dead too —
+                # mark closed so concurrent senders short-circuit (same
+                # convention as the interleaved-data-frame path above)
+                self.closed = True
                 raise WebSocketClosed(f"unexpected opcode {opcode}")
             if fin:
                 return message_op, message

@@ -452,9 +452,9 @@ def render_md(data: dict) -> str:
                f"[{l_['wilson_low']:.1%}, {l_['wilson_high']:.1%}] "
                f"({l_['wins']}W/{l_['losses']}L/{l_['draws']}D, n={l_['games']})")
     sep_traj = e["wilson_high"] < l_["wilson_low"]
-    out.append(f"- early-vs-late Wilson intervals "
-               f"{'do not overlap — the climb itself is statistically clear'
-                  if sep_traj else 'overlap'}\n")
+    traj_note = ("do not overlap — the climb itself is statistically clear"
+                 if sep_traj else "overlap")
+    out.append(f"- early-vs-late Wilson intervals {traj_note}\n")
     if ladder:
         out.append("## Final-model ladder\n")
         out.append(
@@ -556,13 +556,13 @@ def main(argv=None):
             max_ply=args.max_ply, temperature=args.temperature,
             seed=args.seed, repeats=args.repeats,
             prior=data, progress_path=args.json))
-    os.makedirs(os.path.dirname(args.json), exist_ok=True)
+    os.makedirs(os.path.dirname(args.json) or ".", exist_ok=True)
     with open(args.json, "w") as f:
         json.dump(data, f, indent=1)
     print(f"wrote {args.json}")
 
     if "render" in stages:
-        os.makedirs(os.path.dirname(args.svg), exist_ok=True)
+        os.makedirs(os.path.dirname(args.svg) or ".", exist_ok=True)
         with open(args.svg, "w") as f:
             f.write(render_svg(data))
         with open(args.md, "w") as f:

@@ -58,11 +58,12 @@ def _noqa_lines(source: str) -> dict[int, set[str] | None]:
 class _Visitor(ast.NodeVisitor):
     def __init__(self, is_init: bool) -> None:
         self.is_init = is_init
-        # name -> (lineno, code-ish repr) for module-scope imports
-        self.imports: dict[str, int] = {}
+        # name -> (lineno, bound-inside-try) for module-scope imports
+        self.imports: dict[str, tuple[int, bool]] = {}
         self.used: set[str] = set()
         self.findings: list[tuple[int, str, str]] = []
         self._scope_depth = 0
+        self._try_depth = 0
 
     # -- imports (module scope only; function-local imports are deliberate
     # lazy imports throughout this codebase) --------------------------------
@@ -70,13 +71,19 @@ class _Visitor(ast.NodeVisitor):
         if self._scope_depth > 0:
             return
         if name in self.imports:
-            self.findings.append(
-                (lineno, "F811", f"redefinition of import '{name}'"))
+            # pyflakes semantics: only a redefinition of an UNUSED name is a
+            # finding, and try/except fallback imports (either binding inside
+            # a Try) are the alternative-branch idiom, not shadowing
+            prev_in_try = self.imports[name][1]
+            if (name not in self.used and not prev_in_try
+                    and self._try_depth == 0):
+                self.findings.append(
+                    (lineno, "F811", f"redefinition of import '{name}'"))
         # `import x as x` / `from m import x as x` is the explicit
         # re-export idiom — exempt, as ruff does
         if self.is_init or redundant_alias:
             self.used.add(name)
-        self.imports[name] = lineno
+        self.imports[name] = (lineno, self._try_depth > 0)
 
     def visit_Import(self, node: ast.Import) -> None:
         for alias in node.names:
@@ -121,6 +128,11 @@ class _Visitor(ast.NodeVisitor):
 
     def visit_ClassDef(self, node: ast.ClassDef) -> None:
         self._enter_scope(node)
+
+    def visit_Try(self, node: ast.Try) -> None:
+        self._try_depth += 1
+        self.generic_visit(node)
+        self._try_depth -= 1
 
     # -- comparisons ----------------------------------------------------------
     def visit_Compare(self, node: ast.Compare) -> None:
@@ -187,7 +199,7 @@ def lint_file(path: Path) -> list[str]:
                         visitor.used.add(elt.value)
 
     findings = list(visitor.findings)
-    for name, lineno in visitor.imports.items():
+    for name, (lineno, _in_try) in visitor.imports.items():
         if name not in visitor.used:
             findings.append((lineno, "F401", f"'{name}' imported but unused"))
 

@@ -272,7 +272,7 @@ def test_eval_result_from_counts_zero_games():
 def test_render_md_reading_line_lists_separated_rungs(campaign_db):
     data = _full_data(campaign_db)
     md = lr.render_md(data)
-    # epoch-1 rung has wilson_low 0.70 > 0.5; epoch-50 doesn't qualify at 0.53
-    assert "Wilson-separated from parity against 2 of 2 rungs" in md \
-        or "against 2 of 2" in md or "against" in md
+    # both rungs qualify: epoch-1 wilson_low 0.70 > 0.5, epoch-50 0.53 > 0.5
+    assert "Wilson-separated from parity against 2 of 2 rungs" in md
+    assert "(epochs 1, 50)" in md
     assert "noise floor" in md
