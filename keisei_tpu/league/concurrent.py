@@ -10,6 +10,15 @@ every game of every pairing at once, so a round costs max-game-length
 steps instead of sum-over-pairings(game length), and the program size /
 compile time do not scale with P.
 
+With `collect=True` / `"light"`, the pool also returns per-pairing
+MatchRollout records (the sequential runner's contract, match.py:65-84),
+sliced from the shared (T, P*E) scan trajectory. This lets TRAINING
+pairings — which the reference must play one-at-a-time because only its
+sequential path collects rollouts (keisei/training/tournament.py:352-467)
+— ride the vmapped batch: the round-4 amortized campaign measured
+sequential training pairings at ~65 s each (flagship b40c256), the
+dominant cost of a 524 s tournament round.
+
 All pairings in a pool share one architecture (weights swap per round
 without retracing); heterogeneous-architecture pairings fall back to the
 sequential per-pairing runner in LeagueTournament.
@@ -24,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..env.vec_env import EnvCore
-from .match import MatchResult
+from .match import MatchResult, MatchRollout
 
 
 @dataclass
@@ -54,9 +63,16 @@ class ConcurrentMatchPool:
         self.chunk_steps = chunk_steps
         self.temperature = temperature
         self.core = EnvCore(self.N, max_ply, num_channels)
-        self._chunk = self._build_chunk()
+        self._chunks: dict[str, object] = {}  # collect mode -> compiled chunk
 
-    def _build_chunk(self):
+    def _chunk_for(self, collect):
+        mode = "full" if collect is True else ("light" if collect == "light"
+                                               else "none")
+        if mode not in self._chunks:
+            self._chunks[mode] = self._build_chunk(mode)
+        return self._chunks[mode]
+
+    def _build_chunk(self, mode: str = "none"):
         env_step = self.core.step_fn()
         P, E, N = self.P, self.E, self.N
         C = self.core.num_channels
@@ -117,19 +133,35 @@ class ConcurrentMatchPool:
                 done_seen = done_seen | done
                 carry = (env_states, out.obs, out.legal_mask, done_seen,
                          result, plies, rng)
-                return carry, None
+                # ys layout mirrors match._make_chunk so per-slot slices
+                # rebuild the sequential runner's MatchRollout record
+                if mode == "full":
+                    ys = (obs, actions, masks, out.reward, done, stm,
+                          out.captured, out.term_reason)
+                elif mode == "light":
+                    ys = (actions, out.reward, done, stm,
+                          out.captured, out.term_reason)
+                else:
+                    ys = None
+                return carry, ys
 
             carry = (env_states, obs, masks, done_seen, result, plies, rng)
-            carry, _ = jax.lax.scan(body, carry, None, length=self.chunk_steps)
-            return carry
+            carry, ys = jax.lax.scan(body, carry, None, length=self.chunk_steps)
+            return carry, ys
 
         return jax.jit(chunk)
 
-    def run_round(self, pairings, seed: int = 0) -> tuple[list[MatchResult], RoundStats]:
+    def run_round(self, pairings, seed: int = 0, collect=False):
         """pairings: list of (vars_a, vars_b) pytrees, at most P; shorter
-        rounds are padded with the last pairing (pad results discarded)."""
+        rounds are padded with the last pairing (pad results discarded).
+
+        collect=False -> (results, stats). collect=True / "light" ->
+        (results, stats, rollouts) where rollouts[i] is pairing i's
+        MatchRollout slice of the shared trajectory ("light" drops
+        observations and legal masks, enough for feature extraction)."""
+        empty = RoundStats(0, 0, 0, 0)
         if not pairings:
-            return [], RoundStats(0, 0, 0, 0)
+            return ([], empty, []) if collect else ([], empty)
         if len(pairings) > self.P:
             raise ValueError(f"{len(pairings)} pairings > pool capacity {self.P}")
         real = len(pairings)
@@ -143,14 +175,18 @@ class ConcurrentMatchPool:
         result = jnp.zeros(self.N, jnp.int32)
         plies = jnp.zeros(self.N, jnp.int32)
         rng = jax.random.key(seed)
+        chunk = self._chunk_for(collect)
 
+        collected = []
         steps = 0
         max_chunks = -(-self.max_ply // self.chunk_steps) + 1
         for _ in range(max_chunks):
-            env_states, obs, masks, done_seen, result, plies, rng = self._chunk(
+            (env_states, obs, masks, done_seen, result, plies, rng), ys = chunk(
                 stacked_a, stacked_b, env_states, obs, masks, a_color,
                 done_seen, result, plies, rng,
             )
+            if collect:
+                collected.append(ys)
             steps += self.chunk_steps
             if bool(done_seen.all()):
                 break
@@ -175,4 +211,24 @@ class ConcurrentMatchPool:
             total_plies=sum(r.total_plies for r in results),
             steps=steps,
         )
-        return results, stats
+        if not collect:
+            return results, stats
+
+        cat = [jnp.concatenate(parts, axis=0) for parts in zip(*collected)]
+        if collect == "light":
+            cat = [None, cat[0], None, *cat[1:]]
+        rollouts = []
+        for p in range(real):
+            sl = slice(p * self.E, (p + 1) * self.E)
+            rollouts.append(MatchRollout(
+                obs=None if cat[0] is None else cat[0][:, sl],
+                actions=cat[1][:, sl],
+                legal_masks=None if cat[2] is None else cat[2][:, sl],
+                rewards=cat[3][:, sl],
+                dones=cat[4][:, sl],
+                mover_color=cat[5][:, sl],
+                captured=cat[6][:, sl],
+                term_reason=cat[7][:, sl],
+                a_color=a_color[sl],
+            ))
+        return results, stats, rollouts

@@ -211,10 +211,25 @@ class DynamicTrainer:
         idx = np.nonzero(mine)[0]
         if idx.size == 0:
             return
-        if idx.size > self.batch_cap:
-            idx = idx[-self.batch_cap:]
+        # Per-MATCH fetch cap: _build_batch keeps the newest `batch_cap`
+        # rows of the whole buffer (depth `max_buffer_depth` matches), so
+        # fetching more than batch_cap/depth rows per match pays tunnel
+        # bytes for rows the update window can never hold. The axon
+        # device->host tunnel runs ~15 MB/s (profiles/tournament-round.json)
+        # — at the old per-match batch_cap this was ~13 s per training
+        # pairing of pure transfer.
+        cap = max(256, self.batch_cap // max(1, self.config.max_buffer_depth))
+        n = min(idx.size, cap)
+        sel = idx[-n:]
+        if n < cap:
+            # pad to the FIXED cap with duplicates of the newest row (host
+            # slice below drops them): a variable row count would retrace
+            # the eager gather/pack chain per new shape (~6 s each,
+            # measured on the axon tunnel); padded, it compiles once per
+            # quantized T
+            sel = np.concatenate([sel, np.full(cap - n, sel[-1], sel.dtype)])
         T, N = rollout.actions.shape
-        take = jnp.asarray(idx)
+        take = jnp.asarray(sel)
 
         def gather(a):
             # eager = async dispatch; nothing blocks until the fetch below
@@ -234,14 +249,30 @@ class DynamicTrainer:
 
         # ONE host fetch for all five arrays (separate np.asarray calls
         # would each pay a sync round trip through the dispatch tunnel;
-        # jitting this instead would retrace per distinct match length)
+        # jitting this instead would retrace per distinct match length).
+        # Transfer-compressed: obs ride as f16 (normalized plane values;
+        # ~1e-4 rounding is immaterial for the opponent trainer) and legal
+        # masks as packed bitplanes (8x) — both restored to the buffer's
+        # f32/bool contract right here, so _build_batch and tests see the
+        # unchanged host format.
+        masks_g = gather(rollout.legal_masks)
+        A = masks_g.shape[-1]
+        pad = (-A) % 8
+        mp = jnp.pad(masks_g, ((0, 0), (0, pad))).reshape(
+            masks_g.shape[0], -1, 8).astype(jnp.uint8)
+        packed = (mp * jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128],
+                                   jnp.uint8)).sum(-1).astype(jnp.uint8)
         compact = jax.device_get({
-            "obs": gather(rollout.obs),
+            "obs": gather(rollout.obs).astype(jnp.float16),
             "actions": gather(rollout.actions),
-            "masks": gather(rollout.legal_masks),
+            "masks": packed,
             "rewards": gather(rewards),
             "dones": gather(dones),
         })
+        compact = {k: v[:n] for k, v in compact.items()}  # drop pad rows
+        compact["obs"] = compact["obs"].astype(np.float32)
+        compact["masks"] = np.unpackbits(
+            compact["masks"], axis=1, bitorder="little")[:, :A].astype(bool)
         buf = self._buffers.setdefault(
             entry_id, deque(maxlen=self.config.max_buffer_depth)
         )

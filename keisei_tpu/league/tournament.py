@@ -99,25 +99,39 @@ class LeagueTournament:
         pairings = self.scheduler.generate_round(entries)[: self.max_pairings_per_round]
 
         total_games = total_plies = completed = 0
-        # calibration pairings with a shared architecture can run batched
-        # in the slot-partitioned pool; training pairings stay sequential
-        # because they collect rollouts for the dynamic trainer
+        # pairings sharing one architecture run batched in the
+        # slot-partitioned pool — training pairings included, since the
+        # pool collects per-slot rollouts for the dynamic trainer
+        # (sequential training matches were the dominant round cost:
+        # ~65 s/pairing at flagship, profiles/tournament-round.json);
+        # only heterogeneous-arch pairings stay sequential
         pooled, sequential = self._partition_for_pool(pairings)
         if pooled:
             recorded: set[tuple[int, int]] = set()
-            try:
-                g, p, c = self._play_pooled(pooled, epoch, recorded)
-                total_games += g
-                total_plies += p
-                completed += c
-            except Exception:
-                logger.exception("pooled round failed — falling back sequential")
-                # replay only the pairings whose results were NOT already
-                # recorded: a mid-loop failure (e.g. a locked DB on pairing
-                # k) must not double-play and double-Elo pairings 0..k-1
-                sequential = [
-                    (a, b) for a, b in pooled if (a.id, b.id) not in recorded
-                ] + sequential
+            P = max(1, self.config.concurrency.parallel_matches)
+            # training pairings grouped first so full rollout collection
+            # is confined to as few chunks as possible
+            pooled.sort(key=lambda ab: not self._is_training(*ab))
+            for ci in range(0, len(pooled), P):
+                chunk = pooled[ci:ci + P]
+                self.heartbeat()
+                try:
+                    g, p, c = self._play_pooled(chunk, epoch, recorded,
+                                                seed_salt=ci)
+                    total_games += g
+                    total_plies += p
+                    completed += c
+                except Exception:
+                    logger.exception(
+                        "pooled chunk failed — falling back sequential")
+                    # replay only the pairings whose results were NOT
+                    # already recorded: a mid-loop failure (e.g. a locked
+                    # DB on pairing k) must not double-play and double-Elo
+                    # pairings 0..k-1
+                    sequential = [
+                        (a, b) for a, b in chunk
+                        if (a.id, b.id) not in recorded
+                    ] + sequential
         for a, b in sequential:
             self.heartbeat()
             try:
@@ -169,9 +183,15 @@ class LeagueTournament:
             logger.exception("tournament stats write failed — continuing")
         return round_stats
 
+    def _is_training(self, a: OpponentEntry, b: OpponentEntry) -> bool:
+        return is_training_match(a, b) and self.dynamic_trainer is not None
+
     def _partition_for_pool(self, pairings):
-        """(pooled, sequential): calibration pairings sharing one arch+params
-        go to the ConcurrentMatchPool, capped at its slot count."""
+        """(pooled, sequential): pairings sharing one arch+params signature
+        run batched in the ConcurrentMatchPool — run_round chunks them into
+        groups of `parallel_matches`; training pairings ride the pool too
+        (it collects their rollouts). Heterogeneous-architecture pairings
+        fall back to the sequential per-pairing runner."""
         P = self.config.concurrency.parallel_matches
         if P <= 1 or not pairings:
             return [], list(pairings)
@@ -180,8 +200,7 @@ class LeagueTournament:
         for a, b in pairings:
             _, ka = self._model_for(a)
             _, kb = self._model_for(b)
-            if (not is_training_match(a, b)) and ka == kb \
-                    and (key0 is None or ka == key0) and len(pooled) < P:
+            if ka == kb and (key0 is None or ka == key0):
                 key0 = ka
                 pooled.append((a, b))
             else:
@@ -190,7 +209,8 @@ class LeagueTournament:
             return [], list(pairings)
         return pooled, sequential
 
-    def _play_pooled(self, pooled, epoch: int, recorded: set | None = None):
+    def _play_pooled(self, pooled, epoch: int, recorded: set | None = None,
+                     seed_salt: int = 0):
         from .concurrent import ConcurrentMatchPool
 
         model, key = self._model_for(pooled[0][0])
@@ -208,8 +228,15 @@ class LeagueTournament:
              self.store.load_variables_cached(b, dtype="bfloat16"))
             for a, b in pooled
         ]
-        results, stats = pool.run_round(pairs_vars, seed=epoch * 77)
-        for (a, b), result in zip(pooled, results):
+        training_flags = [self._is_training(a, b) for a, b in pooled]
+        # full collection only when a slot feeds the dynamic trainer;
+        # "light" otherwise — still enough for game-feature extraction,
+        # which previously only sequential matches produced
+        collect = True if any(training_flags) else "light"
+        results, stats, rollouts = pool.run_round(
+            pairs_vars, seed=epoch * 77 + seed_salt, collect=collect)
+        for (a, b), result, rollout, training in zip(
+                pooled, results, rollouts, training_flags):
             self.store.record_result(
                 a.id, b.id, epoch=epoch,
                 wins_a=result.wins_a, wins_b=result.wins_b, draws=result.draws,
@@ -225,6 +252,7 @@ class LeagueTournament:
                 recorded.add((a.id, b.id))
             self.scorer.record_result(a.id, b.id)
             self.scorer.record_round_result(a.id, b.id)
+            self._post_match(a, b, epoch, rollout, training)
         return stats.games, stats.total_plies, len(pooled)
 
     def _play_pairing(self, a: OpponentEntry, b: OpponentEntry, epoch: int) -> dict:
@@ -256,6 +284,16 @@ class LeagueTournament:
         self.scorer.record_result(a.id, b.id)
         self.scorer.record_round_result(a.id, b.id)
 
+        self._post_match(a, b, epoch, rollout, training)
+        return {"games": result.games, "plies": result.total_plies}
+
+    def _post_match(self, a: OpponentEntry, b: OpponentEntry, epoch: int,
+                    rollout, training: bool) -> None:
+        """Shared post-play bookkeeping: game features + dynamic training
+        (both the sequential runner and pool slots produce the same
+        MatchRollout record)."""
+        if rollout is None:
+            return
         try:
             from .features import extract_game_features
 
@@ -265,14 +303,13 @@ class LeagueTournament:
         except Exception:
             logger.exception("game feature extraction failed — continuing")
 
-        if training and rollout is not None:
+        if training and self.dynamic_trainer is not None:
             for entry, side in ((a, "a"), (b, "b")):
                 if entry.role == Role.DYNAMIC and entry.training_enabled:
                     self.dynamic_trainer.record_rollout(entry.id, rollout, side)
                     self.dynamic_trainer.maybe_update(
                         self.store.get_entry(entry.id), seed=epoch,
                     )
-        return {"games": result.games, "plies": result.total_plies}
 
 
 class TournamentDispatcher:

@@ -134,3 +134,92 @@ class TestRoundStats:
         results, stats = pool.run_round([], seed=0)
         assert results == [] and (stats.pairings, stats.games,
                                   stats.total_plies, stats.steps) == (0, 0, 0, 0)
+
+
+@pytest.mark.integration
+class TestPoolCollect:
+    """collect=True/"light": per-pairing MatchRollout slices of the shared
+    trajectory — training pairings ride the pool instead of the sequential
+    runner (tournament.py _play_pooled)."""
+
+    def _pool_and_pairs(self, P=2, E=4, max_ply=64):
+        import jax.numpy as jnp
+
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        vs = [
+            model.init(jax.random.key(i),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+            for i in range(P + 1)
+        ]
+        pool = ConcurrentMatchPool(model, parallel_matches=P,
+                                   envs_per_match=E, max_ply=max_ply,
+                                   chunk_steps=32)
+        return pool, [(vs[i], vs[i + 1]) for i in range(P)]
+
+    def test_full_collect_returns_per_slot_rollouts(self):
+        pool, pairs = self._pool_and_pairs()
+        results, stats, rollouts = pool.run_round(pairs, seed=3, collect=True)
+        assert len(rollouts) == len(results) == 2
+        E, A = pool.E, pool.core.action_space
+        for ro in rollouts:
+            T = ro.actions.shape[0]
+            assert ro.obs.shape[:2] == (T, E)
+            assert ro.legal_masks.shape == (T, E, A)
+            assert ro.rewards.shape == (T, E)
+            assert ro.a_color.shape == (E,)
+        # slot seats alternate within each block (a_color = env_index % 2
+        # over the FULL pool, sliced per slot)
+        import numpy as np
+
+        for p, ro in enumerate(rollouts):
+            expect = (np.arange(p * E, (p + 1) * E) % 2)
+            assert (np.asarray(ro.a_color) == expect).all()
+
+    def test_collect_results_consistent_with_rollouts(self):
+        # recompute each slot's MatchResult from its rollout record — pins
+        # slot attribution (a cross-slot slicing bug would misassign games)
+        import numpy as np
+
+        pool, pairs = self._pool_and_pairs()
+        results, stats, rollouts = pool.run_round(pairs, seed=5, collect=True)
+        for res, ro in zip(results, rollouts):
+            rewards = np.asarray(ro.rewards)
+            dones = np.asarray(ro.dones)
+            movers = np.asarray(ro.mover_color)
+            a_color = np.asarray(ro.a_color)
+            wins_a = wins_b = draws = 0
+            for e in range(dones.shape[1]):
+                ts = np.nonzero(dones[:, e])[0]
+                if ts.size == 0:
+                    continue
+                t = ts[0]  # the pool scores each env's FIRST finished game
+                r, m = rewards[t, e], movers[t, e]
+                if r == 0:
+                    draws += 1
+                elif (r > 0) == (m == a_color[e]):
+                    wins_a += 1
+                else:
+                    wins_b += 1
+            assert (wins_a, wins_b, draws) == (res.wins_a, res.wins_b,
+                                               res.draws)
+
+    def test_light_collect_drops_big_arrays(self):
+        pool, pairs = self._pool_and_pairs()
+        results, stats, rollouts = pool.run_round(pairs, seed=7,
+                                                  collect="light")
+        for ro in rollouts:
+            assert ro.obs is None and ro.legal_masks is None
+            assert ro.actions.shape[1] == pool.E
+
+    def test_feature_extraction_from_pooled_rollout(self):
+        from keisei_tpu.league.features import extract_game_features
+
+        pool, pairs = self._pool_and_pairs(max_ply=96)
+        _, _, rollouts = pool.run_round(pairs, seed=9, collect="light")
+        rows = extract_game_features(rollouts[0], 1, 2, epoch=5)
+        assert rows  # each finished first game yields two side rows
+
+    def test_no_collect_keeps_two_tuple(self):
+        pool, pairs = self._pool_and_pairs()
+        out = pool.run_round(pairs, seed=1)
+        assert len(out) == 2

@@ -188,3 +188,59 @@ class TestBatchBuilding:
         b = t._build_batch(1)
         cats = np.asarray(b["value_cats"])
         assert cats.tolist() == [0, 2, 1, -1]  # W, L, draw, non-terminal
+
+
+class TestCompactTransfer:
+    """record_rollout's transfer-compressed fetch: packed masks and f16 obs
+    must restore to the buffer's bool/f32 contract, and the per-match cap
+    (batch_cap / max_buffer_depth) must bound the fetched rows."""
+
+    def _rollout(self, T=6, N=4, A=11259, seed=0):
+        import numpy as np
+        from keisei_tpu.league.match import MatchRollout
+
+        rng = np.random.default_rng(seed)
+        masks = rng.random((T, N, A)) < 0.1
+        return MatchRollout(
+            obs=jnp.asarray(rng.random((T, N, 50, 81), np.float32)),
+            actions=jnp.asarray(rng.integers(0, A, (T, N)), jnp.int32),
+            legal_masks=jnp.asarray(masks),
+            rewards=jnp.zeros((T, N), jnp.float32),
+            dones=jnp.zeros((T, N), bool),
+            captured=jnp.full((T, N), 255, jnp.uint8),
+            term_reason=jnp.zeros((T, N), jnp.uint8),
+            mover_color=jnp.asarray(
+                (np.arange(T)[:, None] + np.arange(N)[None, :]) % 2,
+                jnp.int32),
+            a_color=jnp.asarray(np.arange(N) % 2, jnp.int32),
+        )
+
+    def test_masks_and_obs_roundtrip(self, trainer):
+        import numpy as np
+
+        ro = self._rollout()
+        trainer.record_rollout(3, ro, "a")
+        buf = trainer._buffers[3][-1]
+        assert buf["masks"].dtype == bool and buf["obs"].dtype == np.float32
+        # recompute the expected mover-filtered rows and compare exactly
+        color = np.asarray(ro.a_color)
+        mine = np.asarray(ro.mover_color) == color[None, :]
+        flat_idx = np.nonzero(mine.reshape(-1))[0]
+        T, N = ro.actions.shape
+        expect_masks = np.asarray(ro.legal_masks).reshape(T * N, -1)[flat_idx]
+        assert (buf["masks"] == expect_masks).all()  # packing is lossless
+        expect_obs = np.asarray(ro.obs).reshape(T * N, 50, 81)[flat_idx]
+        assert np.allclose(buf["obs"], expect_obs, atol=5e-4)  # f16 transfer
+
+    def test_per_match_fetch_cap(self, tmp_path):
+        from keisei_tpu.league.store import OpponentStore
+
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        t = DynamicTrainer(store, model, DynamicConfig(max_buffer_depth=8),
+                           batch_cap=512)
+        # 260*4/2 = 520 own-mover rows > the per-match cap
+        # max(256, 512/8) = 256; only the newest 256 may be fetched
+        ro = self._rollout(T=260, N=4, A=64)
+        t.record_rollout(1, ro, "a")
+        assert t._buffers[1][-1]["obs"].shape[0] == 256

@@ -45,9 +45,14 @@ class TestTournamentRound:
     def test_round_records_results_and_stats(self, store):
         for i, role in enumerate([Role.DYNAMIC, Role.DYNAMIC, Role.RECENT_FIXED]):
             add_entry(store, role, seed=i)
+        from keisei_tpu.league.config import ConcurrencyConfig
+
         cfg = LeagueConfig(
             tournament_enabled=True, tournament_num_envs=4,
             dynamic=DynamicConfig(update_every_matches=99),
+            # training pairings ride the pool now — size its slots to the
+            # same 4 games/pairing the sequential path used
+            concurrency=ConcurrencyConfig(parallel_matches=2, envs_per_match=4),
         )
         t = LeagueTournament(store, cfg, max_pairings_per_round=2, min_pool=3,
                              min_epoch=0)
@@ -57,7 +62,7 @@ class TestTournamentRound:
         assert t.is_due(epoch=5)
         stats = t.run_round(epoch=5)
         assert stats["pairings_completed"] == 2
-        assert stats["total_games"] == 8  # 2 pairings x 4 envs
+        assert stats["total_games"] == 8  # 2 pairings x 4 pool lanes
 
         data = db.read_league_data(store.db_path)
         assert len(data["results"]) == 2

@@ -72,14 +72,16 @@ class TestPartition:
     def make(self, store, parallel=4):
         return LeagueTournament(store, league_cfg(parallel_matches=parallel))
 
-    def test_training_matches_stay_sequential(self, store):
+    def test_training_matches_ride_the_pool(self, store):
+        # training pairings pool too (the pool collects their rollouts) —
+        # sequential training matches were the dominant round cost
         t = self.make(store)
         d1, d2 = add(store, Role.DYNAMIC), add(store, Role.DYNAMIC)
         f1, f2, f3 = (add(store, Role.FRONTIER_STATIC) for _ in range(3))
         pairings = [(d1, d2), (f1, f2), (f1, f3), (f2, f3)]
         pooled, sequential = t._partition_for_pool(pairings)
-        assert (d1, d2) in sequential
-        assert len(pooled) == 3  # calibration trio batches
+        assert (d1, d2) in pooled
+        assert len(pooled) == 4 and sequential == []
 
     def test_arch_mismatch_not_pooled(self, store):
         t = self.make(store)
@@ -93,13 +95,27 @@ class TestPartition:
         assert pooled == []
         assert len(sequential) == 3
 
-    def test_slot_cap(self, store):
+    def test_overflow_chunks_instead_of_sequential(self, store):
+        # partition no longer caps at the slot count — run_round plays the
+        # poolable list in chunks of `parallel_matches`
         t = self.make(store, parallel=2)
         fs = [add(store, Role.FRONTIER_STATIC) for _ in range(4)]
         pairings = [(fs[i], fs[j]) for i in range(4) for j in range(i + 1, 4)]
         pooled, sequential = t._partition_for_pool(pairings)
-        assert len(pooled) == 2
-        assert len(sequential) == len(pairings) - 2
+        assert len(pooled) == len(pairings)
+        assert sequential == []
+
+        chunks = []
+        orig = t._play_pooled
+
+        def spy(chunk, epoch, recorded=None, seed_salt=0):
+            chunks.append(len(chunk))
+            return orig(chunk, epoch, recorded, seed_salt=seed_salt)
+
+        t._play_pooled = spy
+        stats = t.run_round(epoch=4)
+        assert chunks == [2, 2, 2]  # 6 pairings in 3 chunks of parallel=2
+        assert stats["pairings_completed"] == 6
 
     def test_pool_disabled_when_single_slot(self, store):
         t = self.make(store, parallel=1)
@@ -143,7 +159,7 @@ class TestRoundOrchestration:
 
         seq_played = []
 
-        def fake_pooled(pooled, epoch, recorded=None):
+        def fake_pooled(pooled, epoch, recorded=None, seed_salt=0):
             # one pairing's result lands before the failure
             a, b = pooled[0]
             recorded.add((a.id, b.id))
