@@ -14,6 +14,9 @@ Benchmarks (all full-rules, b40c256 flagship shapes):
   headline   self-play rollout env-steps/s, N=1024 (bench.py program)
   league     compact split-merge league rollout env-steps/s (--full only;
              compiles a second large program)
+  tournament compiled pooled tournament round with full rollout collection,
+             b10c128 8 pairings (--full only; the league/concurrent.py path
+             training pairings ride since round 4)
 
 Usage:
   python scripts/perf_gate.py            # gate mask/step/headline
@@ -143,6 +146,32 @@ def rollout_benches(full: bool):
     return out
 
 
+def tournament_bench():
+    """Compiled pooled tournament round, b10c128 8 pairings (P=4, E=16) with
+    full rollout collection — gates the league/concurrent.py path that
+    round-4 moved training pairings onto (docs/profiling-round4.md §2)."""
+    from keisei_tpu.league.concurrent import ConcurrentMatchPool
+    from keisei_tpu.models.registry import build_model
+
+    model, _ = build_model("se_resnet", {"num_blocks": 10, "channels": 128})
+    variables = [
+        jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            model.init(jax.random.key(i), jnp.zeros((1, 50, 9, 9), jnp.float32),
+                       train=False),
+        )
+        for i in range(9)
+    ]
+    pairs = [(variables[i], variables[i + 1]) for i in range(8)]
+    pool = ConcurrentMatchPool(model, parallel_matches=4, envs_per_match=16)
+    chunks = [pairs[:4], pairs[4:]]
+    pool.run_round(chunks[0], seed=0, collect=True)  # compile
+    t0 = time.perf_counter()
+    for ci, chunk in enumerate(chunks):
+        results, _, _ = pool.run_round(chunk, seed=ci + 1, collect=True)
+    return {"pooled_round_b10c128_ms": (time.perf_counter() - t0) * 1000.0}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--full", action="store_true", help="also gate the league rollout")
@@ -153,6 +182,8 @@ def main():
     measures = {}
     measures.update(engine_benches())
     measures.update(rollout_benches(args.full))
+    if args.full:
+        measures.update(tournament_bench())
 
     if args.record:
         floors = {}
