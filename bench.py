@@ -150,6 +150,30 @@ def main(argv=None):
             "self-play env steps/sec/chip (full rules + SE-ResNet "
             "b40c256 sampling in loop)")
 
+    def measure_forward_ceiling():
+        """Model-only forward throughput: the physical ceiling for any
+        framework that runs this network once per ply (the env accounts
+        for ~2.6% of step cost; docs/profiling-round3.md §3-4 rules out
+        int8 with a full GEMM-rate decomposition)."""
+        obs_b = jnp.zeros((n, 50, 9, 9), jnp.float32)
+
+        def make_timed(T):
+            def body(carry, _):
+                out = model.apply(variables, carry, train=False)
+                # feed a cast of the policy head back in so the scan can't
+                # collapse to one iteration
+                nxt = obs_b + out.policy_logits.mean().astype(jnp.float32)
+                return nxt, ()
+
+            @jax.jit
+            def run(variables, obs_b):
+                final, _ = jax.lax.scan(body, obs_b, None, length=T)
+                return final.sum()
+
+            return run
+
+        return _measure(make_timed, (variables, obs_b), n)
+
     def emit(steps_per_sec, metric, **extra):
         if mesh is not None:
             metric += f" [mesh={args_cli.mesh}]"
@@ -167,6 +191,23 @@ def main(argv=None):
 
     # headline measured FIRST so a context-measurement failure can't lose it
     headline = measure_selfplay()
+
+    # roofline context (round-4 VERDICT #5): vs_baseline reads as 78%
+    # unexplained headroom without the measured physical ceiling next to it
+    roofline = {}
+    try:
+        ceil = measure_forward_ceiling()
+        roofline = {
+            "ceiling_steps_per_s": round(ceil, 1),
+            "ceiling_fraction": round(headline[0] / ceil, 4),
+            "ceiling_note": (
+                "model-only b40c256 forward ceiling on this chip (~90% of "
+                "bf16 peak; int8 built, measured at parity, and ruled out "
+                "— docs/profiling-round3.md §3-4). The headline cannot "
+                "exceed this without skipping network evaluations."),
+        }
+    except Exception as e:  # pragma: no cover - context must not kill bench
+        roofline = {"ceiling_error": repr(e)[:200]}
 
     context = {}
     if not args_cli.quick:
@@ -199,7 +240,7 @@ def main(argv=None):
         except Exception as e:  # pragma: no cover
             context["amortized_end_to_end"] = {"error": repr(e)[:200]}
 
-    emit(*headline, **({"context": context} if context else {}))
+    emit(*headline, **roofline, **({"context": context} if context else {}))
 
 
 if __name__ == "__main__":

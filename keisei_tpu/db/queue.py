@@ -140,6 +140,41 @@ def reset_stale_playing(db_path: str, worker_id: str | None = None) -> int:
 # --- worker heartbeats -------------------------------------------------------
 
 
+def reclaim_dead_worker_claims(db_path: str, stale_after_s: float = 300.0,
+                               exclude_worker: str | None = None) -> int:
+    """Return 'playing' claims stranded by DEAD peers to 'pending'.
+
+    A claim is stranded when its worker's heartbeat is older than
+    `stale_after_s` or absent entirely (round-4 VERDICT #8: a worker
+    SIGKILLed mid-round must not wedge its claimed pairings forever —
+    reset_stale_playing only sweeps a worker's OWN claims at ITS restart).
+    Live workers beat before every pairing (TournamentWorker), so their
+    in-flight claims stay younger than any sane threshold; the default
+    must exceed the slowest expected single pairing. `exclude_worker`
+    guards the caller's own id (its beat may be a poll-interval old).
+    Returns the number of claims reclaimed."""
+    cutoff = (
+        datetime.datetime.now(datetime.UTC)
+        - datetime.timedelta(seconds=stale_after_s)
+    ).strftime("%Y-%m-%dT%H:%M:%SZ")
+    conn = core.connect(db_path)
+    try:
+        conn.execute("BEGIN IMMEDIATE")
+        cur = conn.execute(
+            "UPDATE tournament_pairing_queue "
+            "SET status = 'pending', worker_id = NULL, claimed_at = NULL "
+            "WHERE status = 'playing' AND (? IS NULL OR worker_id != ?) "
+            "AND worker_id NOT IN ("
+            "  SELECT worker_id FROM tournament_worker_heartbeat "
+            "  WHERE last_seen >= ?)",
+            (exclude_worker, exclude_worker, cutoff),
+        )
+        conn.commit()
+        return cur.rowcount
+    finally:
+        conn.close()
+
+
 def write_worker_heartbeat(
     db_path: str, worker_id: str, pid: int, device: str, pairings_done: int
 ) -> None:

@@ -2,10 +2,10 @@
 
 Field names and defaults match the reference's TOML surface
 (keisei/config.py:46-523) so existing [league] sections parse unchanged.
-Torch-only knobs (gpu_memory_backpressure, opponent/tournament device
-strings) are accepted for file compatibility; device placement on TPU is
-handled by the runtime, and memory backpressure uses the same threshold
-against HBM.
+`tournament_device` is honored (pins in-process rounds to their own chip,
+parallel/placement.py); `opponent_device` is N/A by design (opponents ride
+the fused SPMD rollout); `gpu_memory_backpressure` maps to the same
+threshold against HBM.
 """
 
 from __future__ import annotations
@@ -82,9 +82,22 @@ class DynamicConfig:
     gpu_memory_backpressure: float = 0.9  # accepted for file compat (HBM)
     # park Adam moments on the host between updates: at 10 slots the
     # device-resident moments alone are ~10 x 2 x params (≈4 GB for
-    # b40c256) — the HBM-exhaustion vector in long league runs. Costs one
-    # moments round trip per (infrequent) dynamic update.
+    # b40c256) — the HBM-exhaustion vector in long league runs. With the
+    # device cache below, only entries evicted from it pay the round trip.
     offload_optimizer: bool = True
+    # keep the K most-recently-trained entries' moments ON DEVICE even
+    # with offload_optimizer: tournament rounds train the same few
+    # entries repeatedly, and a host round trip is ~2 x 2 x params bytes
+    # through the device tunnel per update (the dominant in-vivo
+    # tournament cost at flagship scale — ~50 s/update at 15 MB/s,
+    # profiles/tournament-phase-*.json). K=2 bounds device residency at
+    # ~2 x 380 MB for b40c256. 0 = round-trip every update (round-4
+    # behavior).
+    optimizer_device_cache: int = 2
+    # hard cap on dynamic updates per tournament round, on top of the
+    # per-minute rate limit: bounds the worst-case round duration that
+    # overlapped training epochs must absorb
+    max_updates_per_round: int = 4
 
     def __post_init__(self):
         if self.slots < 1:
@@ -97,6 +110,10 @@ class DynamicConfig:
             raise ValueError("dynamic.update_every_matches must be >= 1")
         if self.max_consecutive_errors < 1:
             raise ValueError("dynamic.max_consecutive_errors must be >= 1")
+        if self.optimizer_device_cache < 0:
+            raise ValueError("dynamic.optimizer_device_cache must be >= 0")
+        if self.max_updates_per_round < 1:
+            raise ValueError("dynamic.max_updates_per_round must be >= 1")
 
 
 @dataclass(frozen=True)
@@ -244,9 +261,18 @@ class LeagueConfig:
     color_randomization: bool = True
     per_env_opponents: bool = True  # False = single opponent per epoch
     opponents_per_epoch: int = 4
-    opponent_device: str | None = None  # accepted for file compat
+    # N/A by design: split-merge opponents ride the same fused SPMD rollout
+    # program as the learner (league_rollout.py) — there is no separate
+    # opponent forward to place. Accepted for reference-file compat.
+    opponent_device: str | None = None
     tournament_enabled: bool = False
-    tournament_device: str | None = None  # accepted for file compat
+    # HONORED: pins in-process tournament rounds (match play + dynamic
+    # updates) to one local chip via jax.default_device — the reference's
+    # learner-GPU-0/tournament-GPU-1 split (keisei-500k-league.toml:81-84).
+    # Specs: "3", "tpu:3", "cpu"; None/"default" = ambient (single-chip
+    # boxes). Pair with [distributed] num_devices = <first-N chips> so the
+    # learner mesh excludes the tournament chip (parallel/placement.py).
+    tournament_device: str | None = None
     tournament_num_envs: int = 64
     tournament_games_per_match: int = 3
     # NOTE scheduler.tournament_games_per_pair and dynamic.batch_reuse parse

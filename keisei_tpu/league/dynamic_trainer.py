@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import logging
 import time
-from collections import deque
+from collections import OrderedDict, deque
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +51,8 @@ def _plan_chunks(cap: int, step_batch: int) -> tuple[int, int]:
 
 
 def _make_update_fn(model, cfg: DynamicConfig, optimizer, clip_epsilon: float = 0.2,
-                    contract: str = "katago", step_batch: int = 1024):
+                    contract: str = "katago", step_batch: int = 1024,
+                    num_actions: int | None = None):
     """Jitted: (variables, opt_state, batch, rng) -> (params', opt', metrics)."""
 
     def old_logp(variables, obs, masks, actions):
@@ -103,7 +104,27 @@ def _make_update_fn(model, cfg: DynamicConfig, optimizer, clip_epsilon: float = 
         return loss, {"policy_loss": policy_loss, "value_loss": value_loss,
                       "batch_stats": updates["batch_stats"]}
 
+    def decompress(batch):
+        """Device-side decode of the transfer-compressed batch: obs ride
+        the host->device tunnel as f16 and legal masks as packed bitplanes
+        (_build_batch), cutting upload bytes ~3x — the tunnel runs
+        ~15 MB/s and an uncompressed flagship batch is ~112 MB. Plain
+        (f32/bool) batches pass through untouched (dtype is static at
+        trace time), so hand-built test batches keep working."""
+        out = dict(batch)
+        if out["obs"].dtype != jnp.float32:
+            out["obs"] = out["obs"].astype(jnp.float32)
+        m = out["masks"]
+        if m.dtype == jnp.uint8:
+            assert num_actions is not None, (
+                "packed masks need num_actions at update-fn build time")
+            bits = (m[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            out["masks"] = bits.reshape(m.shape[0], -1)[:, :num_actions]
+            out["masks"] = out["masks"].astype(bool)
+        return out
+
     def update(variables, opt_state, batch, rng):
+        batch = decompress(batch)
         old_lp = old_logp(variables, batch["obs"], batch["masks"], batch["actions"])
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
         cap = batch["obs"].shape[0]
@@ -165,14 +186,21 @@ class DynamicTrainer:
             optax.clip_by_global_norm(config.grad_clip),
             optax.adam(learner_lr * config.lr_scale),
         )
-        self._update_fns: dict[int, object] = {}  # keyed by id(self.model)
+        self._update_fns: dict[tuple, object] = {}  # (id(model), A)
         self.architecture: str | None = None  # set to gate entries by arch
         self._buffers: dict[int, deque] = {}
         self._opt_states: dict[int, object] = {}  # in-memory Adam continuity
+        # entries whose moments are DEVICE-resident right now (insertion =
+        # LRU order). offload_optimizer demotes past optimizer_device_cache
+        # to host — each demotion/promotion is a 2x-params tunnel round
+        # trip, the dominant in-vivo tournament cost at flagship scale
+        self._opt_on_device: OrderedDict[int, None] = OrderedDict()
         self._match_counts: dict[int, int] = {}
         self._error_counts: dict[int, int] = {}
         self._disabled: set[int] = set()
         self._updates_since_flush: dict[int, int] = {}
+        self._num_actions: int | None = None
+        self._updates_this_round = 0
         self._recent_update_times: deque[float] = deque(maxlen=64)
         self._recent_errors: deque[float] = deque(maxlen=64)
         self._globally_disabled_until = 0.0
@@ -218,7 +246,14 @@ class DynamicTrainer:
         # device->host tunnel runs ~15 MB/s (profiles/tournament-round.json)
         # — at the old per-match batch_cap this was ~13 s per training
         # pairing of pure transfer.
-        cap = max(256, self.batch_cap // max(1, self.config.max_buffer_depth))
+        # floor clamped to batch_cap: with a small batch_cap a bare 256
+        # floor would make depth*cap exceed the window this cap exists to
+        # respect (ADVICE r4). Note pool slots carry envs_per_match games
+        # per training match (vs the old 64-env sequential match), so an
+        # entry's window fills ~4x more slowly per match — tune
+        # update_every_matches with that in mind.
+        cap = max(min(256, self.batch_cap),
+                  self.batch_cap // max(1, self.config.max_buffer_depth))
         n = min(idx.size, cap)
         sel = idx[-n:]
         if n < cap:
@@ -291,6 +326,7 @@ class DynamicTrainer:
         entries cycle over long league runs (ADVICE r1)."""
         self._buffers.pop(entry_id, None)
         self._opt_states.pop(entry_id, None)
+        self._opt_on_device.pop(entry_id, None)
         self._match_counts.pop(entry_id, None)
         self._error_counts.pop(entry_id, None)
         self._updates_since_flush.pop(entry_id, None)
@@ -333,10 +369,20 @@ class DynamicTrainer:
             return True
         return False
 
+    def begin_round(self) -> None:
+        """Reset the per-round update budget (called at round start by the
+        tournament / per claimed batch by the sidecar worker). The cap
+        bounds the worst-case round duration the overlapped training epoch
+        must absorb — the per-minute rate limit alone lets a backlogged
+        round monopolize the device."""
+        self._updates_this_round = 0
+
     def should_update(self, entry_id: int) -> bool:
         if not self.config.training_enabled:
             return False
         if entry_id in self._disabled or self._globally_disabled():
+            return False
+        if self._updates_this_round >= self.config.max_updates_per_round:
             return False
         if self._rate_limited():
             return False
@@ -344,6 +390,31 @@ class DynamicTrainer:
         return count > 0 and count % self.config.update_every_matches == 0
 
     # -- update -----------------------------------------------------------------
+
+    def _park_opt_state(self, entry_id: int, opt_state) -> None:
+        """Keep the freshly-updated moments DEVICE-resident in a bounded
+        LRU; demote the coldest past `optimizer_device_cache` to the host.
+
+        Tournament rounds train the same few entries repeatedly, so with
+        K>=1 most updates skip both tunnel legs of the old
+        offload-every-update policy (~50 s/update at b40c256 over the
+        15 MB/s axon tunnel — the dominant in-vivo round cost,
+        docs/profiling-round5.md). HBM stays bounded at K x 2 x params."""
+        if not self.config.offload_optimizer:
+            self._opt_states[entry_id] = opt_state  # legacy: all on device
+            return
+        cache = self.config.optimizer_device_cache
+        if cache <= 0:
+            self._opt_states[entry_id] = jax.device_get(opt_state)
+            return
+        self._opt_states[entry_id] = opt_state
+        self._opt_on_device[entry_id] = None
+        self._opt_on_device.move_to_end(entry_id)
+        while len(self._opt_on_device) > cache:
+            victim, _ = self._opt_on_device.popitem(last=False)
+            if victim in self._opt_states:
+                self._opt_states[victim] = jax.device_get(
+                    self._opt_states[victim])
 
     def _build_batch(self, entry_id: int) -> dict | None:
         """Flatten buffered rollouts into one fixed-size weighted batch.
@@ -371,6 +442,14 @@ class DynamicTrainer:
                 for k, v in cat.items()
             }
             weights = np.concatenate([weights, np.zeros(pad, np.float32)])
+        # transfer compression for the upload (mirror of record_rollout's
+        # D2H compression): obs as f16 (normalized plane values; ~1e-4
+        # rounding), masks as packed bitplanes (exact) — the jitted
+        # update's decompress() restores both device-side. Uncompressed a
+        # flagship batch is ~112 MB against a ~15 MB/s tunnel.
+        self._num_actions = int(cat["masks"].shape[1])
+        cat["obs"] = cat["obs"].astype(np.float16)
+        cat["masks"] = np.packbits(cat["masks"], axis=1, bitorder="little")
         batch = {k: jnp.asarray(v) for k, v in cat.items()}
         batch["weights"] = jnp.asarray(weights)
         # WDL cats from terminal rewards (truncation -> draw, by design)
@@ -422,11 +501,12 @@ class DynamicTrainer:
                 entry, template=self.optimizer.init(variables["params"])
             ) or self.optimizer.init(variables["params"])
 
-        key = id(self.model)
+        key = (id(self.model), self._num_actions)
         if key not in self._update_fns:
             self._update_fns[key] = _make_update_fn(
                 self.model, self.config, self.optimizer,
                 contract=self.contract, step_batch=self.step_batch,
+                num_actions=self._num_actions,
             )
         new_vars, opt_state, metrics = self._update_fns[key](
             variables, opt_state, batch, jax.random.key(seed)
@@ -451,18 +531,14 @@ class DynamicTrainer:
         # update would leave cached moments one step ahead of the entry's
         # actual weights (review r2)
         self.store.update_weights(entry.id, new_vars, flush="async")
-        # moments parked on host unless configured device-resident; the
-        # jitted update re-uploads them transparently on the next call
-        self._opt_states[entry.id] = (
-            jax.device_get(opt_state) if self.config.offload_optimizer
-            else opt_state
-        )
+        self._park_opt_state(entry.id, opt_state)
         self._updates_since_flush[entry.id] = (
             self._updates_since_flush.get(entry.id, 0) + 1
         )
         if self._updates_since_flush[entry.id] % self.config.checkpoint_flush_every == 0:
             self.store.save_optimizer(entry.id, jax.device_get(opt_state))
         self._recent_update_times.append(time.monotonic())
+        self._updates_this_round += 1
         self._error_counts[entry.id] = 0
         logger.info(
             "dynamic update: entry %d policy_loss=%.4f value_loss=%.4f",

@@ -71,11 +71,15 @@ def _load_model_and_vars(path: str):
     variables (params + batch_stats)."""
     import orbax.checkpoint as ocp
 
+    from .store import OpponentStore
+
     meta = load_meta(path)
     arch = meta["architecture"]
     model_params = meta.get("model_params", {})
     model, _ = build_model(arch, model_params)
-    restored = ocp.PyTreeCheckpointer().restore(path)
+    # topology-free numpy restore (no sharding-sidecar warning; evaluation
+    # must read checkpoints written under any device mesh)
+    restored = OpponentStore._restore_raw(ocp.PyTreeCheckpointer(), path)
     variables = {"params": restored["params"]}
     if restored.get("batch_stats"):
         variables["batch_stats"] = restored["batch_stats"]

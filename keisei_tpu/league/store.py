@@ -369,7 +369,7 @@ class OpponentStore:
         from disk."""
         ckptr = _checkpointer()
         if template is None:
-            return ckptr.restore(path)
+            return OpponentStore._restore_raw(ckptr, path)
         try:
             # template restore_args place leaves at the template's
             # dtype/sharding directly instead of consulting the sharding
@@ -381,11 +381,31 @@ class OpponentStore:
         except ValueError as e:
             if "structures do not match" not in str(e):
                 raise
-            tree = ckptr.restore(path)
+            tree = OpponentStore._restore_raw(ckptr, path)
             if (isinstance(tree, dict) and not tree.get("batch_stats")
                     and "batch_stats" not in template):
                 tree = {k: v for k, v in tree.items() if k != "batch_stats"}
             return tree
+
+    @staticmethod
+    def _restore_raw(ckptr, path: str):
+        """Template-free restore as HOST numpy arrays.
+
+        Restoring without restore_args makes Orbax consult the sharding
+        sidecar written at save time — a warning ("unsafe when restoring on
+        a different topology") plus a device commitment to whatever chips
+        the SAVER had. League weights must restore on any topology (a pod
+        sidecar reading a single-chip trainer's entries and vice versa), so
+        the leaves come back as plain numpy from the checkpoint's own
+        metadata; callers device_put onto their local devices."""
+        import jax
+        import numpy as np
+
+        meta = ckptr.metadata(path).item_metadata
+        tree = getattr(meta, "tree", meta)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(path, restore_args=restore_args)
 
     def load_variables(self, entry: OpponentEntry, template: dict | None = None):
         """Model variables ({params, batch_stats}) for an entry.
@@ -532,10 +552,12 @@ class OpponentStore:
     def load_optimizer(self, entry: OpponentEntry, template=None):
         if not entry.optimizer_path or not os.path.isdir(entry.optimizer_path):
             return None
-        restore_args = (ocp.checkpoint_utils.construct_restore_args(template)
-                        if template is not None else None)
-        return _checkpointer().restore(
-            entry.optimizer_path, item=template, restore_args=restore_args)
+        ckptr = _checkpointer()
+        if template is None:
+            return self._restore_raw(ckptr, entry.optimizer_path)
+        return ckptr.restore(
+            entry.optimizer_path, item=template,
+            restore_args=ocp.checkpoint_utils.construct_restore_args(template))
 
     # -- entry lifecycle ---------------------------------------------------------
 

@@ -41,6 +41,8 @@ class LeagueTournament:
         min_pool: int = 3,
         min_epoch: int = 5,
         heartbeat=None,
+        learner_id_fn=None,
+        device=None,
     ):
         self.store = store
         self.config = config
@@ -55,9 +57,29 @@ class LeagueTournament:
         # run for minutes (match play + dynamic-update compiles), and
         # without beats /healthz flags the trainer dead at 30 s staleness
         self.heartbeat = heartbeat or (lambda: None)
+        # current learner entry id (for the Elo-ceiling alert); None in
+        # sidecar workers, which — like the reference's — skip the check
+        self.learner_id_fn = learner_id_fn or (lambda: None)
+        # config.tournament_device: pin ALL of this tournament's device
+        # work (match play, dynamic updates, weight uploads) to one local
+        # chip so rounds never contend with the learner's mesh — the
+        # reference's learner-GPU-0 / tournament-GPU-1 split
+        # (keisei-500k-league.toml:81-84). None = ambient placement.
+        from ..parallel.placement import parse_device
+
+        self.device = parse_device(device)
         self.rounds_played = 0
+        self._elo_ceiling_streak = 0
+        self._phase_s: dict[str, float] = {}
+        self._phase_t = time.monotonic()
         self._runners: dict[tuple, object] = {}
         self._models = ModelCache()
+
+    # learner exceeding the strongest Frontier anchor by this margin for
+    # this many consecutive rounds means the pool may be too weak to teach
+    # it anything (reference keisei/training/tournament.py:163-190)
+    ELO_CEILING_MARGIN = 200.0
+    ELO_CEILING_STREAK = 2
 
     # -- plumbing -----------------------------------------------------------
 
@@ -88,8 +110,26 @@ class LeagueTournament:
     # -- the round ---------------------------------------------------------------
 
     def run_round(self, epoch: int) -> dict:
-        """Play one tournament round synchronously. Returns round stats."""
+        """Play one tournament round synchronously. Returns round stats.
+
+        With a `device` pin, every jitted program dispatched inside (match
+        play, feature extraction, dynamic updates) compiles for and runs on
+        that chip."""
+        if self.device is not None:
+            import jax
+
+            with jax.default_device(self.device):
+                return self._run_round_body(epoch)
+        return self._run_round_body(epoch)
+
+    def _run_round_body(self, epoch: int) -> dict:
         t0 = time.monotonic()
+        # per-round phase attribution (docs/profiling-round5.md): reset
+        # here, accumulated by _mark(), surfaced in round stats + the log
+        self._phase_s = {}
+        self._phase_t = t0
+        if self.dynamic_trainer is not None:
+            self.dynamic_trainer.begin_round()
         entries = [
             e for e in self.store.list_entries()
             if e.role in (Role.DYNAMIC, Role.RECENT_FIXED, Role.FRONTIER_STATIC)
@@ -97,6 +137,7 @@ class LeagueTournament:
         if len(entries) < 2:
             return {"pairings": 0}
         pairings = self.scheduler.generate_round(entries)[: self.max_pairings_per_round]
+        self._mark("schedule")
 
         total_games = total_plies = completed = 0
         # pairings sharing one architecture run batched in the
@@ -167,8 +208,17 @@ class LeagueTournament:
             except Exception:
                 logger.exception("style profiling failed — continuing")
 
+        ceiling = self._check_elo_ceiling(entries)
+
         duration = time.monotonic() - t0
+        phase_s = {k: round(v, 2) for k, v in
+                   sorted(self._phase_s.items(), key=lambda kv: -kv[1])}
+        if duration > 30.0:
+            logger.info("tournament round phases (%.1fs total): %s",
+                        duration, phase_s)
         round_stats = {
+            **ceiling,
+            "phase_s": phase_s,
             "round_duration_s": duration,
             "pairings_requested": len(pairings),
             "pairings_completed": completed,
@@ -182,6 +232,52 @@ class LeagueTournament:
         except Exception:
             logger.exception("tournament stats write failed — continuing")
         return round_stats
+
+    def _check_elo_ceiling(self, entries) -> dict:
+        """Warn when the learner has outgrown the opponent pool.
+
+        Reference semantics (keisei/training/tournament.py:163-190): learner
+        composite Elo exceeding the strongest FRONTIER entry by >= 200 for
+        2+ consecutive rounds -> "pool may be too weak". This is the
+        built-in diagnostic for a plateauing learner: when it fires, new
+        experience comes from opponents the learner already dominates and
+        the training signal thins out (see docs/plateau-postmortem.md).
+        Returns {elo_ceiling_margin, elo_ceiling_streak} for round stats
+        (margin is None until both learner and a Frontier entry exist)."""
+        learner_id = self.learner_id_fn()
+        out = {"elo_ceiling_margin": None,
+               "elo_ceiling_streak": self._elo_ceiling_streak}
+        if learner_id is None:
+            return out
+        try:
+            learner = self.store.get_entry(learner_id)
+        except Exception:
+            return out
+        frontier = [e.elo_rating for e in entries
+                    if e.role == Role.FRONTIER_STATIC and e.id != learner_id]
+        if not frontier:
+            return out
+        margin = learner.elo_rating - max(frontier)
+        out["elo_ceiling_margin"] = margin
+        if margin >= self.ELO_CEILING_MARGIN:
+            self._elo_ceiling_streak += 1
+            if self._elo_ceiling_streak >= self.ELO_CEILING_STREAK:
+                logger.warning(
+                    "Elo ceiling alert: learner (%.0f) exceeds max Frontier "
+                    "(%.0f) by %.0f for %d consecutive rounds — pool may be "
+                    "too weak", learner.elo_rating, max(frontier), margin,
+                    self._elo_ceiling_streak,
+                )
+        else:
+            self._elo_ceiling_streak = 0
+        out["elo_ceiling_streak"] = self._elo_ceiling_streak
+        return out
+
+    def _mark(self, phase: str) -> None:
+        now = time.monotonic()
+        self._phase_s[phase] = self._phase_s.get(phase, 0.0) + (
+            now - self._phase_t)
+        self._phase_t = now
 
     def _is_training(self, a: OpponentEntry, b: OpponentEntry) -> bool:
         return is_training_match(a, b) and self.dynamic_trainer is not None
@@ -228,13 +324,19 @@ class LeagueTournament:
              self.store.load_variables_cached(b, dtype="bfloat16"))
             for a, b in pooled
         ]
+        self._mark("load_weights")
         training_flags = [self._is_training(a, b) for a, b in pooled]
         # full collection only when a slot feeds the dynamic trainer;
         # "light" otherwise — still enough for game-feature extraction,
         # which previously only sequential matches produced
         collect = True if any(training_flags) else "light"
+        # epoch and chunk index fold into disjoint bit ranges: the old
+        # `epoch * 77 + salt` collided across adjacent epochs if the round
+        # cap were ever raised past 77 pairings (ADVICE r4)
         results, stats, rollouts = pool.run_round(
-            pairs_vars, seed=epoch * 77 + seed_salt, collect=collect)
+            pairs_vars, seed=(epoch << 8) | (seed_salt & 0xFF),
+            collect=collect)
+        self._mark("play")
         for (a, b), result, rollout, training in zip(
                 pooled, results, rollouts, training_flags):
             self.store.record_result(
@@ -252,6 +354,7 @@ class LeagueTournament:
                 recorded.add((a.id, b.id))
             self.scorer.record_result(a.id, b.id)
             self.scorer.record_round_result(a.id, b.id)
+            self._mark("record")
             self._post_match(a, b, epoch, rollout, training)
         return stats.games, stats.total_plies, len(pooled)
 
@@ -260,6 +363,7 @@ class LeagueTournament:
         # inference-only match play: half-size bf16 trees (store LRU)
         vars_a = self.store.load_variables_cached(a, dtype="bfloat16")
         vars_b = self.store.load_variables_cached(b, dtype="bfloat16")
+        self._mark("load_weights")
         training = is_training_match(a, b) and self.dynamic_trainer is not None
 
         # training matches collect the full record (the dynamic trainer
@@ -269,6 +373,7 @@ class LeagueTournament:
             vars_a, vars_b, seed=epoch * 1000 + a.id,
             collect=True if training else "light",
         )
+        self._mark("play")
 
         self.store.record_result(
             a.id, b.id, epoch=epoch,
@@ -283,6 +388,7 @@ class LeagueTournament:
         )
         self.scorer.record_result(a.id, b.id)
         self.scorer.record_round_result(a.id, b.id)
+        self._mark("record")
 
         self._post_match(a, b, epoch, rollout, training)
         return {"games": result.games, "plies": result.total_plies}
@@ -302,14 +408,17 @@ class LeagueTournament:
                 db.write_game_features(self.store.db_path, rows)
         except Exception:
             logger.exception("game feature extraction failed — continuing")
+        self._mark("features")
 
         if training and self.dynamic_trainer is not None:
             for entry, side in ((a, "a"), (b, "b")):
                 if entry.role == Role.DYNAMIC and entry.training_enabled:
                     self.dynamic_trainer.record_rollout(entry.id, rollout, side)
+                    self._mark("dyn_fetch")
                     self.dynamic_trainer.maybe_update(
                         self.store.get_entry(entry.id), seed=epoch,
                     )
+                    self._mark("dyn_update")
 
 
 class TournamentDispatcher:

@@ -68,7 +68,10 @@ def save_checkpoint(
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
         "step": state.step,
-        "rng_key": jax.random.key_data(rng_key),
+        # plain numpy, NOT a device array: a host-local SingleDeviceSharding
+        # array is unserializable in a multi-host save ("Cannot serialize
+        # host local jax.Array"), caught by the cross-process restore test
+        "rng_key": np.asarray(jax.random.key_data(rng_key)),
     }
     ckptr = ocp.PyTreeCheckpointer()
     # the Orbax save is a COLLECTIVE in multi-host runs (every process

@@ -348,6 +348,11 @@ class SelfPlayTrainer:
                     self.dyn_trainer,
                     heartbeat=lambda: self.observer.heartbeat(
                         self.epoch, self.epoch * self.T, "tournament"),
+                    learner_id_fn=lambda: self.learner_entry_id,
+                    # honored placement (round-4 VERDICT #2 was a no-op):
+                    # e.g. num_devices=6 + tournament_device="6" gives the
+                    # learner chips 0-5 and tournament rounds chip 6
+                    device=lc.tournament_device,
                 )
             else:
                 self.dispatcher = TournamentDispatcher(

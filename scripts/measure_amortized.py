@@ -245,6 +245,14 @@ def main() -> None:
             k: round(v, 2) for k, v in sorted(
                 trainer._maint_phase_s.items(), key=lambda kv: -kv[1])
         },
+        # intra-round attribution (round-5): cumulative seconds inside
+        # tournament rounds by phase (load_weights/play/record/features/
+        # dyn_fetch/dyn_update) — LeagueTournament._mark()
+        "tournament_phase_s": {
+            k: round(v, 2) for k, v in sorted(
+                getattr(trainer.tournament, "_phase_s", {}).items(),
+                key=lambda kv: -kv[1])
+        } if getattr(trainer, "tournament", None) is not None else {},
         "events_measured": {
             "tournament_rounds": n_tournaments,
             "snapshots": n_snapshots,

@@ -190,11 +190,20 @@ def main():
         for k, v in measures.items():
             bound = "ceiling" if k.endswith("_ms") else "floor"
             lim = v * (1 + RECORD_MARGIN) if bound == "ceiling" else v * (1 - RECORD_MARGIN)
+            # per-benchmark metadata: the pooled-round pin is total ms for
+            # a 2-chunk round at 4x16 envs, not a per-step time at N envs
+            # (ADVICE r4 — hardcoded unit/n_envs mislabeled it)
+            if k == "pooled_round_b10c128_ms":
+                unit, n_envs = "ms/round", 4 * 16
+            elif k.endswith("_ms"):
+                unit, n_envs = "ms/step", N
+            else:
+                unit, n_envs = "env_steps/s", N
             floors[k] = {
                 bound: round(lim, 1),
                 "measured": round(v, 1),
-                "unit": "ms/step" if k.endswith("_ms") else "env_steps/s",
-                "n_envs": N,
+                "unit": unit,
+                "n_envs": n_envs,
                 "recorded": time.strftime("%Y-%m-%d"),
             }
         if FLOORS_PATH.exists():

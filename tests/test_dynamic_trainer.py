@@ -299,3 +299,144 @@ class TestKataGoContractUpdate:
         assert e2.update_count == 1
         after = jax.tree.leaves(store.load_variables(e2))[0]
         assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+@pytest.mark.integration
+class TestTransferCompressedUpdate:
+    """Round-5: the update batch rides the tunnel compressed (f16 obs +
+    packed masks), decompressed inside the jitted update."""
+
+    def test_build_batch_is_compressed_and_masks_roundtrip(self, setup):
+        store, model, variables, entry = setup
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=128,
+                                 contract="scalar")
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        host = trainer._buffers[entry.id][0]
+        batch = trainer._build_batch(entry.id)
+        assert batch["obs"].dtype == jnp.float16
+        assert batch["masks"].dtype == jnp.uint8
+        A = host["masks"].shape[1]
+        assert trainer._num_actions == A
+        # exact bitplane roundtrip (the host buffer is the reference)
+        unpacked = np.unpackbits(
+            np.asarray(batch["masks"]), axis=1, bitorder="little")[:, :A]
+        n = host["masks"].shape[0]
+        np.testing.assert_array_equal(unpacked[:n].astype(bool),
+                                      host["masks"])
+        # padding rows (zero-weight) are all-False
+        assert not unpacked[n:].any()
+
+    def test_compressed_update_trains(self, setup):
+        store, model, variables, entry = setup
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1,
+                            min_games_before_eviction=0)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=128,
+                                 contract="scalar")
+        _, rollout = collect_rollout(model, variables)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        assert trainer.maybe_update(entry, seed=3)
+        store.wait_for_flushes()
+        assert store.get_entry(entry.id).update_count == 1
+
+
+@pytest.mark.integration
+class TestOptimizerDeviceCache:
+    """Moments of the K most-recently-trained entries stay device-resident
+    (offload beyond K): most tournament updates skip the host round trip
+    that dominated flagship rounds."""
+
+    def _trainer_with_entries(self, tmp_path, cache, n_entries=3):
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        entries = []
+        for i in range(n_entries):
+            v = model.init(jax.random.key(i),
+                           jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+            entries.append(store.add_entry(
+                v, architecture="mlp", model_params={}, created_epoch=0,
+                role=Role.DYNAMIC))
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1,
+                            optimizer_device_cache=cache,
+                            max_updates_per_round=99)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=128,
+                                 contract="scalar")
+        v0 = model.init(jax.random.key(9),
+                        jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        _, rollout = collect_rollout(model, v0)
+        return store, trainer, entries, rollout
+
+    @staticmethod
+    def _is_device_tree(tree):
+        leaves = [x for x in jax.tree.leaves(tree)
+                  if hasattr(x, "shape") and getattr(x, "shape", None) != ()]
+        return all(isinstance(x, jax.Array) for x in leaves)
+
+    def test_lru_demotes_past_cache(self, tmp_path):
+        store, trainer, entries, rollout = self._trainer_with_entries(
+            tmp_path, cache=2)
+        for e in entries:
+            trainer.record_rollout(e.id, rollout, side="a")
+            assert trainer.maybe_update(e, seed=e.id)
+        # newest two device-resident, oldest demoted to host numpy
+        assert list(trainer._opt_on_device) == [entries[1].id, entries[2].id]
+        assert self._is_device_tree(trainer._opt_states[entries[1].id])
+        assert self._is_device_tree(trainer._opt_states[entries[2].id])
+        demoted = trainer._opt_states[entries[0].id]
+        assert any(isinstance(x, np.ndarray)
+                   for x in jax.tree.leaves(demoted))
+        store.wait_for_flushes()
+
+    def test_cache_zero_offloads_every_update(self, tmp_path):
+        store, trainer, entries, rollout = self._trainer_with_entries(
+            tmp_path, cache=0)
+        e = entries[0]
+        trainer.record_rollout(e.id, rollout, side="a")
+        assert trainer.maybe_update(e, seed=1)
+        assert any(isinstance(x, np.ndarray)
+                   for x in jax.tree.leaves(trainer._opt_states[e.id]))
+        store.wait_for_flushes()
+
+    def test_drop_entry_clears_device_lru(self, tmp_path):
+        store, trainer, entries, rollout = self._trainer_with_entries(
+            tmp_path, cache=2)
+        e = entries[0]
+        trainer.record_rollout(e.id, rollout, side="a")
+        assert trainer.maybe_update(e, seed=1)
+        assert e.id in trainer._opt_on_device
+        trainer.drop_entry(e.id)
+        assert e.id not in trainer._opt_on_device
+        assert e.id not in trainer._opt_states
+        store.wait_for_flushes()
+
+
+@pytest.mark.integration
+class TestPerRoundUpdateCap:
+    def test_cap_blocks_until_begin_round(self, tmp_path):
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [16]})
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1,
+                            max_updates_per_round=1)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=128,
+                                 contract="scalar")
+        entries = []
+        for i in range(2):
+            v = model.init(jax.random.key(i),
+                           jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+            entries.append(store.add_entry(
+                v, architecture="mlp", model_params={}, created_epoch=0,
+                role=Role.DYNAMIC))
+        v0 = model.init(jax.random.key(9),
+                        jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        _, rollout = collect_rollout(model, v0)
+        trainer.begin_round()
+        for e in entries:
+            trainer.record_rollout(e.id, rollout, side="a")
+        assert trainer.maybe_update(entries[0], seed=1)
+        # budget spent: second entry must wait for the next round
+        assert not trainer.should_update(entries[1].id)
+        assert not trainer.maybe_update(entries[1], seed=2)
+        trainer.begin_round()
+        assert trainer.maybe_update(entries[1], seed=2)
+        store.wait_for_flushes()

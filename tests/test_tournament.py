@@ -195,3 +195,64 @@ class TestPooledRound:
         t = LeagueTournament(store, cfg)
         pooled, sequential = t._partition_for_pool([(d1, d2)])
         assert pooled == [] and len(sequential) == 1
+
+
+class TestEloCeilingAlert:
+    """Reference keisei/training/tournament.py:163-190: learner exceeding
+    the strongest Frontier anchor by >=200 Elo for 2+ consecutive rounds
+    warns that the pool may be too weak."""
+
+    def _setup(self, store, learner_elo):
+        frontier = add_entry(store, Role.FRONTIER_STATIC, seed=0)
+        learner = add_entry(store, Role.RECENT_FIXED, seed=1)
+        import sqlite3
+
+        with sqlite3.connect(store.db_path) as conn:
+            conn.execute(
+                "UPDATE league_entries SET elo_rating = ? WHERE id = ?",
+                (learner_elo, learner.id),
+            )
+        cfg = LeagueConfig(tournament_enabled=True)
+        t = LeagueTournament(
+            store, cfg, learner_id_fn=lambda: learner.id)
+        return t, frontier, learner
+
+    def test_streak_fires_after_two_rounds(self, store, caplog):
+        t, _, _ = self._setup(store, learner_elo=1300.0)
+        entries = store.list_entries()
+        out1 = t._check_elo_ceiling(entries)
+        assert out1["elo_ceiling_margin"] == 300.0
+        assert out1["elo_ceiling_streak"] == 1
+        with caplog.at_level("WARNING"):
+            out2 = t._check_elo_ceiling(entries)
+        assert out2["elo_ceiling_streak"] == 2
+        assert any("Elo ceiling alert" in r.message for r in caplog.records)
+
+    def test_streak_resets_below_margin(self, store, caplog):
+        t, frontier, learner = self._setup(store, learner_elo=1300.0)
+        entries = store.list_entries()
+        assert t._check_elo_ceiling(entries)["elo_ceiling_streak"] == 1
+        import sqlite3
+
+        with sqlite3.connect(store.db_path) as conn:
+            conn.execute(
+                "UPDATE league_entries SET elo_rating = ? WHERE id = ?",
+                (1100.0, learner.id),
+            )
+        with caplog.at_level("WARNING"):
+            out = t._check_elo_ceiling(store.list_entries())
+        assert out["elo_ceiling_streak"] == 0
+        assert not any("Elo ceiling alert" in r.message for r in caplog.records)
+
+    def test_no_frontier_no_learner_skip(self, store):
+        # no learner id (sidecar workers): margin stays None
+        t = LeagueTournament(store, LeagueConfig(tournament_enabled=True))
+        assert t._check_elo_ceiling([])["elo_ceiling_margin"] is None
+        # learner set but pool has no Frontier entry
+        learner = add_entry(store, Role.DYNAMIC, seed=3)
+        t2 = LeagueTournament(
+            store, LeagueConfig(tournament_enabled=True),
+            learner_id_fn=lambda: learner.id)
+        out = t2._check_elo_ceiling(store.list_entries())
+        assert out["elo_ceiling_margin"] is None
+        assert out["elo_ceiling_streak"] == 0

@@ -189,6 +189,9 @@ class TestRoundOrchestration:
             def retain_only(self, active):
                 self.kept = set(active)
 
+            def begin_round(self):
+                pass
+
         dyn = FakeDyn()
         t = self.tournament(store, dynamic_trainer=dyn)
         d = add(store, Role.DYNAMIC)
