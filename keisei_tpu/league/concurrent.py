@@ -52,7 +52,11 @@ class ConcurrentMatchPool:
         envs_per_match: int = 16,
         max_ply: int = 512,
         num_channels: int = 50,
-        chunk_steps: int = 64,
+        # 128 (not 64): every chunk call pays a host dispatch + (lagged)
+        # flag fetch over the device link; halving the call count takes
+        # a measured ~35 s in-vivo round toward ~20 s. Over-run past
+        # all-done costs < 0.5 s of benign auto-reset play per chunk.
+        chunk_steps: int = 128,
         temperature: float = 1.0,
     ):
         self.model = model
@@ -180,7 +184,19 @@ class ConcurrentMatchPool:
         collected = []
         steps = 0
         max_chunks = -(-self.max_ply // self.chunk_steps) + 1
-        for _ in range(max_chunks):
+        # PIPELINED early-exit: fetching done_seen after every chunk
+        # serializes a host round trip per chunk — on a high-latency
+        # device link those syncs dominate the round (measured ~2/3 of
+        # in-vivo "play", docs/profiling-round5.md §3). Instead keep
+        # dispatching chunks and check the flag from LAG chunks back: the
+        # fetch then overlaps live device work. Cost when the exit fires:
+        # up to LAG extra chunks (~0.5 s device each) of benign play —
+        # done envs have auto-reset into fresh games of the SAME pairing,
+        # whose collected transitions are legitimate extra data; per-env
+        # results/plies froze at each env's FIRST terminal.
+        LAG = 2 if self.chunk_steps < 128 else 1
+        done_flags = []
+        for i in range(max_chunks):
             (env_states, obs, masks, done_seen, result, plies, rng), ys = chunk(
                 stacked_a, stacked_b, env_states, obs, masks, a_color,
                 done_seen, result, plies, rng,
@@ -188,7 +204,8 @@ class ConcurrentMatchPool:
             if collect:
                 collected.append(ys)
             steps += self.chunk_steps
-            if bool(done_seen.all()):
+            done_flags.append(done_seen)
+            if i >= LAG and bool(done_flags[i - LAG].all()):
                 break
 
         done_np = np.asarray(done_seen).reshape(self.P, self.E)

@@ -73,6 +73,13 @@ class DynamicConfig:
     # queued D2H traffic starves the training step's dispatch
     max_updates_per_minute: int = 6
     checkpoint_flush_every: int = 8
+    # write an entry's updated WEIGHTS to disk only every Nth update
+    # (intermediate generations stay pinned in the store's device cache;
+    # wait_for_flushes lands the newest at teardown). Each flush is a full
+    # f32 tree D2H through the device tunnel (~12 s at flagship); readers
+    # in other processes lag by < N generations, which sidecar semantics
+    # already tolerate. 1 = flush every update (round-4 behavior).
+    weight_flush_every: int = 4
     disable_on_error: bool = True
     max_buffer_depth: int = 8
     max_consecutive_errors: int = 3
@@ -112,6 +119,8 @@ class DynamicConfig:
             raise ValueError("dynamic.max_consecutive_errors must be >= 1")
         if self.optimizer_device_cache < 0:
             raise ValueError("dynamic.optimizer_device_cache must be >= 0")
+        if self.weight_flush_every < 1:
+            raise ValueError("dynamic.weight_flush_every must be >= 1")
         if self.max_updates_per_round < 1:
             raise ValueError("dynamic.max_updates_per_round must be >= 1")
 
@@ -240,12 +249,23 @@ class StorageConfig:
     # flagship soak once the pool reached ~8 entries)
     cache_entries: int = 16
     cache_bytes_gb: float = 3.0
+    # dtype of learner SNAPSHOTS admitted to the pool. "bfloat16" halves
+    # the per-snapshot device->host transfer and disk/HBM footprint;
+    # opponents are inference-only (the model computes in bf16 anyway),
+    # and a snapshot cloned into the Dynamic tier is cast back to f32 by
+    # the trainer before its first update (one-time ~1e-3 rounding).
+    # Training-resume checkpoints are separate and always full precision.
+    snapshot_dtype: str = "float32"
 
     def __post_init__(self):
         if self.cache_entries < 1:
             raise ValueError("storage.cache_entries must be >= 1")
         if self.cache_bytes_gb <= 0:
             raise ValueError("storage.cache_bytes_gb must be > 0")
+        if self.snapshot_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"bad storage.snapshot_dtype {self.snapshot_dtype!r} "
+                "(float32 | bfloat16)")
 
 
 @dataclass(frozen=True)
@@ -289,6 +309,15 @@ class LeagueConfig:
     # often so match play does not dominate learner wall-clock.
     tournament_interval_epochs: int = 5
     tournament_mode: str = "in_process"
+    # Whether an in-process tournament round may OVERLAP the next training
+    # epochs (ride the async maintenance worker) or blocks training until
+    # it completes. "auto" (default): overlap only when the round has its
+    # own chip (tournament_device set) — on a single chip both contend for
+    # one device stream and every host sync inside the round waits behind
+    # the training epoch's queued programs, stretching a ~15 s round to
+    # 60-100 s (measured, docs/profiling-round5.md §3); blocking is
+    # strictly faster in wall-clock there. "always"/"never" force it.
+    tournament_overlap: str = "auto"
     # Run post-epoch league maintenance (Elo recording, learner snapshots,
     # tier reviews, gauntlet, in-process tournament rounds) on a FIFO
     # background worker so its host-side time overlaps the next epoch's
@@ -330,6 +359,10 @@ class LeagueConfig:
             )
         if self.tournament_mode not in ("in_process", "sidecar"):
             raise ValueError(f"bad tournament_mode {self.tournament_mode!r}")
+        if self.tournament_overlap not in ("auto", "always", "never"):
+            raise ValueError(
+                f"bad tournament_overlap {self.tournament_overlap!r} "
+                "(auto | always | never)")
         if self.tournament_interval_epochs < 1:
             raise ValueError("league.tournament_interval_epochs must be >= 1")
 

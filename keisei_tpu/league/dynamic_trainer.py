@@ -491,6 +491,14 @@ class DynamicTrainer:
         variables = self.store.load_variables_cached(entry)
         if "batch_stats" not in variables:
             variables = {**variables, "batch_stats": {}}
+        # bf16 snapshots (storage.snapshot_dtype) cast up before training:
+        # Adam moments and weight deltas in bf16 would visibly degrade the
+        # update; after the first update the entry's own generations are
+        # written f32 again, so the cast is one-time per clone
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 else x,
+            variables)
         # Adam moments live in memory between updates (disk flushes happen
         # every checkpoint_flush_every for restart continuity; reloading
         # from disk each update would reset or stale the moments, since
@@ -530,7 +538,10 @@ class DynamicTrainer:
         # come BEFORE the Adam moments are persisted, or a discarded weight
         # update would leave cached moments one step ahead of the entry's
         # actual weights (review r2)
-        self.store.update_weights(entry.id, new_vars, flush="async")
+        n_upd = self._updates_since_flush.get(entry.id, 0) + 1
+        flush = ("async" if n_upd % self.config.weight_flush_every == 0
+                 else "defer")
+        self.store.update_weights(entry.id, new_vars, flush=flush)
         self._park_opt_state(entry.id, opt_state)
         self._updates_since_flush[entry.id] = (
             self._updates_since_flush.get(entry.id, 0) + 1

@@ -158,7 +158,12 @@ def play_match(
 
     collected = []
     max_chunks = -(-max_ply // chunk_steps) + 1
-    for _ in range(max_chunks):
+    # pipelined early-exit (see ConcurrentMatchPool.run_round): check the
+    # flag from LAG chunks back so the host round trip overlaps device
+    # work; over-run chunks are benign (auto-reset games, frozen results)
+    LAG = 2
+    done_flags = []
+    for i in range(max_chunks):
         (env_states, obs, masks, done_seen, result, plies, rng), ys = chunk(
             vars_a, vars_b, env_states, obs, masks, a_color, done_seen,
             result, plies, rng,
@@ -167,7 +172,8 @@ def play_match(
             collected.append((None, *ys[1:2], None, *ys[3:]))
         elif collect:
             collected.append(ys)
-        if bool(done_seen.all()):
+        done_flags.append(done_seen)
+        if i >= LAG and bool(done_flags[i - LAG].all()):
             break
 
     done_np = np.asarray(done_seen)

@@ -274,6 +274,9 @@ class OpponentStore:
         # flush asynchronously spawn no thread
         self._flush_pool = None
         self._flush_errors: list[Exception] = []
+        # entry_id -> (count, path, variables, meta) generations whose
+        # disk write was deferred (update_weights flush="defer")
+        self._deferred_flushes: dict[int, tuple] = {}
         # entry_id -> (update_count, variables) for updates whose async
         # disk flush has not landed yet: cache misses MUST be served from
         # here, never from the (still-old) checkpoint_path, or an evicted
@@ -809,6 +812,18 @@ class OpponentStore:
         later. A failed async flush is logged and re-raised on the NEXT
         update_weights call (matching the trainer's circuit-breaker
         granularity); the pointer then still names the old consistent tree.
+
+        flush="defer" skips the disk write entirely for THIS generation:
+        the tree stays pinned in _pending_trees (in-process readers are
+        current), the DB pointer keeps naming the last flushed
+        generation, and the deferred tree is written either by a later
+        non-deferred update or by wait_for_flushes() at teardown. The
+        dynamic trainer defers intermediate generations because each
+        flush is a full f32 tree through the device tunnel (~12 s at
+        flagship) — cross-process readers lag by at most
+        weight_flush_every generations (they already tolerate ~1-epoch
+        staleness by design), and a crash loses only recent updates of an
+        OPPONENT, not the learner.
         """
         import jax
 
@@ -820,10 +835,12 @@ class OpponentStore:
             "league_entry_id": entry.id,
             "format_version": 1,
         }
-        if flush == "async":
+        if flush in ("async", "defer"):
             # surface a prior failed flush BEFORE bumping: bump-then-raise
             # would mint a generation that exists nowhere (every reader
-            # cache-misses and re-restores old weights under the new key)
+            # cache-misses and re-restores old weights under the new key).
+            # Deferred updates mint generations too, so they hit the same
+            # circuit breaker.
             with self._lock:
                 if self._flush_errors:
                     err = self._flush_errors[:]
@@ -852,8 +869,31 @@ class OpponentStore:
                 self._pending_trees[entry_id] = (new_count, variables)
         new_path = os.path.join(self._entry_dir(entry_id),
                                 f"weights-v{new_count}")
-        if flush == "async":
+        if flush == "defer":
+            # no disk IO this generation: the pin serves in-process
+            # readers; wait_for_flushes()/the next non-deferred update
+            # writes the newest tree (any older deferred one is obsolete).
+            # Each deferred generation pins one device tree beyond the LRU
+            # byte budget, so cap the outstanding set — the oldest entry's
+            # tree spills to an async flush (which also unpins it).
+            spill = None
             with self._lock:
+                self._deferred_flushes[entry_id] = (new_count, new_path,
+                                                    variables, meta)
+                if len(self._deferred_flushes) > 4:
+                    eid = next(iter(self._deferred_flushes))
+                    spill = (eid, self._deferred_flushes.pop(eid))
+                if spill is not None and self._flush_pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    self._flush_pool = ThreadPoolExecutor(
+                        max_workers=1, thread_name_prefix="league-flush")
+            if spill is not None:
+                eid, (cnt, pth, tree, m) = spill
+                self._flush_pool.submit(
+                    self._flush_job, eid, cnt, pth, tree, m)
+        elif flush == "async":
+            with self._lock:
+                self._deferred_flushes.pop(entry_id, None)  # superseded
                 if self._flush_pool is None:
                     from concurrent.futures import ThreadPoolExecutor
                     self._flush_pool = ThreadPoolExecutor(
@@ -866,6 +906,8 @@ class OpponentStore:
             # AFTER the bump, readers of the new generation must still get
             # the new tree instead of silently re-caching the stale disk
             # weights under the new key
+            with self._lock:
+                self._deferred_flushes.pop(entry_id, None)  # superseded
             self._flush_job(entry_id, new_count, new_path, variables, meta,
                             reraise=True)
         device_vars = jax.device_put(variables)
@@ -921,7 +963,18 @@ class OpponentStore:
         the league dir to another process that must see the newest
         weights — exiting cleanly on a failed final flush would leave the
         DB pointer naming the previous generation while update_count claims
-        newer weights exist)."""
+        newer weights exist). Deferred generations (flush="defer") are
+        written here first, so the newest tree always lands on disk."""
+        with self._lock:
+            deferred = list(self._deferred_flushes.items())
+            self._deferred_flushes.clear()
+            if deferred and self._flush_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._flush_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="league-flush")
+        for eid, (count, path, variables, meta) in deferred:
+            self._flush_pool.submit(
+                self._flush_job, eid, count, path, variables, meta)
         pool = self._flush_pool
         if pool is not None:
             # a no-op job flushes the FIFO queue

@@ -70,7 +70,8 @@ class LeagueTournament:
         self.device = parse_device(device)
         self.rounds_played = 0
         self._elo_ceiling_streak = 0
-        self._phase_s: dict[str, float] = {}
+        self._phase_s: dict[str, float] = {}  # current round (reset per round)
+        self._phase_total_s: dict[str, float] = {}  # lifetime cumulative
         self._phase_t = time.monotonic()
         self._runners: dict[tuple, object] = {}
         self._models = ModelCache()
@@ -275,8 +276,10 @@ class LeagueTournament:
 
     def _mark(self, phase: str) -> None:
         now = time.monotonic()
-        self._phase_s[phase] = self._phase_s.get(phase, 0.0) + (
-            now - self._phase_t)
+        took = now - self._phase_t
+        self._phase_s[phase] = self._phase_s.get(phase, 0.0) + took
+        self._phase_total_s[phase] = (
+            self._phase_total_s.get(phase, 0.0) + took)
         self._phase_t = now
 
     def _is_training(self, a: OpponentEntry, b: OpponentEntry) -> bool:

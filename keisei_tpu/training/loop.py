@@ -868,7 +868,16 @@ class SelfPlayTrainer:
             # donates. EVERY process dispatches it — over a multi-host mesh
             # the jitted copy is an SPMD program; only process 0 enqueuing
             # it would deadlock the slice. Peers drop the copy on the floor.
-            vars_copy = self._device_copy(self._variables())
+            # storage.snapshot_dtype="bfloat16" makes the copy a cast,
+            # halving the worker's D2H bytes (~12 s/snapshot at flagship
+            # over the device tunnel).
+            if lc.storage.snapshot_dtype == "bfloat16":
+                vars_copy = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    self._variables())
+            else:
+                vars_copy = self._device_copy(self._variables())
         if self.store is None:
             return
         # capture by value: the worker must see THIS epoch's cohort and
@@ -900,6 +909,24 @@ class SelfPlayTrainer:
             self._league_maintenance, epoch, cohort, learner_id,
             league_stats, vars_copy,
         ))
+        # Single-chip tournament rounds BLOCK training (config
+        # tournament_overlap="auto"): overlapped, the round's device
+        # programs and host syncs serialize behind the next epochs' queued
+        # work on the one device stream — a ~15 s idle-chip round measured
+        # 60-100 s in vivo (docs/profiling-round5.md §3). With a dedicated
+        # tournament_device the round truly overlaps and nothing blocks.
+        if (self.tournament is not None and self.tournament.is_due(epoch)
+                and self._tournament_blocks()):
+            while self._maint_futures:
+                self._maint_futures.popleft().result()
+
+    def _tournament_blocks(self) -> bool:
+        mode = self.config.league.tournament_overlap
+        if mode == "always":
+            return False
+        if mode == "never":
+            return True
+        return self.tournament.device is None
 
     def _league_maintenance(self, epoch: int, cohort: list, learner_id: int,
                             league_stats, vars_copy) -> None:

@@ -250,7 +250,7 @@ def main() -> None:
         # dyn_fetch/dyn_update) — LeagueTournament._mark()
         "tournament_phase_s": {
             k: round(v, 2) for k, v in sorted(
-                getattr(trainer.tournament, "_phase_s", {}).items(),
+                getattr(trainer.tournament, "_phase_total_s", {}).items(),
                 key=lambda kv: -kv[1])
         } if getattr(trainer, "tournament", None) is not None else {},
         "events_measured": {

@@ -210,3 +210,57 @@ class TestMaintenancePhaseTelemetry:
             assert phases[key] >= 0.0
         # phase sum is bounded by the worker's total busy time
         assert sum(phases.values()) <= trainer._maint_busy_s + 1e-6
+
+
+class TestTournamentOverlapPolicy:
+    """Round-5: single-chip tournament rounds BLOCK training
+    (tournament_overlap="auto" + no tournament_device) — overlapped, the
+    round's device work serializes behind the next epochs' queued
+    programs. With a dedicated device (or "always") the round overlaps."""
+
+    def _trainer(self, tmp_path, **league_extra):
+        raw = _league_raw(tmp_path, tournament_enabled=True,
+                          tournament_num_envs=2, **league_extra)
+        return SelfPlayTrainer(config_from_dict(raw))
+
+    def test_auto_blocks_on_shared_device(self, tmp_path):
+        trainer = self._trainer(tmp_path, tournament_interval_epochs=1)
+        assert trainer.tournament is not None
+        assert trainer.tournament.device is None
+        assert trainer._tournament_blocks()
+        # pool >= min_pool so rounds actually fire
+        for seed in (1, 2):
+            trainer.pool.snapshot_learner(
+                trainer._variables_host(), "mlp",
+                dict(trainer.config.model.params), 0)
+        for _ in range(6):
+            trainer.run_epoch()
+            if trainer.tournament.is_due(trainer.epoch):
+                # the blocking drain leaves no queued maintenance behind
+                assert not trainer._maint_futures
+        trainer.drain_maintenance()
+        assert trainer.tournament.rounds_played >= 1
+
+    def test_always_overlaps(self, tmp_path):
+        trainer = self._trainer(tmp_path, tournament_overlap="always")
+        assert not trainer._tournament_blocks()
+
+    def test_auto_overlaps_with_dedicated_device(self, tmp_path):
+        trainer = self._trainer(tmp_path)
+        import jax
+
+        trainer.tournament.device = jax.devices()[1]
+        assert not trainer._tournament_blocks()
+
+    def test_never_blocks_even_with_device(self, tmp_path):
+        trainer = self._trainer(tmp_path, tournament_overlap="never")
+        import jax
+
+        trainer.tournament.device = jax.devices()[1]
+        assert trainer._tournament_blocks()
+
+    def test_bad_overlap_value_rejected(self, tmp_path):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="tournament_overlap"):
+            self._trainer(tmp_path, tournament_overlap="sometimes")

@@ -585,3 +585,88 @@ class TestPinBeforeBump:
         count, tree = seen["pin"]
         assert count == 1  # the generation about to be minted
         np.testing.assert_allclose(leaf0(tree), leaf0(old) + 1.0)
+
+
+@pytest.mark.integration
+class TestDeferredWeightFlush:
+    """flush="defer": intermediate dynamic-update generations skip the
+    disk write (a full f32 tree through the device tunnel each); the pin
+    serves in-process readers, the DB pointer lags, and wait_for_flushes
+    lands the newest generation."""
+
+    def _store_entry(self, tmp_path):
+        from keisei_tpu.models.registry import build_model
+
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        entry = store.add_entry(v, architecture="mlp", model_params={},
+                                created_epoch=0, role="dynamic")
+        return store, model, v, entry
+
+    def _bump_tree(self, v, delta):
+        return jax.tree.map(lambda x: x + delta, v)
+
+    def test_defer_pins_serve_readers_and_pointer_lags(self, tmp_path):
+        store, model, v, entry = self._store_entry(tmp_path)
+        path0 = store.get_entry(entry.id).checkpoint_path
+        v1 = self._bump_tree(v, 1.0)
+        store.update_weights(entry.id, v1, flush="defer")
+        e1 = store.get_entry(entry.id)
+        assert e1.update_count == 1
+        # pointer still names generation 0 — nothing was written
+        assert e1.checkpoint_path == path0
+        # in-process reader gets the NEW tree (served from the pin/cache)
+        got = store.load_variables_cached(e1)
+        a = jax.tree.leaves(got)[0]
+        b = jax.tree.leaves(jax.device_put(v1))[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_wait_for_flushes_lands_deferred_generation(self, tmp_path):
+        store, model, v, entry = self._store_entry(tmp_path)
+        v1 = self._bump_tree(v, 1.0)
+        store.update_weights(entry.id, v1, flush="defer")
+        store.wait_for_flushes()
+        e1 = store.get_entry(entry.id)
+        assert e1.checkpoint_path.endswith("weights-v1")
+        # a COLD reader (fresh store, simulating another process) now
+        # restores the deferred generation from disk
+        store2 = OpponentStore(store.db_path, store.league_dir)
+        got = store2.load_variables(e1)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(got)[0]),
+            np.asarray(jax.tree.leaves(v1)[0]))
+
+    def test_async_flush_supersedes_deferred(self, tmp_path):
+        store, model, v, entry = self._store_entry(tmp_path)
+        store.update_weights(entry.id, self._bump_tree(v, 1.0), flush="defer")
+        v2 = self._bump_tree(v, 2.0)
+        store.update_weights(entry.id, v2, flush="async")
+        store.wait_for_flushes()
+        e = store.get_entry(entry.id)
+        assert e.update_count == 2
+        assert e.checkpoint_path.endswith("weights-v2")
+        assert not store._deferred_flushes  # the deferred gen was dropped
+
+    def test_deferred_pin_cap_spills_oldest(self, tmp_path):
+        from keisei_tpu.models.registry import build_model
+
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        entries = []
+        for i in range(6):
+            v = model.init(jax.random.key(i),
+                           jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+            entries.append((store.add_entry(
+                v, architecture="mlp", model_params={}, created_epoch=0,
+                role="dynamic"), v))
+        for e, v in entries:
+            store.update_weights(e.id, jax.tree.map(lambda x: x + 1, v),
+                                 flush="defer")
+        # cap is 4: the two oldest spilled to async flushes
+        assert len(store._deferred_flushes) == 4
+        store.wait_for_flushes()
+        for e, _ in entries:
+            assert store.get_entry(e.id).checkpoint_path.endswith(
+                "weights-v1")

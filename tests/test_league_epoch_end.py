@@ -181,3 +181,70 @@ class TestFailureIsolation:
         # the next epoch proceeds
         trainer.run_epoch()
         assert trainer.epoch == 2
+
+@pytest.mark.integration
+class TestBf16Snapshots:
+    """storage.snapshot_dtype="bfloat16": half-size snapshot D2H/disk."""
+
+    def test_snapshot_is_bf16_and_cohort_stack_restores(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from keisei_tpu.league.league_ops import stack_cohort_variables
+        from keisei_tpu.league.store import OpponentStore
+        from keisei_tpu.models.registry import build_model
+
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        v32 = model.init(jax.random.key(0),
+                         jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        v16 = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, v32)
+        entry = store.add_entry(v16, architecture="mlp", model_params={},
+                                created_epoch=0, role="recent_fixed")
+        store._cache.clear()
+        loaded = store.load_variables(entry)
+        leaf = jax.tree.leaves(loaded)[0]
+        assert leaf.dtype == jnp.bfloat16
+        # cohort stacking against an f32 template must still produce the
+        # requested stacked dtype from bf16-saved weights
+        stacked = stack_cohort_variables(store, [entry, entry], v32,
+                                         dtype=jnp.bfloat16)
+        sleaf = jax.tree.leaves(stacked)[0]
+        assert sleaf.dtype == jnp.bfloat16
+        assert sleaf.shape[0] == 2
+
+    def test_dynamic_update_casts_bf16_entry_to_f32(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from keisei_tpu.league.config import DynamicConfig
+        from keisei_tpu.league.dynamic_trainer import DynamicTrainer
+        from keisei_tpu.league.match import play_match
+        from keisei_tpu.league.store import OpponentStore
+        from keisei_tpu.models.registry import build_model
+
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        v32 = model.init(jax.random.key(0),
+                         jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        v16 = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, v32)
+        entry = store.add_entry(v16, architecture="mlp", model_params={},
+                                created_epoch=0, role="dynamic")
+        cfg = DynamicConfig(update_every_matches=1, update_epochs_per_batch=1)
+        trainer = DynamicTrainer(store, model, cfg, batch_cap=128,
+                                 contract="scalar")
+        _, rollout = play_match(model, v32, model, v32, num_games=4,
+                                max_ply=32, chunk_steps=16, seed=3,
+                                collect=True)
+        trainer.record_rollout(entry.id, rollout, side="a")
+        assert trainer.maybe_update(entry, seed=5)
+        store.wait_for_flushes()
+        e2 = store.get_entry(entry.id)
+        store._cache.clear()
+        after = store.load_variables(e2)
+        # the trainer wrote full-precision weights back
+        assert jax.tree.leaves(after)[0].dtype == jnp.float32
