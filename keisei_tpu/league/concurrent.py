@@ -65,6 +65,7 @@ class ConcurrentMatchPool:
         self.N = self.P * self.E
         self.max_ply = max_ply
         self.chunk_steps = chunk_steps
+        self._stack_fn = None  # jitted whole-tree weight stacker (run_round)
         self.temperature = temperature
         self.core = EnvCore(self.N, max_ply, num_channels)
         self._chunks: dict[str, object] = {}  # collect mode -> compiled chunk
@@ -170,8 +171,21 @@ class ConcurrentMatchPool:
             raise ValueError(f"{len(pairings)} pairings > pool capacity {self.P}")
         real = len(pairings)
         padded = list(pairings) + [pairings[-1]] * (self.P - real)
-        stacked_a = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in padded])
-        stacked_b = jax.tree.map(lambda *xs: jnp.stack(xs), *[p[1] for p in padded])
+        # ONE jitted dispatch for the whole weight stack: eager per-leaf
+        # jnp.stack costs a host dispatch per leaf — ~1000 round trips per
+        # round at flagship depth, which WAS most of the in-vivo "play"
+        # phase (docs/profiling-round5.md §3). Compiled once per tree
+        # structure; weights are traced arguments, so entry changes never
+        # retrace.
+        if self._stack_fn is None:
+            self._stack_fn = jax.jit(
+                lambda ta, tb: (
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *ta),
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *tb),
+                )
+            )
+        stacked_a, stacked_b = self._stack_fn(
+            [p[0] for p in padded], [p[1] for p in padded])
 
         env_states, obs, masks = self.core.init()
         a_color = jnp.asarray(np.arange(self.N) % 2, jnp.int32)
