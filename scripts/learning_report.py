@@ -473,14 +473,22 @@ def render_md(data: dict) -> str:
         out.append("")
         sep = [r["epoch"] for r in ladder if r["wilson_low"] > 0.5]
         n_g = ladder[0]["games"]
-        out.append(
+        reading = (
             f"Reading: the final model is Wilson-separated from parity "
             f"against {len(sep)} of {len(ladder)} rungs "
-            f"(epochs {', '.join(str(e) for e in sep)}); the remaining "
-            f"rungs sit inside the {n_g}-game noise floor around 0.5 — "
-            f"the expected near-twin regime, where point estimates "
-            f"scatter on both sides of parity (league self-play is not "
-            f"perfectly transitive game-to-game).\n")
+            f"(epochs {', '.join(str(e) for e in sep)})")
+        if len(sep) < len(ladder):
+            reading += (
+                f"; the remaining rungs sit inside the {n_g}-game noise "
+                f"floor around 0.5 — the expected near-twin regime, where "
+                f"point estimates scatter on both sides of parity (league "
+                f"self-play is not perfectly transitive game-to-game)")
+        else:
+            reading += (
+                " — strength was still climbing at every sampled point of "
+                "the campaign (see docs/plateau-postmortem.md for the "
+                "schedule fix that makes this hold)")
+        out.append(reading + ".\n")
     if pooled:
         p0, p1 = agg(pooled[:max(1, len(pooled) // 3)]), \
             agg(pooled[-max(1, len(pooled) // 3):])
@@ -510,6 +518,13 @@ def render_md(data: dict) -> str:
     out.append("python scripts/learning_report.py all --db " + c["db"])
     out.append("```")
     out.append("")
+    # hand-maintained analysis (cross-campaign comparisons, post-mortems)
+    # lives in the sidecar so regeneration never drops it
+    notes = os.path.join(os.path.dirname(DEFAULT_MD),
+                         "learning-efficacy-notes.md")
+    if os.path.exists(notes):
+        with open(notes) as f:
+            out.append(f.read())
     return "\n".join(out)
 
 

@@ -185,8 +185,25 @@ def margin_series(db_path: str, metrics: list[dict],
 
 def pool_composition(db_path: str, metrics: list[dict],
                      every: int = 50) -> list[dict]:
+    """ACTIVE pool by role over time: retirement is a STATUS transition
+    (role stays), so exclude entries whose latest status change at or
+    before the sample epoch is non-active."""
+    clock = [(m["timestamp"], m["epoch"]) for m in metrics if m["timestamp"]]
+    clock.sort()
+    stamps = [c[0] for c in clock]
+
+    def to_epoch(ts: str) -> int:
+        i = bisect.bisect_right(stamps, ts)
+        return clock[i - 1][1] if i else 0
+
     timelines = role_timelines(db_path, metrics)
-    entries = fetch(db_path, "SELECT id, created_epoch, retired_at, status "
+    status_tl: dict[int, list] = {}
+    for t in fetch(db_path, "SELECT entry_id, to_status, created_at "
+                            "FROM league_transitions ORDER BY id"):
+        if t["to_status"]:
+            status_tl.setdefault(t["entry_id"], []).append(
+                (to_epoch(t["created_at"]), t["to_status"]))
+    entries = fetch(db_path, "SELECT id, created_epoch, status "
                              "FROM league_entries")
     max_epoch = metrics[-1]["epoch"] if metrics else 0
     out = []
@@ -195,12 +212,44 @@ def pool_composition(db_path: str, metrics: list[dict],
         for row in entries:
             if row["created_epoch"] > e:
                 continue
+            status = "active"
+            for ep, st in status_tl.get(row["id"], []):
+                if ep <= e:
+                    status = st
+                else:
+                    break
+            if status != "active":
+                continue
             role = role_at(timelines, row["id"], e)
-            if role in (None, "retired"):
+            if role in (None, "retired", "unassigned"):
                 continue
             counts[role] = counts.get(role, 0) + 1
         out.append({"epoch": e, **counts})
     return out
+
+
+def _summarize_pooled_score(rows: list[dict]) -> dict:
+    """Learner-vs-pool score by campaign third, POOLING game counts —
+    late epochs complete only 2-3 games each (games lengthen as play
+    improves), so an unweighted per-epoch mean is dominated by tiny
+    samples."""
+    if not rows:
+        return {"signal": "learner_score_vs_pool", "n": 0}
+
+    def pooled(chunk):
+        g = sum(r["games"] for r in chunk if r["games"])
+        if not g:
+            return None
+        s = sum(r["score"] * r["games"] for r in chunk
+                if r["score"] is not None and r["games"])
+        return round(s / g, 4)
+
+    third = max(1, len(rows) // 3)
+    return {"signal": "learner_score_vs_pool",
+            "n": sum(r["games"] for r in rows if r["games"]),
+            "first": pooled(rows[:third]),
+            "mid": pooled(rows[third:2 * third]),
+            "last": pooled(rows[2 * third:])}
 
 
 def summarize(name: str, series: list[float], k: int = 100) -> dict:
@@ -247,9 +296,7 @@ def main(argv=None) -> None:
             summarize("entropy", [m["entropy"] for m in metrics
                                   if m["entropy"] is not None]),
             summarize("lr", [s["lr"] for s in lr["series"]]),
-            summarize("learner_score_vs_pool",
-                      [r["score"] for r in learner_rows
-                       if r["score"] is not None]),
+            _summarize_pooled_score(learner_rows),
             summarize("ceiling_margin", [m["margin"] for m in margins]),
         ],
         "lr_replay": {k: v for k, v in lr.items() if k != "series"},

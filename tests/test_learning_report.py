@@ -275,4 +275,6 @@ def test_render_md_reading_line_lists_separated_rungs(campaign_db):
     # both rungs qualify: epoch-1 wilson_low 0.70 > 0.5, epoch-50 0.53 > 0.5
     assert "Wilson-separated from parity against 2 of 2 rungs" in md
     assert "(epochs 1, 50)" in md
-    assert "noise floor" in md
+    # all-separated: the noise-floor caveat is for mixed ladders only
+    assert "noise floor" not in md
+    assert "still climbing" in md
