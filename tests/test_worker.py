@@ -372,6 +372,7 @@ class TestDeadWorkerReclaim:
     claimed pairings — an idle peer sweeps claims whose owner's heartbeat
     went stale, and the round completes."""
 
+    @pytest.mark.multiprocess
     def test_reclaim_after_real_process_death(self, setup, tmp_path):
         import os
         import subprocess
