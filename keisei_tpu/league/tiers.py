@@ -345,8 +345,18 @@ class TieredPool:
             self.store.retire_entry(
                 oldest.id, reason="hard cap: pool exceeded max_active_entries")
 
-    def maybe_review_frontier(self, epoch: int) -> None:
-        if self.frontier.is_due_for_review(epoch):
+    def maybe_review_frontier(self, epoch: int, force: bool = False) -> None:
+        """Run a frontier review when due — or immediately with force=True.
+
+        force is the Elo-ceiling alert's adaptive refresh (round-5
+        post-mortem finding): with the default 250-epoch cadence the
+        Frontier tier retired stale anchors faster than it promoted fresh
+        ones, decaying to a single active anchor 400-600 Elo behind the
+        learner. When the alert fires, the pool is told so outright —
+        waiting out the calendar just starves the calibration signal. The
+        promoter's own criteria (margin/tenure/lineage) still gate WHO
+        gets promoted; force only skips the calendar."""
+        if force or self.frontier.is_due_for_review(epoch):
             self.frontier.review(epoch)
 
     def bootstrap_from_flat_pool(self, epoch: int) -> None:

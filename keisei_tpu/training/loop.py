@@ -1012,7 +1012,15 @@ class SelfPlayTrainer:
                     )
                 else:
                     self.observer.heartbeat(epoch, epoch * self.T, "tournament")
-                    self.tournament.run_round(epoch)
+                    stats = self.tournament.run_round(epoch)
+                    # adaptive pool refresh: a firing Elo-ceiling alert
+                    # means the Frontier anchors are stale NOW — run the
+                    # review immediately instead of waiting out the
+                    # 250-epoch calendar (round-5 post-mortem: the tier
+                    # decayed to one anchor 400-600 Elo behind)
+                    if (stats.get("elo_ceiling_streak", 0)
+                            >= self.tournament.ELO_CEILING_STREAK):
+                        self.pool.maybe_review_frontier(epoch, force=True)
             mark("tournament")
             if self.dispatcher is not None:
                 self.dispatcher.enqueue_round(epoch)

@@ -404,3 +404,35 @@ class TestLifecycleEdges:
         pool.bootstrap_from_flat_pool(epoch=0)
         after = {(e.id, e.role) for e in store.list_entries()}
         assert before == after
+
+
+class TestForcedFrontierReview:
+    """Round-5 adaptive refresh: the Elo-ceiling alert forces a frontier
+    review off-calendar (docs/plateau-postmortem.md pool finding)."""
+
+    def test_force_bypasses_calendar(self, tmp_path, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+
+        from keisei_tpu.league.config import LeagueConfig
+        from keisei_tpu.league.store import OpponentStore, Role
+        from keisei_tpu.league.tiers import TieredPool
+        from keisei_tpu.models.registry import build_model
+
+        store = OpponentStore(str(tmp_path / "l.db"), str(tmp_path / "lg"))
+        model, _ = build_model("mlp", {"hidden_sizes": [8]})
+        v = model.init(jax.random.key(0),
+                       jnp.zeros((1, 50, 9, 9), jnp.float32), train=False)
+        store.add_entry(v, architecture="mlp", model_params={},
+                        created_epoch=0, role=Role.DYNAMIC)
+        pool = TieredPool(store, LeagueConfig())
+        calls = []
+        monkeypatch.setattr(pool.frontier, "review",
+                            lambda epoch: calls.append(epoch))
+        # off-calendar epoch: the periodic gate skips...
+        assert not pool.frontier.is_due_for_review(3)
+        pool.maybe_review_frontier(3)
+        assert calls == []
+        # ...force runs it anyway
+        pool.maybe_review_frontier(3, force=True)
+        assert calls == [3]
